@@ -1,0 +1,211 @@
+"""Typed configuration tree for the whole framework.
+
+One dataclass tree spans pipeline thresholds, model choices and mesh/sharding
+config — the TPU-native replacement for the reference's Hydra YAMLs
+(cf. reference fsr_vln/config/semantic_scene_reconstruction_ic4f.yaml:1-38) and
+ROS parameter files.  Configs load from YAML/JSON dicts with dotted-path
+overrides, so the reference's per-scene YAML layout carries over unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Leaf sections
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MainConfig:
+    """Top-level run settings (reference yaml `main:` section)."""
+
+    device: str = "tpu"
+    use_gpt: bool = False
+    dataset: str = "synthetic"
+    scene_id: str = "synthetic_0"
+    dataset_path: str = ""
+    depth_cut: float = 10.0
+    save_path: str = "/tmp/holoagent_tpu/scene_graphs"
+    seed: int = 0
+
+
+@dataclass
+class ClipConfig:
+    """CLIP tower selection (reference `models.clip`)."""
+
+    type: str = "ViT-B-32"  # ViT-B-32 | ViT-L-14 | ViT-H-14
+    checkpoint: str = ""  # optional torch/open_clip state-dict to convert
+    image_size: int = 224
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class SamConfig:
+    """Open-vocab mask generator (reference `models.sam`, incl. the automatic
+    mask generation operating point from
+    reference fsr_vln/config/semantic_scene_reconstruction_ic4f.yaml:13-21)."""
+
+    type: str = "vit_b"  # vit_b | vit_l | vit_h
+    checkpoint: str = ""
+    points_per_side: int = 12
+    pred_iou_thresh: float = 0.88
+    points_per_batch: int = 144
+    stability_score_thresh: float = 0.95
+    min_mask_region_area: int = 100
+    max_masks: int = 64  # fixed-capacity mask budget per frame (padded)
+    image_size: int = 1024
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class VlmConfig:
+    """On-slice VLM used by the slow reasoning path (replaces the reference's
+    HTTPS Azure GPT-4V calls, reference fsr_vln/memory/hmsg/graph/graph.py:2292-2482)."""
+
+    enabled: bool = False
+    checkpoint: str = ""
+    max_images: int = 24  # gallery budget, reference graph.py:2896-2897
+    max_seq_len: int = 4096
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class ModelsConfig:
+    clip: ClipConfig = field(default_factory=ClipConfig)
+    sam: SamConfig = field(default_factory=SamConfig)
+    vlm: VlmConfig = field(default_factory=VlmConfig)
+
+
+@dataclass
+class PipelineConfig:
+    """Mapping-pipeline thresholds (reference yaml `pipeline:` section; defaults
+    mirror reference fsr_vln/config/semantic_scene_reconstruction_ic4f.yaml:22-38)."""
+
+    voxel_size: float = 0.05
+    skip_frames: int = 8
+    init_overlap_thresh: float = 0.75
+    overlap_thresh_factor: float = 0.025
+    iou_thresh: float = 0.05
+    clip_masked_weight: float = 0.4418
+    clip_bbox_margin: int = 50
+    feature_dbscan_eps: float = 0.01
+    max_mask_distance: float = 10000.0
+    min_pcd_points: int = 100
+    depth_weighting: bool = False
+    grid_resolution: float = 0.05
+    merge_type: str = "sequential"  # sequential | hierarchical
+    save_intermediate_results: bool = False
+    obj_labels: str = "SCANNET200"
+    merge_objects_graph: bool = False
+    # fixed-capacity budgets (TPU-native: padded buffers, no dynamic shapes)
+    point_capacity: int = 1 << 20  # max fused scene points
+    mask_point_capacity: int = 1 << 14  # max points per 3-D instance mask
+    instance_capacity: int = 512  # max instances tracked during merging
+    frame_point_capacity: int = 1 << 18  # max points backprojected per frame
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh / sharding configuration — the framework's parallelism is a
+    first-class config axis (no analog in the single-GPU reference; see
+    SURVEY.md §2.4 for the design obligations)."""
+
+    # axis sizes; -1 on data axis means "use all remaining devices"
+    data: int = -1  # DP over frames / crops / queries
+    model: int = 1  # TP over tower weights (heads / mlp shards)
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclass
+class ServingConfig:
+    """Continuous-batching VLM/CLIP service settings."""
+
+    max_batch: int = 8
+    max_queue: int = 128
+    timeout_ms: float = 5.0
+
+
+@dataclass
+class Config:
+    main: MainConfig = field(default_factory=MainConfig)
+    models: ModelsConfig = field(default_factory=ModelsConfig)
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    serving: ServingConfig = field(default_factory=ServingConfig)
+
+
+# ---------------------------------------------------------------------------
+# Loading / merging
+# ---------------------------------------------------------------------------
+
+
+def _merge_into_dataclass(obj: Any, data: Dict[str, Any]) -> Any:
+    """Recursively apply a plain dict onto a dataclass instance."""
+    if not dataclasses.is_dataclass(obj):
+        return data
+    known = {f.name for f in dataclasses.fields(obj)}
+    unknown = set(data) - known
+    if unknown:
+        raise KeyError(
+            f"unknown config key(s) {sorted(unknown)} for {type(obj).__name__}; "
+            f"known: {sorted(known)}"
+        )
+    kwargs = {}
+    for f in dataclasses.fields(obj):
+        cur = getattr(obj, f.name)
+        if f.name in data:
+            v = data[f.name]
+            if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+                kwargs[f.name] = _merge_into_dataclass(cur, v)
+            elif isinstance(cur, tuple) and isinstance(v, list):
+                kwargs[f.name] = tuple(v)
+            else:
+                kwargs[f.name] = v
+        else:
+            kwargs[f.name] = cur
+    return dataclasses.replace(obj, **kwargs)
+
+
+def from_dict(data: Dict[str, Any], base: Optional[Config] = None) -> Config:
+    return _merge_into_dataclass(base or Config(), data)
+
+
+def load(path: str | Path, overrides: Optional[List[str]] = None) -> Config:
+    """Load a YAML or JSON config file, then apply ``key.path=value`` overrides
+    (the CLI surface the reference got from Hydra)."""
+    path = Path(path)
+    text = path.read_text()
+    if path.suffix in (".yml", ".yaml"):
+        import yaml
+
+        data = yaml.safe_load(text) or {}
+    else:
+        data = json.loads(text)
+    cfg = from_dict(data)
+    for ov in overrides or []:
+        cfg = apply_override(cfg, ov)
+    return cfg
+
+
+def apply_override(cfg: Config, override: str) -> Config:
+    """Apply a single ``a.b.c=value`` override string."""
+    key, _, raw = override.partition("=")
+    parts = key.strip().split(".")
+    try:
+        value = json.loads(raw)
+    except (json.JSONDecodeError, ValueError):
+        value = raw.strip()
+    nested: Dict[str, Any] = {parts[-1]: value}
+    for p in reversed(parts[:-1]):
+        nested = {p: nested}
+    return from_dict(nested, base=cfg)
+
+
+def to_dict(cfg: Any) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
