@@ -1,0 +1,240 @@
+"""Procedural posed-RGBD scene renderer — the hermetic test fixture.
+
+The reference regenerates datasets by replaying stored poses through
+Habitat-Sim (reference env/sim/habitat_sim/hm3dsem/gen_hm3dsem_walks_from_poses.py:15-100).
+We go one step further: a fully procedural multi-room scene (floor slabs,
+walls, axis-aligned furniture boxes with labels) ray-cast into exact RGB-D
+frames, so mapping/graph/eval tests run with pixel-perfect ground truth and
+zero external data.
+
+Conventions: world z-up; camera x-right / y-down / z-forward (OpenCV), pose =
+camera-to-world.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .generic import RGBDFrame
+
+
+@dataclass
+class Box:
+    """Axis-aligned labelled box (a piece of 'furniture')."""
+
+    center: Tuple[float, float, float]
+    size: Tuple[float, float, float]
+    color: Tuple[float, float, float]
+    label: str
+    instance_id: int = -1
+
+    @property
+    def lo(self):
+        return np.asarray(self.center) - np.asarray(self.size) / 2
+
+    @property
+    def hi(self):
+        return np.asarray(self.center) + np.asarray(self.size) / 2
+
+
+@dataclass
+class SyntheticScene:
+    """A rectangular multi-room floor with labelled boxes.
+
+    rooms: list of (x0, y0, x1, y1) rectangles on the floor plane; walls are
+    erected on room boundaries with door gaps.
+    """
+
+    extent: Tuple[float, float] = (8.0, 6.0)  # total footprint (x, y)
+    wall_height: float = 2.5
+    floor_z: float = 0.0
+    boxes: List[Box] = field(default_factory=list)
+    wall_segments: List[Tuple[float, float, float, float]] = field(default_factory=list)
+    wall_thickness: float = 0.08
+
+    @staticmethod
+    def two_room(seed: int = 0) -> "SyntheticScene":
+        """Standard fixture: two rooms divided by a wall with a door, six
+        labelled furniture boxes."""
+        rng = np.random.default_rng(seed)
+        sc = SyntheticScene()
+        w, h = sc.extent
+        # dividing wall at x=4 with a door gap y in [2.4, 3.6]
+        sc.wall_segments = [
+            (w / 2, 0.0, w / 2, 2.4),
+            (w / 2, 3.6, w / 2, h),
+        ]
+        defs = [
+            ("bed", (1.6, 2.0, 0.5), (0.8, 0.2, 0.2), (1.2, 1.6)),
+            ("chair", (0.5, 0.5, 0.9), (0.2, 0.4, 0.8), (2.8, 4.6)),
+            ("table", (1.2, 0.8, 0.75), (0.6, 0.4, 0.2), (2.2, 3.0)),
+            ("sofa", (1.8, 0.8, 0.8), (0.2, 0.7, 0.3), (6.0, 1.2)),
+            ("refrigerator", (0.7, 0.7, 1.8), (0.85, 0.85, 0.9), (7.4, 5.2)),
+            ("toilet", (0.5, 0.6, 0.8), (0.95, 0.95, 0.95), (5.0, 5.2)),
+        ]
+        for i, (label, size, color, (cx, cy)) in enumerate(defs):
+            sc.boxes.append(
+                Box(
+                    center=(cx, cy, sc.floor_z + size[2] / 2),
+                    size=size,
+                    color=color,
+                    label=label,
+                    instance_id=i,
+                )
+            )
+        return sc
+
+    # -- ray casting --------------------------------------------------------
+
+    def _all_boxes(self) -> List[Box]:
+        """Scene geometry as boxes: furniture + outer walls + inner walls +
+        floor slab + ceiling (ceiling-less for top-down debug friendliness)."""
+        w, h = self.extent
+        t = self.wall_thickness
+        z = self.wall_height
+        geo: List[Box] = list(self.boxes)
+        wall_color = (0.85, 0.82, 0.78)
+        # outer walls
+        for (cx, cy, sx, sy) in [
+            (w / 2, -t / 2, w + 2 * t, t),
+            (w / 2, h + t / 2, w + 2 * t, t),
+            (-t / 2, h / 2, t, h + 2 * t),
+            (w + t / 2, h / 2, t, h + 2 * t),
+        ]:
+            geo.append(Box((cx, cy, z / 2), (sx, sy, z), wall_color, "wall"))
+        # inner wall segments
+        for (x0, y0, x1, y1) in self.wall_segments:
+            cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+            sx = max(abs(x1 - x0), t)
+            sy = max(abs(y1 - y0), t)
+            geo.append(Box((cx, cy, z / 2), (sx, sy, z), wall_color, "wall"))
+        # floor slab
+        geo.append(
+            Box(
+                (w / 2, h / 2, self.floor_z - 0.05),
+                (w + 2 * t, h + 2 * t, 0.1),
+                (0.55, 0.5, 0.45),
+                "floor",
+            )
+        )
+        return geo
+
+    def render(
+        self, pose_c2w: np.ndarray, k: np.ndarray, hw: Tuple[int, int] = (120, 160)
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Ray-cast one frame. Returns (rgb (H,W,3) f32, depth (H,W) f32,
+        instance (H,W) int32 [-1 = background/structure], label_img (H,W) int32
+        index into `self.labels()`)."""
+        H, W = hw
+        fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+        u, v = np.meshgrid(np.arange(W), np.arange(H))
+        dirs_cam = np.stack(
+            [(u - cx) / fx, (v - cy) / fy, np.ones_like(u, np.float64)], axis=-1
+        )
+        r = pose_c2w[:3, :3]
+        o = pose_c2w[:3, 3]
+        dirs = dirs_cam @ r.T  # (H, W, 3)
+        geo = self._all_boxes()
+        labels = self.labels()
+        tbest = np.full((H, W), np.inf)
+        rgb = np.zeros((H, W, 3), np.float32)
+        inst = np.full((H, W), -1, np.int32)
+        labimg = np.full((H, W), -1, np.int32)
+        eps = 1e-12
+        inv = 1.0 / np.where(np.abs(dirs) < eps, eps, dirs)
+        for b in geo:
+            t0 = (b.lo[None, None] - o) * inv
+            t1 = (b.hi[None, None] - o) * inv
+            tmin = np.minimum(t0, t1).max(axis=-1)
+            tmax = np.maximum(t0, t1).min(axis=-1)
+            hit = (tmax > np.maximum(tmin, 1e-4)) & (tmin > 1e-4) & (tmin < tbest)
+            tbest = np.where(hit, tmin, tbest)
+            rgb[hit] = b.color
+            inst[hit] = b.instance_id
+            labimg[hit] = labels.index(b.label)
+        # z-depth (not ray length): project hit point into camera z
+        zdir = dirs_cam[..., 2] / np.linalg.norm(dirs_cam, axis=-1)
+        depth = np.where(np.isfinite(tbest), tbest, 0.0)  # dirs_cam z==1 -> t is z-depth
+        # simple shading so CLIP sees texture: modulate by height + noise-free grid
+        shade = 0.75 + 0.25 * np.cos(depth * 3.0)
+        rgb = np.clip(rgb * shade[..., None], 0, 1).astype(np.float32)
+        return rgb, depth.astype(np.float32), inst, labimg
+
+    def labels(self) -> List[str]:
+        seen: List[str] = []
+        for b in self.boxes:
+            if b.label not in seen:
+                seen.append(b.label)
+        for s in ("wall", "floor"):
+            if s not in seen:
+                seen.append(s)
+        return seen
+
+
+def look_at(eye, target, up=(0, 0, 1.0)) -> np.ndarray:
+    """Camera-to-world pose for an OpenCV camera looking from eye to target."""
+    eye = np.asarray(eye, np.float64)
+    fwd = np.asarray(target, np.float64) - eye
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(up, np.float64))
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    pose = np.eye(4)
+    pose[:3, 0] = right
+    pose[:3, 1] = down
+    pose[:3, 2] = fwd
+    pose[:3, 3] = eye
+    return pose.astype(np.float32)
+
+
+class SyntheticDataset:
+    """Orbit trajectory through a SyntheticScene; RGBDDataset-compatible.
+
+    Keeps per-frame GT (instance/label images) for the evaluator."""
+
+    def __init__(
+        self,
+        scene: Optional[SyntheticScene] = None,
+        num_frames: int = 24,
+        hw: Tuple[int, int] = (120, 160),
+        seed: int = 0,
+    ):
+        self.scene = scene or SyntheticScene.two_room(seed)
+        self.hw = hw
+        H, W = hw
+        f = 0.9 * W
+        self.k = np.array([[f, 0, W / 2 - 0.5], [0, f, H / 2 - 0.5], [0, 0, 1]], np.float32)
+        w, h = self.scene.extent
+        self.poses = []
+        # two loops, one per room, looking inward from near the walls
+        centers = [(w * 0.25, h * 0.5), (w * 0.75, h * 0.5)]
+        per = num_frames // len(centers)
+        for cx0, cy0 in centers:
+            for i in range(per):
+                a = 2 * np.pi * i / per
+                eye = (cx0 + 1.3 * np.cos(a), cy0 + 1.3 * np.sin(a), 1.5)
+                target = (cx0, cy0, 0.8)
+                self.poses.append(look_at(eye, target))
+        self._cache: dict = {}
+
+    def __len__(self) -> int:
+        return len(self.poses)
+
+    def __getitem__(self, idx: int) -> RGBDFrame:
+        rgb, depth, _, _ = self._render(idx)
+        return RGBDFrame(rgb=rgb, depth=depth, pose=self.poses[idx], k=self.k)
+
+    def _render(self, idx: int):
+        if idx not in self._cache:
+            self._cache[idx] = self.scene.render(
+                self.poses[idx].astype(np.float64), self.k, self.hw
+            )
+        return self._cache[idx]
+
+    def gt(self, idx: int):
+        """(instance (H,W) int32, label (H,W) int32) ground truth."""
+        _, _, inst, lab = self._render(idx)
+        return inst, lab

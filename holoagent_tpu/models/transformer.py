@@ -1,0 +1,150 @@
+"""Functional pre-LN transformer core shared by the CLIP towers, the SAM
+encoder and the VLM.
+
+TPU-first choices:
+  * per-layer weights are STACKED on a leading axis and the body is one
+    `lax.scan` — an H/14 tower compiles as a single fused block instead of 32
+    unrolled layers;
+  * compute runs in bfloat16 on the MXU with float32 accumulation
+    (`preferred_element_type`), layer norms and softmax in float32;
+  * tensor parallelism shards the stacked QKV/MLP weights on their output
+    column axis ("model" mesh axis); XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Init helpers
+# ---------------------------------------------------------------------------
+
+
+def _normal(key, shape, std, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def init_block_stack(
+    key: jax.Array,
+    layers: int,
+    width: int,
+    mlp_ratio: float = 4.0,
+    dtype=jnp.float32,
+) -> Params:
+    """Stacked parameters for `layers` pre-LN blocks."""
+    hidden = int(width * mlp_ratio)
+    ks = jax.random.split(key, 4)
+    attn_std = width**-0.5
+    proj_std = (width**-0.5) * ((2 * layers) ** -0.5)
+    fc_std = (2 * width) ** -0.5
+    return {
+        "ln1_g": jnp.ones((layers, width), dtype),
+        "ln1_b": jnp.zeros((layers, width), dtype),
+        "wqkv": _normal(ks[0], (layers, width, 3 * width), attn_std, dtype),
+        "bqkv": jnp.zeros((layers, 3 * width), dtype),
+        "wo": _normal(ks[1], (layers, width, width), proj_std, dtype),
+        "bo": jnp.zeros((layers, width), dtype),
+        "ln2_g": jnp.ones((layers, width), dtype),
+        "ln2_b": jnp.zeros((layers, width), dtype),
+        "w1": _normal(ks[2], (layers, width, hidden), fc_std, dtype),
+        "b1": jnp.zeros((layers, hidden), dtype),
+        "w2": _normal(ks[3], (layers, hidden, width), proj_std, dtype),
+        "b2": jnp.zeros((layers, width), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Core ops
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-5):
+    """LayerNorm in float32 regardless of compute dtype."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def attention(
+    x: jnp.ndarray,  # (B, T, W)
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,  # (T, T) additive, f32
+) -> jnp.ndarray:
+    b, t, w = x.shape
+    dh = w // num_heads
+    qkv = (
+        jnp.einsum("btw,wc->btc", x, wqkv, preferred_element_type=jnp.float32)
+        + bqkv.astype(jnp.float32)
+    ).astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, t, num_heads, dh)
+    k = k.reshape(b, t, num_heads, dh)
+    v = v.reshape(b, t, num_heads, dh)
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
+    ) * (dh**-0.5)
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(b, t, w)
+    out = (
+        jnp.einsum("btw,wc->btc", out, wo, preferred_element_type=jnp.float32)
+        + bo.astype(jnp.float32)
+    ).astype(x.dtype)
+    return out
+
+
+def mlp(x, w1, b1, w2, b2, act=jax.nn.gelu):
+    h = (
+        jnp.einsum("btw,wc->btc", x, w1, preferred_element_type=jnp.float32)
+        + b1.astype(jnp.float32)
+    )
+    h = act(h).astype(x.dtype)
+    return (
+        jnp.einsum("btc,cw->btw", h, w2, preferred_element_type=jnp.float32)
+        + b2.astype(jnp.float32)
+    ).astype(x.dtype)
+
+
+def block(x, p: Params, num_heads: int, mask=None):
+    """One pre-LN transformer block with UNstacked per-layer params."""
+    x = x + attention(
+        layer_norm(x, p["ln1_g"], p["ln1_b"]),
+        p["wqkv"], p["bqkv"], p["wo"], p["bo"],
+        num_heads, mask,
+    )
+    x = x + mlp(layer_norm(x, p["ln2_g"], p["ln2_b"]), p["w1"], p["b1"], p["w2"], p["b2"])
+    return x
+
+
+def run_stack(
+    x: jnp.ndarray,
+    stacked: Params,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Scan the stacked block parameters over the sequence of layers."""
+
+    def body(h, layer_params):
+        h = block(h, layer_params, num_heads, mask)
+        return h, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    out, _ = jax.lax.scan(body, x, stacked)
+    return out

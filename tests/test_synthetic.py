@@ -1,0 +1,42 @@
+import numpy as np
+
+from holoagent_tpu.dataloader import SyntheticDataset, SyntheticScene
+from holoagent_tpu.ops.backproject import backproject
+from holoagent_tpu.utils.camera import Pinhole
+import jax.numpy as jnp
+
+
+def test_render_basic():
+    ds = SyntheticDataset(num_frames=4, hw=(60, 80))
+    assert len(ds) == 4
+    f = ds[0]
+    assert f.rgb.shape == (60, 80, 3) and f.depth.shape == (60, 80)
+    assert (f.depth > 0).mean() > 0.9  # mostly hits (indoor scene)
+    assert f.depth[f.depth > 0].max() < 12.0
+    inst, lab = ds.gt(0)
+    assert inst.shape == (60, 80)
+
+
+def test_backprojected_points_land_in_scene():
+    ds = SyntheticDataset(num_frames=4, hw=(60, 80))
+    sc = ds.scene
+    f = ds[1]
+    cam = Pinhole.from_matrix(f.k)
+    pts, cols, valid = backproject(
+        jnp.asarray(f.depth), jnp.asarray(f.rgb), cam, jnp.asarray(f.pose), 1e-3, 20.0
+    )
+    p = np.asarray(pts)[np.asarray(valid)]
+    w, h = sc.extent
+    assert (p[:, 0] > -0.5).all() and (p[:, 0] < w + 0.5).all()
+    assert (p[:, 1] > -0.5).all() and (p[:, 1] < h + 0.5).all()
+    assert (p[:, 2] > -0.2).all() and (p[:, 2] < sc.wall_height + 0.2).all()
+
+
+def test_gt_instances_visible_across_frames():
+    ds = SyntheticDataset(num_frames=8, hw=(60, 80))
+    seen = set()
+    for i in range(len(ds)):
+        inst, _ = ds.gt(i)
+        seen.update(np.unique(inst).tolist())
+    seen.discard(-1)
+    assert len(seen) >= 4  # most furniture instances observed over the orbit
