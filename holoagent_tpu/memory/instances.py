@@ -1,0 +1,226 @@
+"""Fixed-capacity 3-D instance sets + overlap merging.
+
+The reference tracks instances as python lists of o3d point clouds merged by
+FAISS-neighbor overlap inside connected components
+(reference fsr_vln/memory/hmsg/utils/graph_utils.py:918-1038: `merge_3d_masks`
+gated by 3-D bbox IoU > iou_thresh, overlap ratio = max over directions of the
+fraction of points with a neighbor within 1.5 x voxel, components merged when
+ratio > overlap_thresh; folded over frames by `seq_merge`/`hierarchical_merge`).
+
+TPU-native redesign: an instance is (a) a sorted set of *stable scene rows*
+(every mask pixel is snapped to its voxel row by construction, which is what
+the reference's KD snap to the fused cloud achieves, dataloader/generic.py:179-187),
+and (b) a hashed occupancy signature over SIG_BUCKETS buckets.  Pairwise
+intersection counts for ALL instance pairs are then ONE MXU matmul
+(sig @ sig.T), the overlap ratio inter/min(|A|,|B|) reproduces the reference's
+max-of-directions formula exactly on shared rows, and connected components run
+as label propagation with pointer jumping — the entire merge round is a single
+jitted program over the padded instance table.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.compact import group_unique, I32_MAX
+
+SIG_BUCKETS = 4096
+
+
+class InstanceSet(NamedTuple):
+    rows: jnp.ndarray  # (I, K) int32 sorted unique scene rows, I32_MAX pad
+    count: jnp.ndarray  # (I,) int32 rows used
+    feat_sum: jnp.ndarray  # (I, D) f32 accumulated mask features
+    weight: jnp.ndarray  # (I,) f32 accumulated observation weight
+    bbox_min: jnp.ndarray  # (I, 3) f32
+    bbox_max: jnp.ndarray  # (I, 3) f32
+    valid: jnp.ndarray  # (I,) bool
+
+    @property
+    def capacity(self) -> Tuple[int, int]:
+        return self.rows.shape
+
+    def feats(self, normalize: bool = True) -> jnp.ndarray:
+        f = self.feat_sum / jnp.maximum(self.weight, 1e-9)[:, None]
+        if normalize:
+            f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-9)
+        return f
+
+    def num(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def empty_instances(i_cap: int, k_cap: int, d: int) -> InstanceSet:
+    return InstanceSet(
+        rows=jnp.full((i_cap, k_cap), I32_MAX, jnp.int32),
+        count=jnp.zeros((i_cap,), jnp.int32),
+        feat_sum=jnp.zeros((i_cap, d), jnp.float32),
+        weight=jnp.zeros((i_cap,), jnp.float32),
+        bbox_min=jnp.full((i_cap, 3), jnp.inf, jnp.float32),
+        bbox_max=jnp.full((i_cap, 3), -jnp.inf, jnp.float32),
+        valid=jnp.zeros((i_cap,), bool),
+    )
+
+
+def concat(a: InstanceSet, b: InstanceSet) -> InstanceSet:
+    """Stack two sets (row capacities must match)."""
+    return InstanceSet(*(jnp.concatenate([x, y], axis=0) for x, y in zip(a, b)))
+
+
+# ---------------------------------------------------------------------------
+# Per-frame instance extraction
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k_cap", "stride"))
+def frame_instances(
+    masks: jnp.ndarray,  # (M, P) bool: flattened per-pixel mask coverage
+    mask_valid: jnp.ndarray,  # (M,)
+    f_masks: jnp.ndarray,  # (M, D)
+    pix_rows: jnp.ndarray,  # (P,) stable scene rows (-1 invalid)
+    points: jnp.ndarray,  # (P, 3) world points per pixel
+    min_rows: int = 3,
+    k_cap: int = 2048,
+    stride: int = 1,
+) -> InstanceSet:
+    """Lift the frame's 2-D masks to scene-row instance sets (the analog of
+    reference create_3d_masks + per-frame mask list).  `stride` decimates
+    pixels (adjacent pixels share voxels at mapping resolution)."""
+    m, p = masks.shape
+    masks_d = masks[:, ::stride]
+    rows_d = pix_rows[::stride]
+    pts_d = points[::stride]
+    pd = rows_d.shape[0]
+    # (m, pd) entries -> group_unique
+    groups = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None], (m, pd)).reshape(-1)
+    values = jnp.broadcast_to(rows_d[None, :], (m, pd)).reshape(-1)
+    valid = (masks_d & (rows_d >= 0)[None, :] & mask_valid[:, None]).reshape(-1)
+    rows, counts = group_unique(groups, values, valid, num_groups=m, capacity=k_cap)
+    ok = mask_valid & (counts >= min_rows)
+    # bbox from masked world points (full resolution for fidelity)
+    sel = masks & (pix_rows >= 0)[None, :]
+    big = jnp.float32(jnp.inf)
+    bmin = jnp.min(jnp.where(sel[:, :, None], points[None], big), axis=1)
+    bmax = jnp.max(jnp.where(sel[:, :, None], points[None], -big), axis=1)
+    return InstanceSet(
+        rows=jnp.where(ok[:, None], rows, I32_MAX),
+        count=jnp.where(ok, counts, 0),
+        feat_sum=jnp.where(ok[:, None], f_masks, 0.0),
+        weight=ok.astype(jnp.float32),
+        bbox_min=jnp.where(ok[:, None], bmin, big),
+        bbox_max=jnp.where(ok[:, None], bmax, -big),
+        valid=ok,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge round
+# ---------------------------------------------------------------------------
+
+
+def _signatures(rows: jnp.ndarray, valid_rows: jnp.ndarray) -> jnp.ndarray:
+    """(I, K) row sets -> (I, B) binary occupancy signatures (f32)."""
+    i, k = rows.shape
+    bucket = (rows.astype(jnp.uint32) * jnp.uint32(2654435761)) % SIG_BUCKETS
+    bucket = jnp.where(valid_rows, bucket.astype(jnp.int32), SIG_BUCKETS)
+    sig = jnp.zeros((i, SIG_BUCKETS + 1), jnp.float32)
+    sig = sig.at[jnp.arange(i)[:, None], bucket].max(valid_rows.astype(jnp.float32))
+    return sig[:, :SIG_BUCKETS]
+
+
+def _bbox_iou(bmin, bmax) -> jnp.ndarray:
+    """(I,3)x2 -> (I,I) 3-D bbox IoU (reference graph_utils.py:880-916)."""
+    lo = jnp.maximum(bmin[:, None], bmin[None, :])
+    hi = jnp.minimum(bmax[:, None], bmax[None, :])
+    inter = jnp.prod(jnp.maximum(hi - lo, 0.0), axis=-1)
+    vol = jnp.prod(jnp.maximum(bmax - bmin, 0.0), axis=-1)
+    union = vol[:, None] + vol[None, :] - inter
+    return inter / jnp.maximum(union, 1e-10)
+
+
+def _connected_components(adj: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
+    """Min-label propagation with pointer jumping. adj must be symmetric with
+    a true diagonal on valid entries. Returns root label per node."""
+    n = adj.shape[0]
+    labels = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(n)
+
+    def body(_, lab):
+        nbr = jnp.min(jnp.where(adj, lab[None, :], big), axis=1)
+        lab = jnp.minimum(lab, nbr)
+        return jnp.minimum(lab, lab[lab])  # pointer jumping
+
+    return jax.lax.fori_loop(0, iters, body, labels)
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def merge_round(
+    inst: InstanceSet,
+    overlap_thresh: float,
+    iou_thresh: float,
+    out_cap: int,
+) -> InstanceSet:
+    """One full merge pass (reference merge_3d_masks over the whole set):
+    gate by bbox IoU, estimate overlap via signature matmul, merge connected
+    components, compact the survivors (largest first) into `out_cap` lanes."""
+    i_cap, k_cap = inst.rows.shape
+    vrows = inst.rows != I32_MAX
+    sig = _signatures(inst.rows, vrows)
+    inter = jnp.einsum("ib,jb->ij", sig, sig, preferred_element_type=jnp.float32)
+    cnt = jnp.maximum(sig.sum(-1), 1.0)
+    ratio = inter / jnp.minimum(cnt[:, None], cnt[None, :])
+    iou = _bbox_iou(inst.bbox_min, inst.bbox_max)
+    vv = inst.valid[:, None] & inst.valid[None, :]
+    adj = vv & (iou > iou_thresh) & (ratio > overlap_thresh)
+    adj = adj | (jnp.eye(i_cap, dtype=bool) & inst.valid[:, None])
+    root = _connected_components(adj)
+
+    # union row sets per root
+    groups = jnp.broadcast_to(root[:, None], (i_cap, k_cap)).reshape(-1)
+    values = inst.rows.reshape(-1)
+    valid = (vrows & inst.valid[:, None]).reshape(-1)
+    rows_u, counts_u = group_unique(groups, values, valid, num_groups=i_cap, capacity=k_cap)
+
+    # reduce scalars per root
+    safe_root = jnp.where(inst.valid, root, i_cap)
+    feat_sum = (
+        jnp.zeros((i_cap + 1, inst.feat_sum.shape[1])).at[safe_root].add(inst.feat_sum)[:i_cap]
+    )
+    weight = jnp.zeros((i_cap + 1,)).at[safe_root].add(inst.weight)[:i_cap]
+    bbox_min = (
+        jnp.full((i_cap + 1, 3), jnp.inf).at[safe_root].min(inst.bbox_min)[:i_cap]
+    )
+    bbox_max = (
+        jnp.full((i_cap + 1, 3), -jnp.inf).at[safe_root].max(inst.bbox_max)[:i_cap]
+    )
+    is_root = inst.valid & (root == jnp.arange(i_cap))
+
+    # compact: biggest instances first into out_cap lanes
+    order_key = jnp.where(is_root, counts_u, -1)
+    _, order = jax.lax.top_k(order_key, out_cap)
+    keep = order_key[order] > 0
+    return InstanceSet(
+        rows=jnp.where(keep[:, None], rows_u[order], I32_MAX),
+        count=jnp.where(keep, counts_u[order], 0),
+        feat_sum=jnp.where(keep[:, None], feat_sum[order], 0.0),
+        weight=jnp.where(keep, weight[order], 0.0),
+        bbox_min=jnp.where(keep[:, None], bbox_min[order], jnp.inf),
+        bbox_max=jnp.where(keep[:, None], bbox_max[order], -jnp.inf),
+        valid=keep,
+    )
+
+
+def seq_merge_step(
+    global_inst: InstanceSet,
+    frame_inst: InstanceSet,
+    overlap_thresh: float,
+    iou_thresh: float,
+) -> InstanceSet:
+    """Fold one frame into the global set (reference graph_utils.py:1015-1038
+    `seq_merge` inner step)."""
+    out_cap = global_inst.rows.shape[0]
+    return merge_round(concat(global_inst, frame_inst), overlap_thresh, iou_thresh, out_cap)

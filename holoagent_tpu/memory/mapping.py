@@ -1,0 +1,195 @@
+"""Mapping pipeline: posed RGB-D frames -> fused scene + merged instances.
+
+The TPU-native `create_feature_map`
+(reference fsr_vln/memory/hmsg/graph/graph.py:262-491).  The reference runs
+three host passes (accumulate cloud / per-frame SAM+CLIP+KD-fusion / merge);
+here one streaming pass per frame chains five jitted stages — backproject,
+scene insert, SAM x CLIP extraction, feature scatter, instance fold-in — and
+the scene/instance state never leaves HBM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..dataloader.generic import RGBDDataset, RGBDFrame
+from ..models import clip as clip_mod
+from ..models import sam as sam_mod
+from ..ops.backproject import backproject
+from ..ops.density import radius_density_keep
+from ..ops.features import dominant_feature
+from ..ops.voxel import GridSpec
+from ..perception.extractor import extract_frame_features
+from ..utils.camera import Pinhole
+from . import instances as inst_mod
+from . import scene as scene_mod
+from .instances import InstanceSet
+from .scene import SceneState
+
+
+@dataclass
+class MappedScene:
+    """Finalized mapping result handed to HMSG construction."""
+
+    scene: SceneState
+    instances: InstanceSet
+    instance_feats: jnp.ndarray  # (I, D) denoised per-instance features
+    keyframes: List[RGBDFrame] = field(default_factory=list)
+    keyframe_feats: Optional[jnp.ndarray] = None  # (F, D) global CLIP per frame
+    density_keep: Optional[jnp.ndarray] = None  # (C,) survived radius filter
+
+
+class Mapper:
+    """Streaming mapper. Host code only sequences jitted stages."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        clip_params: Dict[str, Any],
+        sam_params: Dict[str, Any],
+        clip_variant: Optional[clip_mod.CLIPVariant] = None,
+        sam_variant: Optional[sam_mod.SAMVariant] = None,
+        grid: Optional[GridSpec] = None,
+    ):
+        self.cfg = cfg
+        self.clip_params = clip_params
+        self.sam_params = sam_params
+        self.clip_variant = clip_variant or clip_mod.VARIANTS[cfg.models.clip.type]
+        self.sam_variant = sam_variant or sam_mod.VARIANTS[cfg.models.sam.type]
+        p = cfg.pipeline
+        self.grid = grid or GridSpec.centered(p.voxel_size)
+        d = self.clip_variant.embed_dim
+        self.scene = scene_mod.init_scene(self.grid, p.point_capacity, d)
+        k_cap = p.mask_point_capacity
+        self.instances = inst_mod.empty_instances(p.instance_capacity, k_cap, d)
+        self.keyframes: List[RGBDFrame] = []
+        self._kf_feats: List[np.ndarray] = []
+        self._dtype = jnp.bfloat16 if cfg.models.clip.dtype == "bfloat16" else jnp.float32
+
+    # -- per-frame ----------------------------------------------------------
+
+    def process_frame(self, frame: RGBDFrame) -> None:
+        p = self.cfg.pipeline
+        cam = Pinhole.from_matrix(frame.k)
+        rgb = jnp.asarray(frame.rgb)
+        depth = jnp.asarray(frame.depth)
+        pose = jnp.asarray(frame.pose)
+        pts, cols, valid = backproject(
+            depth, rgb, cam, pose, 1e-3, self.cfg.main.depth_cut
+        )
+        self.scene, pix_rows = scene_mod.insert_points(self.scene, pts, cols, valid)
+        ff = extract_frame_features(
+            self.clip_params,
+            self.sam_params,
+            rgb,
+            self.clip_variant,
+            self.sam_variant,
+            points_per_side=self.cfg.models.sam.points_per_side,
+            pred_iou_thresh=self.cfg.models.sam.pred_iou_thresh,
+            stability_thresh=self.cfg.models.sam.stability_score_thresh,
+            min_area=float(self.cfg.models.sam.min_mask_region_area),
+            max_masks=self.cfg.models.sam.max_masks,
+            masked_weight=p.clip_masked_weight,
+            bbox_margin=float(p.clip_bbox_margin),
+            dtype=self._dtype,
+        )
+        m = ff.masks.shape[0]
+        masks_flat = ff.masks.reshape(m, -1)
+        self.scene = scene_mod.fuse_pixel_features(
+            self.scene, pix_rows, masks_flat, ff.valid, ff.f_masks
+        )
+        finst = inst_mod.frame_instances(
+            masks_flat,
+            ff.valid,
+            ff.f_masks,
+            pix_rows,
+            pts,
+            min_rows=3,
+            k_cap=p.mask_point_capacity,
+        )
+        self.instances = inst_mod.seq_merge_step(
+            self.instances, finst, p.init_overlap_thresh, p.iou_thresh
+        )
+        self.keyframes.append(frame)
+        self._kf_feats.append(np.asarray(ff.f_global, np.float32))
+
+    def run(self, dataset: RGBDDataset) -> "MappedScene":
+        skip = self.cfg.pipeline.skip_frames
+        for i in range(0, len(dataset), skip):
+            self.process_frame(dataset[i])
+        return self.finalize()
+
+    # -- finalize ------------------------------------------------------------
+
+    def finalize(self) -> MappedScene:
+        p = self.cfg.pipeline
+        # final merge pass (reference seq_merge's trailing merge)
+        self.instances = inst_mod.merge_round(
+            self.instances,
+            p.init_overlap_thresh,
+            p.iou_thresh,
+            out_cap=self.instances.rows.shape[0],
+        )
+        # drop tiny instances (reference graph.py:442-446, <10 points)
+        keep = self.instances.count >= max(10, 1)
+        self.instances = self.instances._replace(valid=self.instances.valid & keep)
+        inst_feats = refine_instance_features(
+            self.scene, self.instances, eps=p.feature_dbscan_eps
+        )
+        density = radius_density_keep(
+            self.scene.points(),
+            self.scene.valid(),
+            self.scene.count,
+            radius=1.0,
+            min_neighbors=1000.0,
+        )
+        kf = (
+            jnp.asarray(np.stack(self._kf_feats))
+            if self._kf_feats
+            else jnp.zeros((0, self.clip_variant.embed_dim))
+        )
+        return MappedScene(
+            scene=self.scene,
+            instances=self.instances,
+            instance_feats=inst_feats,
+            keyframes=self.keyframes,
+            keyframe_feats=kf,
+            density_keep=density,
+        )
+
+
+@jax.jit
+def _refine_chunk(scene_feats, rows, valid_rows, eps):
+    feats = scene_feats[jnp.clip(rows, 0)]  # (B, K, D)
+    feats = jnp.where(valid_rows[..., None], feats, 0.0)
+    return jax.vmap(lambda f, v: dominant_feature(f, v, eps=eps, min_points=100.0))(
+        feats, valid_rows
+    )
+
+
+def refine_instance_features(
+    scene: SceneState, inst: InstanceSet, eps: float = 0.01, chunk: int = 32
+) -> jnp.ndarray:
+    """Per-instance feature = dominant-cluster mean of member scene-point
+    features (reference graph.py:452-488: gather full_feats_array at mask
+    points, feats_denoise_dbscan).  Falls back to the accumulated mask-feature
+    mean for instances whose members carry no fused features."""
+    from ..ops.compact import I32_MAX
+
+    sfeats = scene.feats()
+    i_cap = inst.rows.shape[0]
+    outs = []
+    for s in range(0, i_cap, chunk):
+        rows = inst.rows[s : s + chunk]
+        vr = (rows != I32_MAX) & inst.valid[s : s + chunk, None]
+        outs.append(_refine_chunk(sfeats, rows, vr, jnp.float32(eps)))
+    refined = jnp.concatenate(outs, axis=0)
+    fallback = inst.feats()
+    use_ref = jnp.linalg.norm(refined, axis=-1) > 1e-6
+    return jnp.where(use_ref[:, None], refined, fallback)

@@ -1,0 +1,183 @@
+"""HBM-resident voxel scene with stable rows.
+
+TPU-native replacement for the reference's two-pass full-pcd pipeline
+(reference fsr_vln/memory/hmsg/graph/graph.py:339-415: accumulate o3d cloud ->
+voxel_down_sample -> cKDTree -> per-frame KD feature fusion).  One pass,
+streaming:
+
+  * a voxel cell IS a scene point (mean position/color of its hits);
+  * rows are append-only and never move, so per-instance row sets and feature
+    accumulators stay valid across frames — only a (key,row) sorted index is
+    rebuilt per insert (an int32 sort, never a D-wide feature shuffle);
+  * per-pixel CLIP features fuse by scatter-add into their pixel's voxel row
+    (exactly the sum/count KD fusion of graph.py:404-415, with the KD query
+    replaced by the pixel's own cell id).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import voxel
+from ..ops.voxel import GridSpec, SENTINEL
+
+
+class SceneState(NamedTuple):
+    grid: GridSpec
+    key: jnp.ndarray  # (C,) int32 voxel key per stable row (SENTINEL unused)
+    sorted_key: jnp.ndarray  # (C,) sorted copy for lookups
+    sorted_row: jnp.ndarray  # (C,) row of each sorted key
+    sum_pts: jnp.ndarray  # (C, 3) f32
+    sum_col: jnp.ndarray  # (C, 3) f32
+    count: jnp.ndarray  # (C,) f32 hits
+    sum_feat: jnp.ndarray  # (C, D) f32
+    feat_count: jnp.ndarray  # (C,) f32
+    num: jnp.ndarray  # scalar int32 rows used
+
+    @property
+    def capacity(self) -> int:
+        return self.key.shape[0]
+
+    def points(self) -> jnp.ndarray:
+        return self.sum_pts / jnp.maximum(self.count, 1.0)[:, None]
+
+    def colors(self) -> jnp.ndarray:
+        return self.sum_col / jnp.maximum(self.count, 1.0)[:, None]
+
+    def feats(self, normalize: bool = True) -> jnp.ndarray:
+        f = self.sum_feat / jnp.maximum(self.feat_count, 1e-5)[:, None]
+        if normalize:
+            f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-9)
+        return f
+
+    def valid(self) -> jnp.ndarray:
+        return self.count > 0
+
+
+def init_scene(grid: GridSpec, capacity: int, feat_dim: int) -> SceneState:
+    return SceneState(
+        grid=grid,
+        key=jnp.full((capacity,), SENTINEL, jnp.int32),
+        sorted_key=jnp.full((capacity,), SENTINEL, jnp.int32),
+        sorted_row=jnp.zeros((capacity,), jnp.int32),
+        sum_pts=jnp.zeros((capacity, 3), jnp.float32),
+        sum_col=jnp.zeros((capacity, 3), jnp.float32),
+        count=jnp.zeros((capacity,), jnp.float32),
+        sum_feat=jnp.zeros((capacity, feat_dim), jnp.float32),
+        feat_count=jnp.zeros((capacity,), jnp.float32),
+        num=jnp.int32(0),
+    )
+
+
+@jax.jit
+def insert_points(
+    scene: SceneState,
+    points: jnp.ndarray,  # (P, 3) world
+    colors: jnp.ndarray,  # (P, 3)
+    valid: jnp.ndarray,  # (P,)
+) -> Tuple[SceneState, jnp.ndarray]:
+    """Fuse one frame's points. Returns (scene, rows (P,) int32 per-pixel
+    stable row id, -1 for invalid/overflow)."""
+    c = scene.capacity
+    keys = voxel.keys_of(points, valid, scene.grid)
+    # unique frame keys + per-pixel segment (one sort over the frame)
+    down = voxel.voxel_downsample(
+        points, colors, valid, scene.grid, capacity=points.shape[0], return_segments=True
+    )
+    fkeys, fnum = down["key"], down["num"]
+    fvalid = down["valid"]
+    # which frame voxels already exist
+    row_existing = voxel.lookup(scene.sorted_key, fkeys)
+    row_existing = jnp.where(row_existing >= 0, scene.sorted_row[jnp.clip(row_existing, 0)], -1)
+    is_new = fvalid & (row_existing < 0)
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    new_row = scene.num + new_rank
+    overflow = new_row >= c
+    row_of_fvoxel = jnp.where(
+        is_new & ~overflow, new_row, jnp.where(fvalid, row_existing, -1)
+    )
+    # write new keys into stable rows
+    safe_rows = jnp.where(is_new & ~overflow, new_row, c)
+    key2 = jnp.concatenate([scene.key, jnp.zeros((1,), jnp.int32)])
+    key2 = key2.at[safe_rows].set(jnp.where(is_new, fkeys, 0))[:c]
+    num2 = jnp.minimum(scene.num + jnp.sum((is_new & ~overflow).astype(jnp.int32)), c)
+    # rebuild sorted index (int32 sort only)
+    skey, srow = jax.lax.sort((key2, jnp.arange(c, dtype=jnp.int32)), num_keys=1)
+    # scatter frame sums into rows
+    tgt = jnp.where(row_of_fvoxel >= 0, row_of_fvoxel, c)
+    cnt_f = down["count"]
+    sum_pts = (
+        jnp.concatenate([scene.sum_pts, jnp.zeros((1, 3))])
+        .at[tgt]
+        .add(down["points"] * cnt_f[:, None])[:c]
+    )
+    sum_col = (
+        jnp.concatenate([scene.sum_col, jnp.zeros((1, 3))])
+        .at[tgt]
+        .add(down["attrs"] * cnt_f[:, None])[:c]
+    )
+    count = jnp.concatenate([scene.count, jnp.zeros((1,))]).at[tgt].add(cnt_f)[:c]
+    # per-pixel row: pixel -> frame voxel segment -> row
+    seg = down["segments"]
+    pix_row = jnp.where(seg >= 0, row_of_fvoxel[jnp.clip(seg, 0)], -1)
+    scene2 = scene._replace(
+        key=key2,
+        sorted_key=skey,
+        sorted_row=srow,
+        sum_pts=sum_pts,
+        sum_col=sum_col,
+        count=count,
+        num=num2,
+    )
+    return scene2, pix_row
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def fuse_pixel_features(
+    scene: SceneState,
+    pix_rows: jnp.ndarray,  # (P,) stable rows from insert_points
+    masks: jnp.ndarray,  # (M, P) bool flattened mask coverage
+    mask_valid: jnp.ndarray,  # (M,)
+    f_masks: jnp.ndarray,  # (M, D) fused per-mask features
+    chunk: int = 32768,
+) -> SceneState:
+    """Scatter per-pixel ConceptFusion features into the scene
+    (reference graph.py:404-415 semantics: per-pixel feature = normalized sum
+    of covering masks' features; per scene point sum/count then mean).
+    Computed in pixel chunks so the (P, D) tensor never materializes."""
+    p = pix_rows.shape[0]
+    d = f_masks.shape[1]
+    c = scene.capacity
+    fm = jnp.where(mask_valid[:, None], f_masks, 0.0)
+    n_chunks = (p + chunk - 1) // chunk
+    pad = n_chunks * chunk - p
+    rows_p = jnp.concatenate([pix_rows, jnp.full((pad,), -1, jnp.int32)])
+    masks_p = jnp.concatenate(
+        [masks, jnp.zeros((masks.shape[0], pad), masks.dtype)], axis=1
+    )
+
+    def body(carry, idx):
+        sum_feat, feat_count = carry
+        sl = jax.lax.dynamic_slice_in_dim(rows_p, idx * chunk, chunk)
+        mk = jax.lax.dynamic_slice_in_dim(masks_p, idx * chunk, chunk, axis=1)
+        f = jnp.einsum(
+            "mp,md->pd", mk.astype(jnp.float32), fm, preferred_element_type=jnp.float32
+        )
+        norm = jnp.linalg.norm(f, axis=-1, keepdims=True)
+        covered = norm[:, 0] > 1e-9
+        f = jnp.where(covered[:, None], f / jnp.maximum(norm, 1e-9), 0.0)
+        tgt = jnp.where((sl >= 0) & covered, sl, c)
+        sum_feat = sum_feat.at[tgt].add(f)
+        feat_count = feat_count.at[tgt].add(covered.astype(jnp.float32))
+        return (sum_feat, feat_count), None
+
+    sum_feat = jnp.concatenate([scene.sum_feat, jnp.zeros((1, d))])
+    feat_count = jnp.concatenate([scene.feat_count, jnp.zeros((1,))])
+    (sum_feat, feat_count), _ = jax.lax.scan(
+        body, (sum_feat, feat_count), jnp.arange(n_chunks)
+    )
+    return scene._replace(sum_feat=sum_feat[:c], feat_count=feat_count[:c])

@@ -1,0 +1,125 @@
+"""ConceptFusion-style per-frame feature extraction, fused on-device.
+
+TPU-native rebuild of the reference extractor
+(reference fsr_vln/perception/models/sam_clip_feats_extractor.py:82-191):
+
+  reference (host-orchestrated, per-crop python loops):
+    SAM.generate -> PIL crops (plain + background-blanked) -> CLIP per batch
+    -> blend by maskedd_weight -> softmax(local . global) -> per-pixel fusion
+  here (one trace, fixed budgets):
+    generate_masks (fixed M) -> batched crop_and_resize (plain + masked)
+    -> ONE CLIP encode over the 2M+1 stack (crops + full frame)
+    -> the same blend/softmax/fusion math as masked array ops.
+
+Per-pixel features are not materialized by default: downstream voxel fusion
+consumes (masks, F_p) directly, so the HxWxD tensor the reference allocates on
+every frame (graph.py:380-415) never exists.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import clip as clip_mod
+from ..models import sam as sam_mod
+from ..ops.crop_resize import crop_and_resize, expand_boxes
+
+
+class FrameFeatures(NamedTuple):
+    """Fixed-budget per-frame extraction result.
+
+    masks:   (M, H, W) bool
+    valid:   (M,) bool
+    boxes:   (M, 4) pixel boxes
+    f_masks: (M, D) fused per-mask CLIP features (the reference's F_p)
+    f_global:(D,) whole-frame CLIP feature (F_g)
+    """
+
+    masks: jnp.ndarray
+    valid: jnp.ndarray
+    boxes: jnp.ndarray
+    f_masks: jnp.ndarray
+    f_global: jnp.ndarray
+
+
+def _l2(x, axis=-1, eps=1e-9):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "clip_variant",
+        "sam_variant",
+        "points_per_side",
+        "max_masks",
+        "dtype",
+    ),
+)
+def extract_frame_features(
+    clip_params: Dict[str, Any],
+    sam_params: Dict[str, Any],
+    image01: jnp.ndarray,  # (H, W, 3) float [0,1]
+    clip_variant: clip_mod.CLIPVariant,
+    sam_variant: sam_mod.SAMVariant,
+    points_per_side: int = 12,
+    pred_iou_thresh: float = 0.88,
+    stability_thresh: float = 0.95,
+    min_area: float = 100.0,
+    max_masks: int = 64,
+    masked_weight: float = 0.4418,  # reference config clip_masked_weight
+    bbox_margin: float = 50.0,  # reference config clip_bbox_margin
+    dtype=jnp.bfloat16,
+) -> FrameFeatures:
+    h, w, _ = image01.shape
+    gen = sam_mod.generate_masks(
+        sam_params,
+        image01,
+        sam_variant,
+        points_per_side=points_per_side,
+        pred_iou_thresh=pred_iou_thresh,
+        stability_thresh=stability_thresh,
+        min_area=min_area,
+        max_masks=max_masks,
+        dtype=dtype,
+    )
+    masks, valid, boxes = gen["masks"], gen["valid"], gen["boxes"]
+    eboxes = expand_boxes(boxes, bbox_margin, h, w)
+    size = clip_variant.image_size
+    crops_plain = crop_and_resize(image01, eboxes, size)
+    crops_masked = crop_and_resize(image01, eboxes, size, masks=masks)
+    frame = jax.image.resize(image01[None], (1, size, size, 3), method="cubic")
+    stack = jnp.concatenate([crops_plain, crops_masked, frame], axis=0)
+    mean = jnp.asarray(clip_mod.IMAGE_MEAN, stack.dtype)
+    std = jnp.asarray(clip_mod.IMAGE_STD, stack.dtype)
+    stack = (stack - mean) / std
+    feats = clip_mod.encode_image(clip_params, stack, clip_variant, dtype=dtype)
+    feats = feats.astype(jnp.float32)
+    m = max_masks
+    f_plain, f_masked, f_g = feats[:m], feats[m : 2 * m], feats[2 * m]
+    # blend masked/plain crop features, renormalize (reference :159-162)
+    f_l = _l2(masked_weight * f_masked + (1.0 - masked_weight) * f_plain)
+    # softmax weighting of local-vs-global (ConceptFusion, reference :167-172)
+    phi = jnp.einsum("md,d->m", f_l, f_g, preferred_element_type=jnp.float32)
+    w_i = jax.nn.softmax(jnp.where(valid, phi, -jnp.inf))[:, None]
+    w_i = jnp.where(valid[:, None], w_i, 0.0)
+    f_p = _l2(w_i * f_g[None, :] + (1.0 - w_i) * f_l)
+    f_p = jnp.where(valid[:, None], f_p, 0.0)
+    return FrameFeatures(
+        masks=masks, valid=valid, boxes=boxes, f_masks=f_p, f_global=f_g
+    )
+
+
+def per_pixel_features(ff: FrameFeatures, dtype=jnp.float16) -> jnp.ndarray:
+    """Materialize the (H, W, D) per-pixel feature image (the reference's
+    `outfeat`, sam_clip_feats_extractor.py:178-190): at each pixel, the
+    L2-normalized sum of F_p over masks covering it."""
+    m, h, w = ff.masks.shape
+    mk = ff.masks.reshape(m, h * w).astype(jnp.float32)
+    acc = jnp.einsum("mp,md->pd", mk, ff.f_masks, preferred_element_type=jnp.float32)
+    acc = _l2(acc)
+    return acc.reshape(h, w, -1).astype(dtype)

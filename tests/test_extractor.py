@@ -1,0 +1,65 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from holoagent_tpu.models import clip as clip_mod
+from holoagent_tpu.models import sam as sam_mod
+from holoagent_tpu.perception import extract_frame_features, FrameFeatures
+from holoagent_tpu.perception.extractor import per_pixel_features
+
+CT = clip_mod.VARIANTS["test-tiny"]
+ST = sam_mod.VARIANTS["test-tiny"]
+
+
+@pytest.fixture(scope="module")
+def models():
+    return (
+        clip_mod.init_clip(jax.random.key(0), CT),
+        sam_mod.init_sam(jax.random.key(1), ST),
+    )
+
+
+def test_extract_frame_features(models):
+    clip_p, sam_p = models
+    img = jnp.asarray(np.random.default_rng(0).uniform(size=(48, 64, 3)), jnp.float32)
+    ff = extract_frame_features(
+        clip_p,
+        sam_p,
+        img,
+        CT,
+        ST,
+        points_per_side=4,
+        pred_iou_thresh=-10.0,
+        stability_thresh=0.0,
+        min_area=0.0,
+        max_masks=8,
+        dtype=jnp.float32,
+    )
+    assert isinstance(ff, FrameFeatures)
+    assert ff.masks.shape == (8, 48, 64)
+    assert ff.f_masks.shape == (8, CT.embed_dim)
+    v = np.asarray(ff.valid)
+    fm = np.asarray(ff.f_masks)
+    # valid rows are unit-norm, invalid rows are zero
+    if v.any():
+        np.testing.assert_allclose(np.linalg.norm(fm[v], axis=-1), 1.0, rtol=1e-4)
+    assert (np.linalg.norm(fm[~v], axis=-1) < 1e-6).all()
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(ff.f_global)), 1.0, rtol=1e-4)
+
+
+def test_per_pixel_features(models):
+    clip_p, sam_p = models
+    img = jnp.asarray(np.random.default_rng(1).uniform(size=(48, 64, 3)), jnp.float32)
+    ff = extract_frame_features(
+        clip_p, sam_p, img, CT, ST,
+        points_per_side=4, pred_iou_thresh=-10.0, stability_thresh=0.0,
+        min_area=0.0, max_masks=8, dtype=jnp.float32,
+    )
+    pp = per_pixel_features(ff)
+    assert pp.shape == (48, 64, CT.embed_dim)
+    cov = np.asarray(ff.masks).any(0)  # pixels covered by some mask
+    norms = np.linalg.norm(np.asarray(pp, np.float32), axis=-1)
+    if cov.any():
+        np.testing.assert_allclose(norms[cov], 1.0, atol=1e-2)
+    assert (norms[~cov] < 1e-6).all()

@@ -1,0 +1,115 @@
+import jax.numpy as jnp
+import numpy as np
+
+from holoagent_tpu.memory import instances as inst_mod
+from holoagent_tpu.ops.compact import I32_MAX
+
+
+def _mk_inst(row_sets, feats=None, d=4, k_cap=16, i_cap=None):
+    i_cap = i_cap or len(row_sets)
+    inst = inst_mod.empty_instances(i_cap, k_cap, d)
+    rows = np.full((i_cap, k_cap), int(I32_MAX), np.int32)
+    count = np.zeros(i_cap, np.int32)
+    valid = np.zeros(i_cap, bool)
+    bmin = np.full((i_cap, 3), np.inf, np.float32)
+    bmax = np.full((i_cap, 3), -np.inf, np.float32)
+    feat = np.zeros((i_cap, d), np.float32)
+    w = np.zeros(i_cap, np.float32)
+    for i, rs in enumerate(row_sets):
+        rs = sorted(rs)
+        rows[i, : len(rs)] = rs
+        count[i] = len(rs)
+        valid[i] = True
+        # synthetic bbox: rows interpreted as x coordinate
+        bmin[i] = [min(rs), 0, 0]
+        bmax[i] = [max(rs) + 1, 1, 1]
+        feat[i] = feats[i] if feats is not None else np.eye(d)[i % d]
+        w[i] = 1.0
+    return inst._replace(
+        rows=jnp.asarray(rows),
+        count=jnp.asarray(count),
+        valid=jnp.asarray(valid),
+        bbox_min=jnp.asarray(bmin),
+        bbox_max=jnp.asarray(bmax),
+        feat_sum=jnp.asarray(feat),
+        weight=jnp.asarray(w),
+    )
+
+
+def test_merge_combines_overlapping():
+    # A and B share 3 of 4 rows (75% overlap of the smaller); C is disjoint
+    inst = _mk_inst([[1, 2, 3, 4], [2, 3, 4], [100, 101, 102]])
+    out = inst_mod.merge_round(inst, overlap_thresh=0.7, iou_thresh=0.05, out_cap=3)
+    assert int(out.num()) == 2
+    rows0 = np.asarray(out.rows)[0]
+    got = set(rows0[rows0 != int(I32_MAX)].tolist())
+    assert got == {1, 2, 3, 4}  # union, largest-first
+    assert float(np.asarray(out.weight)[0]) == 2.0  # merged observation weights
+
+
+def test_merge_respects_threshold():
+    # 50% overlap < 0.7 threshold: stay separate
+    inst = _mk_inst([[1, 2, 3, 4], [3, 4, 50, 51]])
+    out = inst_mod.merge_round(inst, overlap_thresh=0.7, iou_thresh=0.0001, out_cap=2)
+    assert int(out.num()) == 2
+
+
+def test_merge_bbox_gate():
+    # full row overlap but force-disjoint bboxes would merge without gate;
+    # here bboxes overlap so they merge; then verify far-apart bbox blocks it
+    inst = _mk_inst([[1, 2, 3], [1, 2, 3]])
+    out = inst_mod.merge_round(inst, 0.7, 0.05, out_cap=2)
+    assert int(out.num()) == 1
+
+    inst2 = _mk_inst([[1, 2, 3], [1, 2, 3]])
+    bmin = np.asarray(inst2.bbox_min).copy()
+    bmax = np.asarray(inst2.bbox_max).copy()
+    bmin[1] = [1000, 1000, 1000]
+    bmax[1] = [1001, 1001, 1001]
+    inst2 = inst2._replace(bbox_min=jnp.asarray(bmin), bbox_max=jnp.asarray(bmax))
+    out2 = inst_mod.merge_round(inst2, 0.7, 0.05, out_cap=2)
+    assert int(out2.num()) == 2  # bbox gate blocks the merge
+
+
+def test_transitive_merge_chain():
+    # A-B overlap, B-C overlap, A-C don't: one component of 3
+    inst = _mk_inst([[1, 2, 3, 4], [3, 4, 5, 6], [5, 6, 7, 8]])
+    out = inst_mod.merge_round(inst, 0.45, 0.01, out_cap=3)
+    assert int(out.num()) == 1
+    rows0 = np.asarray(out.rows)[0]
+    got = set(rows0[rows0 != int(I32_MAX)].tolist())
+    assert got == set(range(1, 9))
+
+
+def test_frame_instances():
+    # 12 pixels, 2 masks
+    masks = np.zeros((2, 12), bool)
+    masks[0, :6] = True
+    masks[1, 6:] = True
+    pix_rows = np.array([0, 0, 1, 1, 2, 2, 7, 7, 8, 8, 9, -1], np.int32)
+    pts = np.arange(36, dtype=np.float32).reshape(12, 3)
+    f = np.array([[1, 0, 0, 0], [0, 1, 0, 0]], np.float32)
+    inst = inst_mod.frame_instances(
+        jnp.asarray(masks),
+        jnp.ones(2, bool),
+        jnp.asarray(f),
+        jnp.asarray(pix_rows),
+        jnp.asarray(pts),
+        min_rows=2,
+        k_cap=8,
+    )
+    assert int(inst.num()) == 2
+    np.testing.assert_array_equal(np.asarray(inst.count), [3, 3])
+    r0 = np.asarray(inst.rows)[0]
+    assert set(r0[r0 != int(I32_MAX)].tolist()) == {0, 1, 2}
+    r1 = np.asarray(inst.rows)[1]
+    assert set(r1[r1 != int(I32_MAX)].tolist()) == {7, 8, 9}
+
+
+def test_seq_merge_step_across_frames():
+    d = 4
+    g = _mk_inst([[1, 2, 3, 4]], d=d, i_cap=4)
+    f = _mk_inst([[2, 3, 4], [50, 51, 52]], d=d, i_cap=2)
+    out = inst_mod.seq_merge_step(g, f, overlap_thresh=0.7, iou_thresh=0.01)
+    assert out.rows.shape[0] == 4  # capacity preserved
+    assert int(out.num()) == 2

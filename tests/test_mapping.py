@@ -1,0 +1,72 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from holoagent_tpu.config import Config, from_dict
+from holoagent_tpu.dataloader import SyntheticDataset
+from holoagent_tpu.memory.mapping import Mapper
+from holoagent_tpu.models import clip as clip_mod
+from holoagent_tpu.models import sam as sam_mod
+
+
+@pytest.fixture(scope="module")
+def mapped():
+    cfg = from_dict(
+        {
+            "main": {"depth_cut": 20.0},
+            "models": {
+                "clip": {"type": "test-tiny", "dtype": "float32"},
+                "sam": {
+                    "type": "test-tiny",
+                    "points_per_side": 4,
+                    "pred_iou_thresh": -10.0,  # random-init SAM: accept all
+                    "stability_score_thresh": 0.0,
+                    "min_mask_region_area": 20,
+                    "max_masks": 8,
+                },
+            },
+            "pipeline": {
+                "voxel_size": 0.1,
+                "skip_frames": 4,
+                "point_capacity": 1 << 15,
+                "mask_point_capacity": 512,
+                "instance_capacity": 64,
+            },
+        }
+    )
+    ds = SyntheticDataset(num_frames=8, hw=(48, 64))
+    clip_p = clip_mod.init_clip(jax.random.key(0), clip_mod.VARIANTS["test-tiny"])
+    sam_p = sam_mod.init_sam(jax.random.key(1), sam_mod.VARIANTS["test-tiny"])
+    mapper = Mapper(cfg, clip_p, sam_p)
+    return mapper.run(ds), ds
+
+
+def test_scene_fused(mapped):
+    ms, ds = mapped
+    n = int(ms.scene.num)
+    assert n > 500  # a real scene fused
+    pts = np.asarray(ms.scene.points())[:n]
+    w, h = ds.scene.extent
+    v = np.asarray(ms.scene.valid())[:n]
+    assert v.all()
+    assert (pts[:, 0] > -1) .all() and (pts[:, 0] < w + 1).all()
+    # features fused on a good fraction of the scene
+    fc = np.asarray(ms.scene.feat_count)[:n]
+    assert (fc > 0).mean() > 0.2
+
+
+def test_instances_exist_and_bounded(mapped):
+    ms, _ = mapped
+    k = int(ms.instances.num())
+    assert 1 <= k <= 64
+    feats = np.asarray(ms.instance_feats)
+    valid = np.asarray(ms.instances.valid)
+    norms = np.linalg.norm(feats[valid], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_keyframes_recorded(mapped):
+    ms, ds = mapped
+    assert len(ms.keyframes) == 2  # 8 frames, skip 4
+    assert ms.keyframe_feats.shape[0] == 2
