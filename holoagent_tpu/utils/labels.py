@@ -1,0 +1,98 @@
+"""Label vocabularies + cached CLIP text features.
+
+Capability parity with the reference's label_feats module
+(reference fsr_vln/memory/hmsg/utils/label_feats.py:11-126: per-vocabulary
+CLIP text-feature .npy caches) and its constants
+(reference fsr_vln/memory/hmsg/utils/constants.py — the ScanNet-20 benchmark
+labels and the room-type list used for room naming).  Large vocabularies
+(ScanNet-200, COCO-Stuff, Matterport) load from CSV/JSON files supplied by the
+user, same formats the reference ships.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# ScanNet benchmark 20-class vocabulary (public benchmark labels) + background,
+# the reference's SCANNET_LABELS_20 (constants.py:9-31)
+SCANNET_LABELS_20: Tuple[str, ...] = (
+    "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
+    "window", "bookshelf", "picture", "counter", "desk", "curtain",
+    "refrigerator", "shower curtain", "toilet", "sink", "bathtub",
+    "furniture", "background",
+)
+
+# room-type vocabulary used for room naming (cf. DEFAULT_ROOM_TYPES usage at
+# reference graph.py:2146-2187 / room.py:237-307)
+DEFAULT_ROOM_TYPES: Tuple[str, ...] = (
+    "living room", "bedroom", "kitchen", "bathroom", "dining room", "office",
+    "hallway", "closet", "laundry room", "garage", "balcony", "meeting room",
+    "lobby", "corridor", "storage room", "stairwell",
+)
+
+_BUILTIN: Dict[str, Tuple[str, ...]] = {
+    "SCANNET20": SCANNET_LABELS_20,
+    "ROOM_TYPES": DEFAULT_ROOM_TYPES,
+}
+
+
+def load_vocabulary(
+    name: str, labels_dir: Optional[str | Path] = None
+) -> Tuple[str, ...]:
+    """Resolve a vocabulary by name: built-ins first, else `<labels_dir>/
+    <name>.txt|.json|.csv` (one label per line / json list / csv first col)."""
+    if name.upper() in _BUILTIN:
+        return _BUILTIN[name.upper()]
+    if labels_dir is None:
+        raise KeyError(
+            f"unknown vocabulary {name!r}; built-ins: {sorted(_BUILTIN)}; "
+            "pass labels_dir for file-based vocabularies"
+        )
+    base = Path(labels_dir)
+    for ext in (".txt", ".json", ".csv"):
+        p = base / f"{name}{ext}"
+        if p.exists():
+            if ext == ".json":
+                return tuple(json.loads(p.read_text()))
+            if ext == ".csv":
+                return tuple(
+                    line.split(",")[0].strip()
+                    for line in p.read_text().splitlines()[1:]
+                    if line.strip()
+                )
+            return tuple(l.strip() for l in p.read_text().splitlines() if l.strip())
+    raise FileNotFoundError(f"no vocabulary file for {name!r} under {base}")
+
+
+def get_label_feats(
+    clip_params,
+    tokenizer,
+    variant,
+    vocab_name: str,
+    cache_dir: Optional[str | Path] = None,
+    labels_dir: Optional[str | Path] = None,
+) -> Tuple[np.ndarray, Tuple[str, ...]]:
+    """(text_feats (C, D) float32 L2-normalized, classes) with .npy caching
+    (reference label_feats.py:17-34 cache layout: `<cache>/<vocab>_<model>.npy`)."""
+    from ..models.clip import text_features_multi_template
+
+    classes = load_vocabulary(vocab_name, labels_dir)
+    cache_file = None
+    if cache_dir is not None:
+        cache_file = Path(cache_dir) / f"{vocab_name}_{variant.name}.npy"
+        if cache_file.exists():
+            feats = np.load(cache_file)
+            if feats.shape == (len(classes), variant.embed_dim):
+                return feats, classes
+    feats = np.asarray(
+        text_features_multi_template(clip_params, tokenizer, list(classes), variant),
+        np.float32,
+    )
+    if cache_file is not None:
+        cache_file.parent.mkdir(parents=True, exist_ok=True)
+        np.save(cache_file, feats)
+    return feats, classes

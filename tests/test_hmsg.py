@@ -1,0 +1,119 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from holoagent_tpu.config import from_dict
+from holoagent_tpu.dataloader import SyntheticDataset
+from holoagent_tpu.memory.hmsg import HMSGraph, detect_floor_boundaries, check_object_in_view
+from holoagent_tpu.memory.mapping import Mapper
+from holoagent_tpu.models import clip as clip_mod
+from holoagent_tpu.models import sam as sam_mod
+from holoagent_tpu.models.tokenizer import SimpleTokenizer
+from holoagent_tpu.utils.labels import get_label_feats, DEFAULT_ROOM_TYPES
+
+
+@pytest.fixture(scope="module")
+def built():
+    cfg = from_dict(
+        {
+            "models": {
+                "clip": {"type": "test-tiny", "dtype": "float32"},
+                "sam": {
+                    "type": "test-tiny",
+                    "points_per_side": 4,
+                    "pred_iou_thresh": -10.0,
+                    "stability_score_thresh": 0.0,
+                    "min_mask_region_area": 20,
+                    "max_masks": 8,
+                },
+            },
+            "pipeline": {
+                "voxel_size": 0.08,
+                "skip_frames": 2,
+                "grid_resolution": 0.08,
+                "point_capacity": 1 << 15,
+                "mask_point_capacity": 512,
+                "instance_capacity": 64,
+            },
+        }
+    )
+    ds = SyntheticDataset(num_frames=12, hw=(48, 64))
+    clip_p = clip_mod.init_clip(jax.random.key(0), clip_mod.VARIANTS["test-tiny"])
+    sam_p = sam_mod.init_sam(jax.random.key(1), sam_mod.VARIANTS["test-tiny"])
+    mapper = Mapper(cfg, clip_p, sam_p)
+    mapped = mapper.run(ds)
+    tok = SimpleTokenizer()
+    variant = clip_mod.VARIANTS["test-tiny"]
+    lf, classes = get_label_feats(clip_p, tok, variant, "SCANNET20")
+    graph = HMSGraph.build(mapped, cfg, lf, classes)
+    rt, _ = get_label_feats(clip_p, tok, variant, "ROOM_TYPES")
+    graph.generate_room_names(rt, DEFAULT_ROOM_TYPES)
+    return graph, ds, mapped
+
+
+def test_floor_boundaries_single_story(rng):
+    z = np.concatenate([np.zeros(4000), rng.uniform(0, 2.5, 2000), np.full(800, 2.5)])
+    z += rng.normal(0, 0.01, len(z))
+    floors = detect_floor_boundaries(z)
+    assert 1 <= len(floors) <= 2
+    assert floors[0][0] < 0.2
+
+
+def test_floor_boundaries_two_story(rng):
+    # two slabs at z=0 and z=3 with ceilings
+    def story(z0):
+        return np.concatenate(
+            [np.full(4000, z0), rng.uniform(z0, z0 + 2.4, 1500)]
+        )
+    z = np.concatenate([story(0.0), story(3.0)]) + rng.normal(0, 0.01, 11000)
+    floors = detect_floor_boundaries(z)
+    assert len(floors) >= 2
+    # some boundary near z=3 separates the stories
+    assert any(2.0 < b[0] < 3.2 for b in floors[1:])
+
+
+def test_hmsg_structure(built):
+    g, ds, mapped = built
+    assert len(g.floors) >= 1
+    assert len(g.rooms) >= 1
+    assert len(g.views) >= 1
+    # the two-room synthetic scene should yield >= 2 rooms on floor 0
+    assert len(g.floors[0].rooms) >= 2
+    for room in g.rooms:
+        assert room.pcd_points is not None and len(room.pcd_points) > 0
+        assert room.name is not None
+    for obj in g.objects:
+        assert obj.room_id in {r.room_id for r in g.rooms}
+        np.testing.assert_allclose(np.linalg.norm(obj.embedding), 1.0, atol=1e-3)
+    # graph topology: root 0 connects floors
+    assert g.graph.has_node(0)
+
+
+def test_hmsg_save_load_roundtrip(built, tmp_path):
+    g, _, _ = built
+    g.save(tmp_path)
+    g2 = HMSGraph.load(tmp_path)
+    assert len(g2.floors) == len(g.floors)
+    assert len(g2.rooms) == len(g.rooms)
+    assert len(g2.objects) == len(g.objects)
+    assert len(g2.views) == len(g.views)
+    r1 = sorted(g.rooms, key=lambda r: r.room_id)[0]
+    r2 = sorted(g2.rooms, key=lambda r: r.room_id)[0]
+    assert r1.name == r2.name
+    np.testing.assert_allclose(r1.pcd_points, r2.pcd_points, atol=1e-9)
+    if g.objects:
+        o1 = sorted(g.objects, key=lambda o: o.object_id)[0]
+        o2 = sorted(g2.objects, key=lambda o: o.object_id)[0]
+        np.testing.assert_allclose(o1.embedding, o2.embedding, atol=1e-6)
+        assert o1.view_ids == o2.view_ids
+
+
+def test_check_object_in_view():
+    k = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+    pts = np.array([[0.0, 0.0, 2.0], [0.1, 0.1, 2.0]])
+    vis, d = check_object_in_view(64, 48, k, np.eye(4), pts)
+    assert vis and abs(d - 2.0) < 1e-6
+    behind = np.array([[0.0, 0.0, -2.0]])
+    vis2, _ = check_object_in_view(64, 48, k, np.eye(4), behind)
+    assert not vis2
