@@ -1,0 +1,132 @@
+"""Hierarchical query parsing: "object X in room Y on floor Z" -> (floor,
+room, object).
+
+The reference parses with an Azure GPT call
+(reference fsr_vln/memory/hmsg/utils/llm_utils.py:383-466
+`parse_hier_query_use_prompt_insentence_parse_icra`; prompt spec selected by
+cfg.main.long_query.spec).  Here parsing is a pluggable chain: an LLM backend
+when one is configured (same prompt contract, served by the on-slice LLM or
+any OpenAI-compatible endpoint), with a deterministic rule parser as both the
+hermetic default and the fallback when the LLM output fails to parse."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence, Tuple
+
+
+@dataclass
+class ParsedQuery:
+    floor: Optional[str]
+    room: Optional[str]
+    object: Optional[str]
+
+    def astuple(self) -> Tuple[Optional[str], Optional[str], Optional[str]]:
+        return (self.floor, self.room, self.object)
+
+
+_FLOOR_PAT = re.compile(
+    r"\s*(?:on|at)\s+(?:the\s+)?((?:floor|level|story)\s*\w+|\w+\s+(?:floor|level))\s*$",
+    re.IGNORECASE,
+)
+_ROOM_PAT = re.compile(
+    r"\s*(?:in|inside|at)\s+(?:the\s+)?(?:region\s+)?([\w\s]+?)\s*$", re.IGNORECASE
+)
+_ORDINALS = {
+    "first": "1", "second": "2", "third": "3", "fourth": "4", "fifth": "5",
+    "ground": "1", "1st": "1", "2nd": "2", "3rd": "3", "4th": "4", "5th": "5",
+}
+
+
+class RuleParser:
+    """Deterministic parser for the benchmark query shapes
+    ("mirror in region bathroom on floor 0", "find the sofa in the living
+    room", bare object queries)."""
+
+    def __init__(self, spec: Sequence[str] = ("obj", "room", "floor")):
+        self.spec = set(spec)
+
+    def __call__(self, instruction: str) -> ParsedQuery:
+        text = instruction.strip().rstrip(".?!")
+        # strip leading imperatives
+        text = re.sub(
+            r"^(?:please\s+)?(?:find|go to|bring me|navigate to|take me to|locate|look for)\s+(?:the\s+|a\s+|an\s+)?",
+            "",
+            text,
+            flags=re.IGNORECASE,
+        )
+        floor = room = None
+        if "floor" in self.spec:
+            m = _FLOOR_PAT.search(text)
+            if m:
+                floor = m.group(1).strip()
+                text = text[: m.start()].strip()
+                # normalize "second floor" -> "floor 2" digits for query_floor
+                words = floor.lower().split()
+                digits = [w for w in words if w.isdigit() or w in _ORDINALS]
+                if digits:
+                    d = digits[0]
+                    floor = _ORDINALS.get(d, d)
+        if "room" in self.spec:
+            m = _ROOM_PAT.search(text)
+            if m and m.group(1).strip():
+                room = m.group(1).strip()
+                text = text[: m.start()].strip()
+        obj = text.strip() or None
+        if "room" not in self.spec:
+            room = None
+        if "floor" not in self.spec:
+            floor = None
+        return ParsedQuery(floor=floor, room=room, object=obj)
+
+
+class LLMParser:
+    """Prompted parser using any text backend (reference prompt contract).
+    `backend(system_prompt, user_prompt) -> str` returns e.g.
+    "[Floor 1, Living Room, sofa]"."""
+
+    def __init__(
+        self,
+        backend: Callable[[str, str], str],
+        spec: Sequence[str] = ("obj", "room", "floor"),
+        fallback: Optional[RuleParser] = None,
+    ):
+        self.backend = backend
+        self.spec = set(spec)
+        self.fallback = fallback or RuleParser(spec)
+
+    def __call__(self, instruction: str) -> ParsedQuery:
+        if self.spec == {"obj"}:
+            return ParsedQuery(None, None, instruction.strip())
+        if self.spec == {"obj", "room", "floor"}:
+            system = (
+                "You are a query parser. Your task is to parse a sentence into "
+                "floor, room, and object. If only room or object can be parsed, "
+                "leave the other field empty. All descriptions except object "
+                "must be in English."
+            )
+            example = "[Floor 1, Living Room, sofa]"
+            order = ("floor", "room", "obj")
+        elif self.spec == {"obj", "room"}:
+            system = "You are a query parser. Your task is to parse a sentence into room and object."
+            example = "[Living Room, Sofa]"
+            order = ("room", "obj")
+        else:  # obj + floor
+            system = "You are a query parser. Your task is to parse a sentence into floor and object."
+            example = "[Floor 1, Sofa]"
+            order = ("floor", "obj")
+        prompt = (
+            f"Please parse the following sentence: {instruction}"
+            f"Output format requirement: a list separated by commas, in the "
+            f"order of {', '.join(order)}. For example: {example}"
+        )
+        try:
+            raw = self.backend(system, prompt).strip().rstrip("]").lstrip("[")
+            parts = [x.strip() for x in raw.split(",")]
+            vals = dict(zip(order, parts + [None] * len(order)))
+            return ParsedQuery(
+                floor=vals.get("floor"), room=vals.get("room"), object=vals.get("obj")
+            )
+        except Exception:
+            return self.fallback(instruction)

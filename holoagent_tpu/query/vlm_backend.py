@@ -1,0 +1,101 @@
+"""Slow-path VLM backends.
+
+The reference's slow path makes three kinds of VLM calls over HTTPS to Azure
+GPT-4V with images round-tripped through Aliyun OSS
+(reference fsr_vln/memory/hmsg/graph/graph.py:2292-2482): object-in-image
+verification, gallery frame choice, and per-image yes/no + scoring.  Here the
+calls are a backend protocol; images stay in process (and in HBM for on-slice
+backends — the OSS upload hop is eliminated by design, SURVEY.md §2.4):
+
+  * ClipVLM — hermetic on-device backend answering all three calls with CLIP
+    similarities (verification by image-text score threshold, frame choice by
+    argmax); always available, no generative model needed.
+  * generative on-slice VLM (holoagent_tpu.models.vlm) plugs in through the
+    same protocol via `GenerativeVLM`.
+  * NullVLM — accept-everything stub for latency testing of the fast path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Protocol, Sequence, Tuple
+
+import numpy as np
+
+
+class VLMBackend(Protocol):
+    def detect_object(self, image: np.ndarray, label: str) -> bool:
+        """Is `label` visible in `image`? (reference detect_object_in_image)"""
+        ...
+
+    def choose_frame(self, images: Sequence[np.ndarray], instruction: str) -> Optional[int]:
+        """Pick the gallery frame best matching the instruction
+        (reference vlm_choose, graph.py:2292-2348)."""
+        ...
+
+    def detect_and_select_best(
+        self, images: Sequence[np.ndarray], label: str
+    ) -> Tuple[List[bool], Optional[int]]:
+        """Per-image yes/no + best index (reference detect_and_select_best_gpt,
+        graph.py:2350-2438)."""
+        ...
+
+
+class NullVLM:
+    """Always confirms the fast-path result (slow path short-circuits)."""
+
+    def detect_object(self, image, label) -> bool:
+        return True
+
+    def choose_frame(self, images, instruction):
+        return 0 if len(images) else None
+
+    def detect_and_select_best(self, images, label):
+        return [True] * len(images), 0 if len(images) else None
+
+
+class ClipVLM:
+    """CLIP-similarity backend: zero-shot verification and ranking on-device."""
+
+    def __init__(self, clip_params, tokenizer, variant, detect_threshold: float = 0.2):
+        import jax.numpy as jnp
+
+        from ..models import clip as clip_mod
+
+        self._jnp = jnp
+        self._clip = clip_mod
+        self.params = clip_params
+        self.tok = tokenizer
+        self.variant = variant
+        self.detect_threshold = detect_threshold
+
+    def _img_feats(self, images) -> np.ndarray:
+        jnp = self._jnp
+        arr = jnp.asarray(np.stack([np.asarray(im, np.float32) for im in images]))
+        pre = self._clip.preprocess(arr, size=self.variant.image_size)
+        f = self._clip.encode_image(self.params, pre, self.variant, dtype=jnp.float32)
+        return np.asarray(f, np.float32)
+
+    def _txt_feats(self, texts) -> np.ndarray:
+        return np.asarray(
+            self._clip.text_features_multi_template(
+                self.params, self.tok, list(texts), self.variant
+            ),
+            np.float32,
+        )
+
+    def detect_object(self, image, label) -> bool:
+        s = float(self._img_feats([image])[0] @ self._txt_feats([label])[0])
+        return s >= self.detect_threshold
+
+    def choose_frame(self, images, instruction):
+        if not len(images):
+            return None
+        sims = self._img_feats(images) @ self._txt_feats([instruction])[0]
+        return int(np.argmax(sims))
+
+    def detect_and_select_best(self, images, label):
+        if not len(images):
+            return [], None
+        sims = self._img_feats(images) @ self._txt_feats([label])[0]
+        checks = [bool(s >= self.detect_threshold) for s in sims]
+        return checks, int(np.argmax(sims))

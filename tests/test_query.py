@@ -1,0 +1,183 @@
+import jax
+import numpy as np
+import pytest
+
+from holoagent_tpu.memory.nodes import Floor, Object, Room, View
+from holoagent_tpu.memory.hmsg import HMSGraph
+from holoagent_tpu.models import clip as clip_mod
+from holoagent_tpu.models.tokenizer import SimpleTokenizer
+from holoagent_tpu.query import FSRQueryEngine, RuleParser, ClipVLM, NullVLM
+from holoagent_tpu.query.parser import LLMParser
+
+
+def test_rule_parser_full():
+    p = RuleParser()
+    q = p("mirror in region bathroom on floor 2")
+    assert q.astuple() == ("2", "bathroom", "mirror")
+    q = p("find the sofa in the living room")
+    assert q.room == "living room" and q.object == "sofa" and q.floor is None
+    q = p("go to the red chair")
+    assert q.object == "red chair" and q.room is None
+    q = p("take me to the kitchen sink on the second floor")
+    assert q.floor == "2"
+
+
+def test_llm_parser_with_backend_and_fallback():
+    def backend(system, prompt):
+        return "[Floor 1, Living Room, sofa]"
+
+    p = LLMParser(backend)
+    q = p("whatever")
+    assert q.astuple() == ("Floor 1", "Living Room", "sofa")
+
+    def broken(system, prompt):
+        raise RuntimeError("down")
+
+    p2 = LLMParser(broken)
+    q2 = p2("sofa in the living room on floor 1")
+    assert q2.object == "sofa"
+
+
+@pytest.fixture(scope="module")
+def synthetic_graph():
+    """Hand-built HMSG with separable embeddings so retrieval is checkable."""
+    rng = np.random.default_rng(0)
+    d = 32
+
+    def unit(i):
+        v = np.zeros(d, np.float32)
+        v[i] = 1.0
+        return v
+
+    g = HMSGraph()
+    fl = Floor("0", name="floor_0")
+    fl.floor_zero_level, fl.floor_height = 0.0, 2.5
+    fl.pcd_points = rng.uniform(0, 5, (100, 3)).astype(np.float64)
+    fl.pcd_colors = np.zeros((100, 3), np.float32)
+    fl.vertices = np.zeros((8, 3))
+    g.floors.append(fl)
+    for ri in range(2):
+        r = Room(f"0_{ri}", "0", name=["living room", "bathroom"][ri])
+        r.pcd_points = rng.uniform(0, 2, (50, 3))
+        r.pcd_colors = np.zeros((50, 3))
+        r.vertices = r.pcd_points[:, :2]
+        r.room_zero_level, r.room_height = 0.0, 2.5
+        r.embeddings = [unit(10 + ri)]
+        r.sample_images = [ri * 2]
+        r.clip_embeddings = [unit(10 + ri)]
+        fl.add_room(r)
+        g.rooms.append(r)
+        view = View(f"0_{ri}_{ri}", r.room_id, img_id=ri * 2)
+        r.views.append(view)
+        g.views.append(view)
+        for oi in range(2):
+            o = Object(f"0_{ri}_{oi}", r.room_id, name=f"obj{ri}{oi}")
+            o.pcd_points = rng.uniform(0, 2, (20, 3))
+            o.pcd_colors = np.zeros((20, 3))
+            o.vertices = o.pcd_points[:, :2]
+            o.embedding = unit(ri * 2 + oi)
+            o.best_view_id = view.view_id
+            o.view_ids = [view.view_id]
+            view.object_ids.append(o.object_id)
+            r.add_object(o)
+            g.objects.append(o)
+    g._build_nx()
+    return g
+
+
+class FakeTextEngine(FSRQueryEngine):
+    """Overrides CLIP text features with deterministic unit vectors so the
+    retrieval logic itself is what's under test."""
+
+    TEXT_DIRS = {
+        "living room": 10, "bathroom": 11,
+        "lamp": 0, "mug": 1, "plant": 2, "towel": 3,
+        "background": 20,
+    }
+
+    def text_feats(self, texts):
+        d = 32
+        out = np.zeros((len(texts), d), np.float32)
+        for i, t in enumerate(texts):
+            key = t.lower()
+            if key.startswith("floor"):
+                out[i, 25 + int(key.split()[-1]) % 4] = 1.0
+            else:
+                out[i, self.TEXT_DIRS.get(key, 24)] = 1.0
+        return out
+
+
+@pytest.fixture(scope="module")
+def engine(synthetic_graph):
+    variant = clip_mod.VARIANTS["test-tiny"]
+    images = {i: np.zeros((8, 8, 3), np.float32) for i in range(8)}
+    return FakeTextEngine(
+        synthetic_graph,
+        clip_params=None,
+        tokenizer=None,
+        variant=variant,
+        image_provider=lambda i: images[i],
+        vlm=NullVLM(),
+    )
+
+
+def test_query_room_label(engine):
+    ids = engine.query_room("bathroom", floor_id=0, method="label")
+    assert engine.g.floors[0].rooms[ids[0]].name == "bathroom"
+
+
+def test_query_object_in_room(engine):
+    # "towel" = unit(3) = object 0_1_1 (ri=1, oi=1)
+    ids, rids, scores = engine.query_object(
+        "towel", floor_id=0, room_ids=[1], top_k=1, negative_prompt=["background"]
+    )
+    assert engine.g.objects[ids[0]].object_id == "0_1_1"
+    assert scores[0] > 0.9
+
+
+def test_query_object_negative_filter(engine):
+    # an object whose best class is 'background' must be excluded
+    g = engine.g
+    g.objects[0].embedding = np.zeros(32, np.float32)
+    g.objects[0].embedding[20] = 1.0  # looks like background
+    ids, _, scores = engine.query_object(
+        "lamp", floor_id=0, room_ids=[0, 1], top_k=4, negative_prompt=["background"]
+    )
+    assert all(g.objects[i].object_id != "0_0_0" for i in ids)
+    # restore
+    e = np.zeros(32, np.float32)
+    e[0] = 1.0
+    g.objects[0].embedding = e
+
+
+def test_query_hierarchy_fast(engine):
+    floor, rooms, objs, res = engine.query_hierarchy(
+        "mug in region living room on floor 1"
+    )
+    assert floor is engine.g.floors[0]
+    assert rooms and rooms[0].name == "living room"
+    assert objs and objs[0].object_id == "0_0_1"
+    for k in ("LLM_Parse_Time", "FastMatching", "ObjectInImageCheck",
+              "VLM_Rethinking", "Re_Matching", "Total_Time"):
+        assert k in res
+
+
+def test_query_hierarchy_slow_with_nullvlm(engine):
+    floor, rooms, objs, res = engine.query_hierarchy(
+        "towel in region bathroom on floor 1", use_slow=True
+    )
+    assert objs and objs[0].object_id == "0_1_1"
+    assert res["ObjectInImageCheck"] >= 0.0
+    assert res["Total_Time"] >= res["FastMatching"]
+
+
+def test_clip_vlm_backend():
+    variant = clip_mod.VARIANTS["test-tiny"]
+    params = clip_mod.init_clip(jax.random.key(0), variant)
+    tok = SimpleTokenizer()
+    vlm = ClipVLM(params, tok, variant, detect_threshold=-1.0)  # random init: accept
+    img = np.zeros((16, 16, 3), np.float32)
+    assert vlm.detect_object(img, "chair") in (True, False)
+    assert vlm.choose_frame([img, img], "a chair") in (0, 1)
+    checks, best = vlm.detect_and_select_best([img, img], "chair")
+    assert len(checks) == 2 and best in (0, 1)
