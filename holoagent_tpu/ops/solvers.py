@@ -174,7 +174,44 @@ def icp_point2point(
     p = transform_points(pose, src_points)
     idx, dist = voxel.snap_to_voxels(p, src_valid, dst_sorted_keys, dst_points, grid)
     w = (idx >= 0) & (dist < max_corr_dist) & src_valid
-    n = jnp.maximum(jnp.sum(w.astype(jnp.float32)), 1.0)
-    rms = jnp.sqrt(jnp.sum(jnp.where(w, dist**2, 0.0)) / n)
-    frac = n / jnp.maximum(jnp.sum(src_valid.astype(jnp.float32)), 1.0)
+    nw = jnp.sum(w.astype(jnp.float32))
+    rms = jnp.sqrt(jnp.sum(jnp.where(w, dist**2, 0.0)) / jnp.maximum(nw, 1.0))
+    frac = nw / jnp.maximum(jnp.sum(src_valid.astype(jnp.float32)), 1.0)
     return ICPResult(pose=pose, rms=rms, inlier_frac=frac)
+
+
+def icp_multiscale(
+    src_points: jnp.ndarray,
+    src_valid: jnp.ndarray,
+    map_points: jnp.ndarray,  # (C, 3) map points (e.g. SceneState.points())
+    map_valid: jnp.ndarray,  # (C,)
+    pose_init: jnp.ndarray,
+    scales: Tuple[float, ...] = (0.4, 0.15, 0.05),
+    iters_per_scale: int = 10,
+) -> ICPResult:
+    """Coarse-to-fine ICP: correspondences found by voxel snap only reach one
+    cell (~1.7x the voxel size), so large initial errors need coarse grids
+    first — the role FRICP's robust kernels play in the reference
+    relocalizer (reference pose_estimator.cpp regMode selection)."""
+    from . import voxel
+
+    pose = pose_init
+    result = None
+    n = map_points.shape[0]
+    for s in scales:
+        grid = voxel.GridSpec.centered(s)
+        down = voxel.voxel_downsample(
+            map_points, jnp.zeros((n, 1), map_points.dtype), map_valid, grid, capacity=n
+        )
+        result = icp_point2point(
+            src_points,
+            src_valid,
+            down["key"],
+            down["points"],
+            grid,
+            pose,
+            iters=iters_per_scale,
+            max_corr_dist=3.0 * s,
+        )
+        pose = result.pose
+    return result

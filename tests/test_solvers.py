@@ -105,3 +105,44 @@ def test_icp_registers_scan(rng):
     err = np.asarray(log_se3(invert_pose(jnp.asarray(t_true)) @ res.pose))
     assert np.abs(err).max() < 0.03
     assert float(res.inlier_frac) > 0.9
+
+
+def test_icp_multiscale_large_displacement(rng):
+    # plane-heavy scene + displacement larger than one fine voxel: the
+    # single-scale snap loses correspondences, multiscale must recover
+    from holoagent_tpu.dataloader import SyntheticDataset
+    from holoagent_tpu.ops.backproject import backproject
+    from holoagent_tpu.utils.camera import Pinhole
+
+    ds = SyntheticDataset(num_frames=4, hw=(48, 64))
+    pts_all = []
+    for i in range(4):
+        f = ds[i]
+        p, _, v = backproject(
+            jnp.asarray(f.depth), jnp.asarray(f.rgb), Pinhole.from_matrix(f.k),
+            jnp.asarray(f.pose), 1e-3, 20.0,
+        )
+        pts_all.append(np.asarray(p)[np.asarray(v)])
+    mappts = np.concatenate(pts_all).astype(np.float32)
+    scan = mappts[::7][:1500]
+    xi = np.array([0.08, -0.05, 0.02, 0.03, -0.02, 0.05], np.float32)
+    t_true = np.asarray(exp_se3(jnp.asarray(xi)))
+    scan_p = np.asarray(
+        transform_points(jnp.asarray(np.linalg.inv(t_true).astype(np.float32)), jnp.asarray(scan))
+    )
+    res = solvers.icp_multiscale(
+        jnp.asarray(scan_p), jnp.ones(len(scan_p), bool),
+        jnp.asarray(mappts), jnp.ones(len(mappts), bool), jnp.eye(4),
+        scales=(0.3, 0.1, 0.05, 0.03), iters_per_scale=15,
+    )
+    err = np.abs(np.asarray(log_se3(invert_pose(jnp.asarray(t_true)) @ res.pose)))
+    assert err.max() < 0.05
+    # empty-scan probe: inlier fraction must be 0, not 1
+    from holoagent_tpu.ops import voxel as vx
+    g = vx.GridSpec.centered(0.05)
+    d = vx.voxel_downsample(jnp.asarray(mappts), jnp.zeros((len(mappts), 1)),
+                            jnp.ones(len(mappts), bool), g, 1 << 15)
+    r2 = solvers.icp_point2point(
+        jnp.zeros((8, 3)), jnp.zeros(8, bool), d["key"], d["points"], g, jnp.eye(4)
+    )
+    assert float(r2.inlier_frac) == 0.0
