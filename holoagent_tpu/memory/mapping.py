@@ -11,6 +11,7 @@ the scene/instance state never leaves HBM.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -29,6 +30,7 @@ from ..perception.extractor import extract_frame_features
 from ..utils.camera import Pinhole
 from . import instances as inst_mod
 from . import scene as scene_mod
+from .scene import fuse_pixel_features, insert_points
 from .instances import InstanceSet
 from .scene import SceneState
 
@@ -43,6 +45,82 @@ class MappedScene:
     keyframes: List[RGBDFrame] = field(default_factory=list)
     keyframe_feats: Optional[jnp.ndarray] = None  # (F, D) global CLIP per frame
     density_keep: Optional[jnp.ndarray] = None  # (C,) survived radius filter
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "clip_variant",
+        "sam_variant",
+        "points_per_side",
+        "max_masks",
+        "mask_k_cap",
+        "dtype",
+    ),
+)
+def frame_step(
+    scene: SceneState,
+    instances: InstanceSet,
+    clip_params,
+    sam_params,
+    rgb: jnp.ndarray,  # (H, W, 3) float [0,1]
+    depth: jnp.ndarray,  # (H, W) metres
+    cam: "Pinhole",
+    pose: jnp.ndarray,  # (4, 4) c2w
+    clip_variant,
+    sam_variant,
+    depth_cut: float,
+    pred_iou_thresh: float,
+    stability_thresh: float,
+    min_area: float,
+    masked_weight: float,
+    bbox_margin: float,
+    overlap_thresh: float,
+    iou_thresh: float,
+    points_per_side: int = 12,
+    max_masks: int = 64,
+    mask_k_cap: int = 2048,
+    dtype=jnp.bfloat16,
+):
+    """ONE fused frame integration program: backproject -> scene insert ->
+    SAM x CLIP extraction -> feature scatter -> instance fold-in.
+
+    The whole per-frame hot path is a single XLA executable, so per-frame cost
+    is one dispatch (the reference pays dozens of host<->device transitions
+    per frame, graph.py:374-441).  Returns (scene, instances, f_global)."""
+    from ..ops.backproject import backproject as _bp
+    from ..perception.extractor import extract_frame_features as _eff
+
+    pts, cols, valid = _bp(depth, rgb, cam, pose, 1e-3, depth_cut)
+    scene, pix_rows = insert_points.__wrapped__(scene, pts, cols, valid)
+    ff = _eff.__wrapped__(
+        clip_params,
+        sam_params,
+        rgb,
+        clip_variant,
+        sam_variant,
+        points_per_side=points_per_side,
+        pred_iou_thresh=pred_iou_thresh,
+        stability_thresh=stability_thresh,
+        min_area=min_area,
+        max_masks=max_masks,
+        masked_weight=masked_weight,
+        bbox_margin=bbox_margin,
+        dtype=dtype,
+    )
+    m = ff.masks.shape[0]
+    masks_flat = ff.masks.reshape(m, -1)
+    scene = fuse_pixel_features.__wrapped__(
+        scene, pix_rows, masks_flat, ff.valid, ff.f_masks, chunk=32768
+    )
+    finst = inst_mod.frame_instances.__wrapped__(
+        masks_flat, ff.valid, ff.f_masks, pix_rows, pts, min_rows=3, k_cap=mask_k_cap
+    )
+    out_cap = instances.rows.shape[0]
+    instances = inst_mod.merge_round.__wrapped__(
+        inst_mod.concat(instances, finst), overlap_thresh, iou_thresh, out_cap
+    )
+    return scene, instances, ff.f_global
 
 
 class Mapper:
@@ -75,49 +153,34 @@ class Mapper:
     # -- per-frame ----------------------------------------------------------
 
     def process_frame(self, frame: RGBDFrame) -> None:
+        """Integrate one frame: ONE fused device program per frame."""
         p = self.cfg.pipeline
-        cam = Pinhole.from_matrix(frame.k)
-        rgb = jnp.asarray(frame.rgb)
-        depth = jnp.asarray(frame.depth)
-        pose = jnp.asarray(frame.pose)
-        pts, cols, valid = backproject(
-            depth, rgb, cam, pose, 1e-3, self.cfg.main.depth_cut
-        )
-        self.scene, pix_rows = scene_mod.insert_points(self.scene, pts, cols, valid)
-        ff = extract_frame_features(
+        self.scene, self.instances, f_g = frame_step(
+            self.scene,
+            self.instances,
             self.clip_params,
             self.sam_params,
-            rgb,
+            jnp.asarray(frame.rgb),
+            jnp.asarray(frame.depth),
+            Pinhole.from_matrix(frame.k),
+            jnp.asarray(frame.pose),
             self.clip_variant,
             self.sam_variant,
-            points_per_side=self.cfg.models.sam.points_per_side,
+            depth_cut=self.cfg.main.depth_cut,
             pred_iou_thresh=self.cfg.models.sam.pred_iou_thresh,
             stability_thresh=self.cfg.models.sam.stability_score_thresh,
             min_area=float(self.cfg.models.sam.min_mask_region_area),
-            max_masks=self.cfg.models.sam.max_masks,
             masked_weight=p.clip_masked_weight,
             bbox_margin=float(p.clip_bbox_margin),
+            overlap_thresh=p.init_overlap_thresh,
+            iou_thresh=p.iou_thresh,
+            points_per_side=self.cfg.models.sam.points_per_side,
+            max_masks=self.cfg.models.sam.max_masks,
+            mask_k_cap=p.mask_point_capacity,
             dtype=self._dtype,
         )
-        m = ff.masks.shape[0]
-        masks_flat = ff.masks.reshape(m, -1)
-        self.scene = scene_mod.fuse_pixel_features(
-            self.scene, pix_rows, masks_flat, ff.valid, ff.f_masks
-        )
-        finst = inst_mod.frame_instances(
-            masks_flat,
-            ff.valid,
-            ff.f_masks,
-            pix_rows,
-            pts,
-            min_rows=3,
-            k_cap=p.mask_point_capacity,
-        )
-        self.instances = inst_mod.seq_merge_step(
-            self.instances, finst, p.init_overlap_thresh, p.iou_thresh
-        )
         self.keyframes.append(frame)
-        self._kf_feats.append(np.asarray(ff.f_global, np.float32))
+        self._kf_feats.append(np.asarray(f_g, np.float32))
 
     def run(self, dataset: RGBDDataset) -> "MappedScene":
         skip = self.cfg.pipeline.skip_frames

@@ -53,6 +53,48 @@ class NullVLM:
         return [True] * len(images), 0 if len(images) else None
 
 
+class GenerativeVLM:
+    """VLMBackend over the on-slice generative model served with continuous
+    batching (holoagent_tpu.serving.ContinuousBatcher) — the three call shapes
+    are the reference's GPT-4V prompts re-targeted at the local engine."""
+
+    def __init__(self, batcher, max_new_tokens: int = 16):
+        self.batcher = batcher
+        self.max_new_tokens = max_new_tokens
+
+    def _ask(self, prompt: str, images) -> str:
+        imgs = None
+        if images is not None:
+            imgs = np.stack([np.asarray(im, np.float32) for im in images])
+        return self.batcher.generate(prompt, imgs, self.max_new_tokens).lower()
+
+    def detect_object(self, image, label) -> bool:
+        out = self._ask(
+            f"is there a {label} in this image? answer yes or no.", [image]
+        )
+        return "yes" in out
+
+    def choose_frame(self, images, instruction):
+        if not len(images):
+            return None
+        out = self._ask(
+            f"which image best matches: {instruction}? answer with the image "
+            f"number between 0 and {len(images) - 1}.",
+            images,
+        )
+        import re
+
+        m = re.findall(r"\d+", out)
+        if m and int(m[0]) < len(images):
+            return int(m[0])
+        return 0
+
+    def detect_and_select_best(self, images, label):
+        checks = [self.detect_object(im, label) for im in images]
+        best = self.choose_frame(images, f"a clear view of the {label}")
+        return checks, best
+
+
 class ClipVLM:
     """CLIP-similarity backend: zero-shot verification and ranking on-device."""
 

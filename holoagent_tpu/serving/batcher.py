@@ -1,0 +1,198 @@
+"""Slot-based continuous batching for the on-slice VLM.
+
+The reference's slow path waits on one HTTPS round trip per VLM call
+(retry-forever loops, reference fsr_vln/memory/hmsg/graph/graph.py:232-255);
+here requests stream through a fixed-slot decode loop: each of B cache slots
+independently holds one request, prefill fills a free slot as soon as one
+drains, and every decode_step advances all active slots in ONE device program
+— queries admitted mid-flight join the next step (the standard continuous
+batching discipline, sized by ServingConfig.max_batch).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import vlm as vlm_mod
+from ..models.tokenizer import SimpleTokenizer
+
+
+@dataclass
+class GenRequest:
+    prompt: str
+    images: Optional[np.ndarray] = None  # (N, S, S, 3) float [0,1]
+    max_new_tokens: int = 32
+    temperature: float = 0.0
+    # filled by the batcher:
+    _done: threading.Event = field(default_factory=threading.Event)
+    _result: Optional[str] = None
+
+    def result(self, timeout: Optional[float] = None) -> str:
+        self._done.wait(timeout)
+        if self._result is None:
+            raise TimeoutError("generation did not finish")
+        return self._result
+
+
+class _Slot:
+    __slots__ = ("request", "tokens", "remaining", "out_ids")
+
+    def __init__(self):
+        self.request: Optional[GenRequest] = None
+        self.tokens = 0
+        self.remaining = 0
+        self.out_ids: List[int] = []
+
+    @property
+    def active(self) -> bool:
+        return self.request is not None
+
+
+class ContinuousBatcher:
+    """Synchronous-core batcher. `submit` is thread-safe; `step` (or the
+    background `serve_forever` thread) advances the engine."""
+
+    def __init__(
+        self,
+        vlm_params,
+        clip_params,
+        variant: vlm_mod.VLMVariant,
+        tokenizer: Optional[SimpleTokenizer] = None,
+        max_batch: int = 8,
+        dtype=jnp.bfloat16,
+    ):
+        self.params = vlm_params
+        self.clip_params = clip_params
+        self.v = variant
+        self.tok = tokenizer or SimpleTokenizer()
+        self.max_batch = max_batch
+        self.dtype = dtype
+        self.cache = vlm_mod.init_cache(variant, max_batch, dtype)
+        self.slots = [_Slot() for _ in range(max_batch)]
+        self.current = jnp.zeros((max_batch,), jnp.int32)
+        self.queue: "queue.Queue[GenRequest]" = queue.Queue()
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self.steps = 0
+
+    # ------------------------------------------------------------------ API
+
+    def submit(self, request: GenRequest) -> GenRequest:
+        self.queue.put(request)
+        return request
+
+    def generate(self, prompt: str, images=None, max_new_tokens: int = 32) -> str:
+        """Blocking single call (drives the engine inline if no thread runs)."""
+        req = self.submit(GenRequest(prompt, images, max_new_tokens))
+        while not req._done.is_set():
+            self.step()
+        return req.result()
+
+    def serve_forever(self) -> threading.Thread:
+        def loop():
+            while not self._stop.is_set():
+                if not self.step():
+                    time.sleep(0.002)
+
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self._stop.set()
+
+    # ----------------------------------------------------------------- core
+
+    def _admit(self) -> bool:
+        admitted = False
+        for i, slot in enumerate(self.slots):
+            if slot.active:
+                continue
+            try:
+                req = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            ids = [self.tok.sot] + self.tok.encode(req.prompt)
+            images = None
+            if req.images is not None and len(req.images):
+                from ..models import clip as clip_mod
+
+                cv = clip_mod.VARIANTS[self.v.clip_variant]
+                images = clip_mod.preprocess(
+                    jnp.asarray(req.images, jnp.float32), size=cv.image_size
+                )
+            emb, n = vlm_mod.build_prompt_embeddings(
+                self.params, self.clip_params, np.asarray(ids, np.int32), images,
+                self.v, max_len=self.v.max_seq - req.max_new_tokens - 1,
+                dtype=self.dtype,
+            )
+            # per-slot prefill (batch of 1 into this slot's cache rows)
+            sub_cache = vlm_mod.KVCache(
+                k=self.cache.k[:, i : i + 1],
+                v=self.cache.v[:, i : i + 1],
+                length=self.cache.length[i : i + 1],
+            )
+            logits, sub_cache = vlm_mod.prefill(
+                self.params, emb[None], jnp.asarray([n], jnp.int32), sub_cache,
+                self.v, dtype=self.dtype,
+            )
+            self.cache = vlm_mod.KVCache(
+                k=self.cache.k.at[:, i].set(sub_cache.k[:, 0]),
+                v=self.cache.v.at[:, i].set(sub_cache.v[:, 0]),
+                length=self.cache.length.at[i].set(n),
+            )
+            nxt = int(jnp.argmax(logits[0]))
+            self.current = self.current.at[i].set(nxt)
+            slot.request = req
+            slot.remaining = req.max_new_tokens - 1
+            slot.out_ids = [nxt]
+            admitted = True
+            if nxt == self.tok.eot or slot.remaining <= 0:
+                self._finish(i)
+        return admitted
+
+    def _finish(self, i: int):
+        slot = self.slots[i]
+        req = slot.request
+        ids = [t for t in slot.out_ids if t != self.tok.eot]
+        req._result = self.tok.decode(ids).strip()
+        req._done.set()
+        slot.request = None
+        self.cache = vlm_mod.KVCache(
+            k=self.cache.k,
+            v=self.cache.v,
+            length=self.cache.length.at[i].set(0),
+        )
+
+    def step(self) -> bool:
+        """Admit new requests and advance every active slot one token.
+        Returns True if any work was done."""
+        with self._lock:
+            admitted = self._admit()
+            active = np.array([s.active for s in self.slots])
+            if not active.any():
+                return admitted
+            logits, self.cache = vlm_mod.decode_step(
+                self.params, self.current, self.cache,
+                jnp.asarray(active), self.v, dtype=self.dtype,
+            )
+            nxt = np.asarray(jnp.argmax(logits, axis=-1))
+            self.steps += 1
+            for i, slot in enumerate(self.slots):
+                if not slot.active:
+                    continue
+                tok = int(nxt[i])
+                slot.out_ids.append(tok)
+                slot.remaining -= 1
+                self.current = self.current.at[i].set(tok)
+                if tok == self.tok.eot or slot.remaining <= 0:
+                    self._finish(i)
+            return True
