@@ -1,0 +1,239 @@
+"""ctypes bindings for the native host runtime (native/ C++ library).
+
+The robot-side components the reference implements in C++ (SURVEY.md §2.2)
+stay native here too: ScanContext place recognition, the voxel plane map with
+point-to-plane registration (the VoxelMapManager/FRICP roles), IMU propagation
+and sweep undistortion (ImuProcess role), and the FIFO velocity bridge
+(g1_move role).  The library auto-builds from native/ with `make` on first
+import when the .so is missing.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "build" / "libholoagent_host.so"
+
+
+def _load() -> C.CDLL:
+    if not _LIB_PATH.exists():
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+    lib = C.CDLL(str(_LIB_PATH))
+    # ScanContext
+    lib.sc_create.restype = C.c_void_p
+    lib.sc_create.argtypes = [C.c_int, C.c_int, C.c_double]
+    lib.sc_destroy.argtypes = [C.c_void_p]
+    lib.sc_make_descriptor.argtypes = [C.c_void_p, C.c_void_p, C.c_size_t, C.c_void_p]
+    lib.sc_add_keyframe.argtypes = [C.c_void_p, C.c_void_p]
+    lib.sc_size.restype = C.c_size_t
+    lib.sc_size.argtypes = [C.c_void_p]
+    lib.sc_detect_loop.restype = C.c_int
+    lib.sc_detect_loop.argtypes = [
+        C.c_void_p, C.c_void_p, C.POINTER(C.c_double), C.POINTER(C.c_double),
+        C.c_int, C.c_double,
+    ]
+    # VoxelPlaneMap
+    lib.vpm_create.restype = C.c_void_p
+    lib.vpm_create.argtypes = [C.c_double, C.c_int, C.c_double]
+    lib.vpm_destroy.argtypes = [C.c_void_p]
+    lib.vpm_insert.argtypes = [C.c_void_p, C.c_void_p, C.c_size_t]
+    lib.vpm_size.restype = C.c_size_t
+    lib.vpm_size.argtypes = [C.c_void_p]
+    lib.vpm_num_planes.restype = C.c_size_t
+    lib.vpm_num_planes.argtypes = [C.c_void_p]
+    lib.vpm_residual.restype = C.c_int
+    lib.vpm_residual.argtypes = [
+        C.c_void_p, C.c_double, C.c_double, C.c_double,
+        C.POINTER(C.c_double), C.c_void_p,
+    ]
+    lib.vpm_register.restype = C.c_double
+    lib.vpm_register.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_size_t, C.c_void_p, C.c_int, C.c_double,
+    ]
+    # IMU
+    lib.imu_init_static.argtypes = [C.c_void_p, C.c_void_p, C.c_size_t, C.c_void_p]
+    lib.imu_propagate_c.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t, C.c_void_p,
+    ]
+    lib.imu_undistort_c.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t,
+        C.c_void_p, C.c_void_p, C.c_size_t, C.c_double,
+    ]
+    # velocity bridge
+    lib.velbridge_create.restype = C.c_int
+    lib.velbridge_create.argtypes = [C.c_char_p]
+    lib.velbridge_open_writer.restype = C.c_int
+    lib.velbridge_open_writer.argtypes = [C.c_char_p]
+    lib.velbridge_open_reader.restype = C.c_int
+    lib.velbridge_open_reader.argtypes = [C.c_char_p]
+    lib.velbridge_write.restype = C.c_int
+    lib.velbridge_write.argtypes = [C.c_int, C.c_float, C.c_float, C.c_float]
+    lib.velbridge_read_shaped.restype = C.c_int
+    lib.velbridge_read_shaped.argtypes = [
+        C.c_int, C.c_float, C.c_float, C.c_int, C.c_void_p,
+    ]
+    lib.velbridge_close.argtypes = [C.c_int]
+    return lib
+
+
+_lib: Optional[C.CDLL] = None
+
+
+def lib() -> C.CDLL:
+    global _lib
+    if _lib is None:
+        _lib = _load()
+    return _lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(C.c_void_p)
+
+
+class ScanContext:
+    """Rotation-invariant LiDAR place recognition (native)."""
+
+    def __init__(self, num_ring: int = 20, num_sector: int = 60, max_radius: float = 80.0):
+        self._l = lib()
+        self._h = self._l.sc_create(num_ring, num_sector, max_radius)
+        self.shape = (num_ring, num_sector)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._l.sc_destroy(self._h)
+
+    def descriptor(self, points: np.ndarray) -> np.ndarray:
+        pts = np.ascontiguousarray(points, np.float64)
+        out = np.zeros(self.shape, np.float64)
+        self._l.sc_make_descriptor(self._h, _ptr(pts), len(pts), _ptr(out))
+        return out
+
+    def add_keyframe(self, desc: np.ndarray) -> None:
+        self._l.sc_add_keyframe(self._h, _ptr(np.ascontiguousarray(desc, np.float64)))
+
+    def __len__(self) -> int:
+        return int(self._l.sc_size(self._h))
+
+    def detect_loop(
+        self, desc: np.ndarray, exclude_recent: int = 30, max_dist: float = 0.35
+    ) -> Tuple[int, float, float]:
+        """(matched keyframe id or -1, yaw offset rad, descriptor distance)."""
+        yaw = C.c_double()
+        dist = C.c_double()
+        idx = self._l.sc_detect_loop(
+            self._h, _ptr(np.ascontiguousarray(desc, np.float64)),
+            C.byref(yaw), C.byref(dist), exclude_recent, max_dist,
+        )
+        return idx, yaw.value, dist.value
+
+
+class VoxelPlaneMap:
+    """Voxel plane map + point-to-plane registration (native)."""
+
+    def __init__(self, voxel_size: float = 0.5, min_points: int = 6, planarity: float = 0.1):
+        self._l = lib()
+        self._h = self._l.vpm_create(voxel_size, min_points, planarity)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._l.vpm_destroy(self._h)
+
+    def insert(self, points: np.ndarray) -> None:
+        pts = np.ascontiguousarray(points, np.float64)
+        self._l.vpm_insert(self._h, _ptr(pts), len(pts))
+
+    def __len__(self) -> int:
+        return int(self._l.vpm_size(self._h))
+
+    @property
+    def num_planes(self) -> int:
+        return int(self._l.vpm_num_planes(self._h))
+
+    def residual(self, p) -> Optional[Tuple[float, np.ndarray]]:
+        r = C.c_double()
+        n = np.zeros(3, np.float64)
+        ok = self._l.vpm_residual(self._h, p[0], p[1], p[2], C.byref(r), _ptr(n))
+        return (r.value, n) if ok else None
+
+    def register(
+        self, points: np.ndarray, pose_init: np.ndarray, iters: int = 12,
+        max_residual: float = 1.0,
+    ) -> Tuple[np.ndarray, float]:
+        pts = np.ascontiguousarray(points, np.float64)
+        pose = np.ascontiguousarray(pose_init, np.float64).reshape(16).copy()
+        rms = self._l.vpm_register(self._h, _ptr(pts), len(pts), _ptr(pose), iters, max_residual)
+        return pose.reshape(4, 4), float(rms)
+
+
+class ImuPropagator:
+    """IMU propagation / sweep undistortion (native).
+
+    State layout: pos(3) vel(3) quat wxyz(4) bg(3) ba(3) gravity_z(1)."""
+
+    def __init__(self):
+        self._l = lib()
+        self.state = np.zeros(17, np.float64)
+        self.state[6] = 1.0
+        self.state[16] = -9.81
+
+    def init_static(self, gyro: np.ndarray, accel: np.ndarray) -> None:
+        g = np.ascontiguousarray(gyro, np.float64)
+        a = np.ascontiguousarray(accel, np.float64)
+        self._l.imu_init_static(_ptr(g), _ptr(a), len(g), _ptr(self.state))
+
+    def propagate(self, gyro, accel, dts, return_poses: bool = False):
+        g = np.ascontiguousarray(gyro, np.float64)
+        a = np.ascontiguousarray(accel, np.float64)
+        d = np.ascontiguousarray(dts, np.float64)
+        poses = np.zeros((len(g), 7), np.float64) if return_poses else None
+        self._l.imu_propagate_c(
+            _ptr(self.state), _ptr(g), _ptr(a), _ptr(d), len(g),
+            _ptr(poses) if return_poses else None,
+        )
+        return poses
+
+    def undistort(self, points, t_points, gyro, accel, dts, sweep_dt) -> np.ndarray:
+        pts = np.ascontiguousarray(points, np.float64).copy()
+        tp = np.ascontiguousarray(t_points, np.float64)
+        g = np.ascontiguousarray(gyro, np.float64)
+        a = np.ascontiguousarray(accel, np.float64)
+        d = np.ascontiguousarray(dts, np.float64)
+        self._l.imu_undistort_c(
+            _ptr(self.state), _ptr(g), _ptr(a), _ptr(d), len(g),
+            _ptr(pts), _ptr(tp), len(pts), sweep_dt,
+        )
+        return pts
+
+
+class VelocityBridge:
+    """FIFO velocity bridge (controller side writes, actuator side reads)."""
+
+    def __init__(self, path: str = "/tmp/vel_fifo"):
+        self._l = lib()
+        self.path = path.encode()
+        if self._l.velbridge_create(self.path) != 0:
+            raise OSError(f"cannot create fifo {path}")
+        self._rfd = self._l.velbridge_open_reader(self.path)
+        self._wfd = self._l.velbridge_open_writer(self.path)
+
+    def write(self, x: float, y: float, r: float) -> bool:
+        return self._l.velbridge_write(self._wfd, x, y, r) == 0
+
+    def read_shaped(
+        self, vmax: float = 0.6, vmin: float = 0.05, boost_small: bool = False
+    ) -> Optional[np.ndarray]:
+        out = np.zeros(3, np.float32)
+        got = self._l.velbridge_read_shaped(
+            self._rfd, vmax, vmin, int(boost_small), _ptr(out)
+        )
+        return out if got == 1 else None
+
+    def close(self):
+        self._l.velbridge_close(self._rfd)
+        self._l.velbridge_close(self._wfd)
