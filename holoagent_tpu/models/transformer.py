@@ -82,6 +82,8 @@ def attention(
     bo: jnp.ndarray,
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,  # (T, T) additive, f32
+    impl: str = "xla",  # "xla" | "flash" (flash: mask must be None or causal)
+    causal: bool = False,
 ) -> jnp.ndarray:
     b, t, w = x.shape
     dh = w // num_heads
@@ -93,6 +95,20 @@ def attention(
     q = q.reshape(b, t, num_heads, dh)
     k = k.reshape(b, t, num_heads, dh)
     v = v.reshape(b, t, num_heads, dh)
+    if impl == "flash":
+        from ..ops.flash_attention import flash_attention
+
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            causal=causal,
+        ).transpose(0, 2, 1, 3)
+        out = out.reshape(b, t, w)
+        return (
+            jnp.einsum("btw,wc->btc", out, wo, preferred_element_type=jnp.float32)
+            + bo.astype(jnp.float32)
+        ).astype(x.dtype)
     scores = jnp.einsum(
         "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
     ) * (dh**-0.5)
@@ -120,12 +136,12 @@ def mlp(x, w1, b1, w2, b2, act=jax.nn.gelu):
     ).astype(x.dtype)
 
 
-def block(x, p: Params, num_heads: int, mask=None):
+def block(x, p: Params, num_heads: int, mask=None, impl: str = "xla", causal: bool = False):
     """One pre-LN transformer block with UNstacked per-layer params."""
     x = x + attention(
         layer_norm(x, p["ln1_g"], p["ln1_b"]),
         p["wqkv"], p["bqkv"], p["wo"], p["bo"],
-        num_heads, mask,
+        num_heads, mask, impl=impl, causal=causal,
     )
     x = x + mlp(layer_norm(x, p["ln2_g"], p["ln2_b"]), p["w1"], p["b1"], p["w2"], p["b2"])
     return x
@@ -137,11 +153,17 @@ def run_stack(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    impl: str = "xla",
+    causal: bool = False,
 ) -> jnp.ndarray:
-    """Scan the stacked block parameters over the sequence of layers."""
+    """Scan the stacked block parameters over the sequence of layers.
+
+    impl="flash" routes attention through the Pallas kernel (mask must then be
+    None or expressed via causal=True)."""
 
     def body(h, layer_params):
-        h = block(h, layer_params, num_heads, mask)
+        h = block(h, layer_params, num_heads, mask if impl == "xla" else None,
+                  impl=impl, causal=causal)
         return h, None
 
     if remat:

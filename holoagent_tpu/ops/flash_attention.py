@@ -1,0 +1,114 @@
+"""Pallas flash attention for the transformer towers.
+
+Blockwise online-softmax attention (never materializes the (T, T) score
+matrix in HBM) for the encoder/decoder stacks.  The XLA fallback in
+models.transformer materializes scores in f32 — fine for CLIP's 257 tokens,
+wasteful for SAM-ViT global layers (4096 tokens) and long multi-image VLM
+prefills (SURVEY.md §5.7).  Grid: (batch*heads, q blocks); K/V stream through
+VMEM in BLOCK_K slices with running max/sum renormalization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool, scale: float):
+    _, bq, _ = q_ref.shape
+    d = v_ref.shape[2]  # true head dim (q/k may carry a padding-bias column)
+    t = k_ref.shape[1]
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale
+
+    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+
+    num_kb = t // block_k
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        if causal:
+            q_idx = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+            k_idx = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1
+            )
+            s = jnp.where(q_idx >= k_idx, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return m_new, l, acc
+
+    if causal:
+        # only blocks up to and including the diagonal contribute
+        last = (qi + 1) * bq  # first k index beyond this q block
+        num_needed = pl.cdiv(last, block_k)
+        m, l, acc = jax.lax.fori_loop(0, num_needed, body, (m, l, acc))
+    else:
+        m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jnp.ndarray,  # (B, H, T, D)
+    k: jnp.ndarray,  # (B, H, T, D)
+    v: jnp.ndarray,  # (B, H, T, D)
+    causal: bool = False,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, h, t, d = q.shape
+    # pad T to a block multiple; padded keys are masked out by construction
+    # (their scores only matter if a padded q row reads them — those rows are
+    # dropped on return; padded K/V columns DO contribute, so mask them)
+    tp = ((t + block_k - 1) // block_k) * block_k
+    if tp != t:
+        pad = tp - t
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        # push padded keys out of the softmax by a large negative key bias:
+        # implemented by giving padded keys a huge negative component against
+        # an appended constant query dim
+        qe = jnp.concatenate([q, jnp.ones(q.shape[:-1] + (1,), q.dtype)], axis=-1)
+        key_bias = jnp.broadcast_to(
+            jnp.where((jnp.arange(tp) < t)[None, None, :, None], 0.0, NEG_INF / 2),
+            k.shape[:-1] + (1,),
+        ).astype(q.dtype)
+        ke = jnp.concatenate([k, key_bias], axis=-1)
+        q, k = qe, ke
+        d_eff = d + 1
+    else:
+        d_eff = d
+    scale = d**-0.5  # scale by the true head dim
+    qf = q.reshape(b * h, tp, d_eff)
+    kf = k.reshape(b * h, tp, d_eff)
+    vf = v.reshape(b * h, tp, d)
+    grid = (b * h, tp // block_q)
+    out = pl.pallas_call(
+        partial(_flash_kernel, block_k=block_k, causal=causal, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_eff), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, tp, d_eff), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, tp, d), lambda bh, qi: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, tp, d)[:, :, :t]
