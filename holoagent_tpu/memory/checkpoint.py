@@ -1,0 +1,49 @@
+"""Array-store checkpointing for on-device mapping state.
+
+The reference checkpoints only host artifacts (ply/json/npy, SURVEY.md §5.4);
+the streaming mapper additionally has live HBM state (SceneState +
+InstanceSet) that must survive restarts for long multi-session runs.  Orbax
+saves/restores those pytrees as a single array store; graph artifacts keep the
+ply+json schema (memory.nodes).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..ops.voxel import GridSpec
+from .instances import InstanceSet
+from .scene import SceneState
+
+
+def save_mapper_state(path: str | Path, scene: SceneState, instances: InstanceSet) -> None:
+    path = Path(path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    state = {
+        "scene": scene._asdict(),
+        "instances": instances._asdict(),
+    }
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_mapper_state(path: str | Path) -> Tuple[SceneState, InstanceSet]:
+    path = Path(path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path)
+    scene_d = restored["scene"]
+    grid = scene_d["grid"]
+    scene = SceneState(
+        grid=GridSpec(
+            voxel_size=jax.numpy.asarray(grid["voxel_size"]),
+            origin=jax.numpy.asarray(grid["origin"]),
+        ),
+        **{k: jax.numpy.asarray(v) for k, v in scene_d.items() if k != "grid"},
+    )
+    inst = InstanceSet(**{k: jax.numpy.asarray(v) for k, v in restored["instances"].items()})
+    return scene, inst

@@ -1,0 +1,51 @@
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from holoagent_tpu.memory import scene as scene_mod
+from holoagent_tpu.memory.checkpoint import load_mapper_state, save_mapper_state
+from holoagent_tpu.memory.instances import empty_instances
+from holoagent_tpu.ops.voxel import GridSpec
+from holoagent_tpu.utils.eventlog import EventLog, read_events
+from holoagent_tpu.utils.tracing import StageTimer
+
+
+def test_stage_timer_schema():
+    t = StageTimer()
+    with t.stage("FastMatching"):
+        pass
+    t.record("LLM_Parse_Time", 0.5)
+    d = t.as_dict()
+    assert d["LLM_Parse_Time"] == 0.5
+    assert "Total_Time" in d
+    assert d["Total_Time"] >= 0.5
+    avgs = t.averages()
+    assert "average_llm_parse_time" in avgs
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    sc = scene_mod.init_scene(GridSpec.centered(0.1), 256, 8)
+    pts = jnp.asarray(rng.uniform(-1, 1, (100, 3)).astype(np.float32))
+    sc, rows = scene_mod.insert_points(sc, pts, jnp.zeros((100, 3)), jnp.ones(100, bool))
+    inst = empty_instances(8, 16, 8)
+    save_mapper_state(tmp_path / "ckpt", sc, inst)
+    sc2, inst2 = load_mapper_state(tmp_path / "ckpt")
+    assert int(sc2.num) == int(sc.num)
+    np.testing.assert_allclose(np.asarray(sc2.sum_pts), np.asarray(sc.sum_pts))
+    np.testing.assert_array_equal(np.asarray(sc2.sorted_key), np.asarray(sc.sorted_key))
+    assert float(sc2.grid.voxel_size) == float(sc.grid.voxel_size)
+    # state is live: inserting into the restored scene works
+    sc3, _ = scene_mod.insert_points(sc2, pts + 5.0, jnp.zeros((100, 3)), jnp.ones(100, bool))
+    assert int(sc3.num) > int(sc2.num)
+
+
+def test_event_log(tmp_path):
+    log = EventLog(tmp_path / "events.jsonl", component="mapper")
+    log.emit("frame_integrated", frame=3, voxels=1234)
+    log.child("query").emit("fast_match", score=0.7)
+    evs = read_events(tmp_path / "events.jsonl")
+    assert len(evs) == 2
+    assert evs[0]["component"] == "mapper" and evs[0]["voxels"] == 1234
+    assert evs[1]["component"] == "query"
