@@ -181,3 +181,40 @@ def test_clip_vlm_backend():
     assert vlm.choose_frame([img, img], "a chair") in (0, 1)
     checks, best = vlm.detect_and_select_best([img, img], "chair")
     assert len(checks) == 2 and best in (0, 1)
+
+
+def test_llm_client_cache_and_retry(tmp_path):
+    from holoagent_tpu.query.llm_client import CachedLLMClient, Conversation
+
+    calls = []
+
+    def backend(messages):
+        calls.append(1)
+        if len(calls) < 3:
+            raise ConnectionError("flaky")
+        return "[Floor 1, Kitchen, sink]"
+
+    c = CachedLLMClient(backend, cache_path=tmp_path / "cache.jsonl",
+                        max_retries=5, backoff_s=0.0)
+    conv = Conversation().system("parse").user("sink in the kitchen on floor 1")
+    out = c.send_query(conv)
+    assert out == "[Floor 1, Kitchen, sink]"
+    assert len(calls) == 3  # two failures retried
+    # cache hit: no new backend call
+    assert c.send_query(conv) == out
+    assert len(calls) == 3
+    # persistent across instances
+    c2 = CachedLLMClient(backend, cache_path=tmp_path / "cache.jsonl")
+    assert c2.send_query(conv) == out
+    assert len(calls) == 3
+
+
+def test_llm_client_bounded_failure():
+    from holoagent_tpu.query.llm_client import CachedLLMClient
+
+    def broken(messages):
+        raise ConnectionError("down")
+
+    c = CachedLLMClient(broken, max_retries=2, backoff_s=0.0)
+    with pytest.raises(RuntimeError):
+        c.send_query([{"role": "user", "content": "hi"}])
