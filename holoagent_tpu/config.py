@@ -103,6 +103,12 @@ class PipelineConfig:
     save_intermediate_results: bool = False
     obj_labels: str = "SCANNET200"
     merge_objects_graph: bool = False
+    # one fused XLA program per frame (lowest dispatch overhead) vs staged
+    # programs (much faster compile; the remote compiler chokes on the giant
+    # fused graph). Default staged.
+    fused_frame_step: bool = False
+    # pixel decimation for instance-set extraction (0 = auto: ~32k pixels)
+    instance_pixel_stride: int = 0
     # fixed-capacity budgets (TPU-native: padded buffers, no dynamic shapes)
     point_capacity: int = 1 << 20  # max fused scene points
     mask_point_capacity: int = 1 << 14  # max points per 3-D instance mask

@@ -238,3 +238,21 @@ class SyntheticDataset:
         """(instance (H,W) int32, label (H,W) int32) ground truth."""
         _, _, inst, lab = self._render(idx)
         return inst, lab
+
+    def save_poses(self, path) -> None:
+        """Persist the trajectory as one flattened 4x4 per line — the stored
+        walk format the reference replays through Habitat
+        (reference env/sim/habitat_sim/hm3dsem/gen_hm3dsem_walks_from_poses.py
+        + metadata/poses/*.txt)."""
+        np.savetxt(path, np.stack([p.reshape(-1) for p in self.poses]))
+
+    @staticmethod
+    def from_pose_file(
+        path, scene: Optional[SyntheticScene] = None, hw: Tuple[int, int] = (120, 160)
+    ) -> "SyntheticDataset":
+        """Deterministic walk replay: re-render a stored trajectory (the
+        multi-run regeneration strategy of SURVEY.md §4.3, hermetic)."""
+        ds = SyntheticDataset(scene=scene, num_frames=2, hw=hw)
+        ds.poses = [p.reshape(4, 4).astype(np.float32) for p in np.loadtxt(path)]
+        ds._cache = {}
+        return ds

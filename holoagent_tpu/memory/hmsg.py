@@ -458,10 +458,28 @@ class HMSGraph:
     # ------------------------------------------------------------- room names
 
     def generate_room_names(
-        self, room_type_feats: np.ndarray, room_types: Sequence[str]
+        self,
+        room_type_feats: np.ndarray,
+        room_types: Sequence[str],
+        method: str = "view_embedding",
     ) -> None:
-        """Name rooms by view-embedding vote (reference graph.py:2146-2187 /
-        room.py:131-172 `infer_room_type_from_view_embedding`, mode='label')."""
+        """Name rooms (reference graph.py:2146-2187):
+        'view_embedding' — dominant view embedding vs room-type text features
+        (room.py:131-172); 'objects' — majority-informed vote over contained
+        object names embedded as text (room.py:237-307
+        `infer_room_type_from_objects` semantics)."""
+        if method == "objects":
+            for room in self.rooms:
+                names = [o.name for o in room.objects if o.name]
+                if not names:
+                    room.name = "room"
+                    continue
+                embs = np.stack(
+                    [np.asarray(o.embedding, np.float32) for o in room.objects if o.name]
+                )
+                votes = np.argmax(embs @ room_type_feats.T, axis=1)
+                room.name = room_types[int(np.bincount(votes).argmax())]
+            return
         for room in self.rooms:
             embs = [np.asarray(e, np.float32) for e in room.embeddings]
             if not embs:

@@ -55,6 +55,7 @@ class MappedScene:
         "points_per_side",
         "max_masks",
         "mask_k_cap",
+        "pixel_stride",
         "dtype",
     ),
 )
@@ -80,6 +81,7 @@ def frame_step(
     points_per_side: int = 12,
     max_masks: int = 64,
     mask_k_cap: int = 2048,
+    pixel_stride: int = 1,
     dtype=jnp.bfloat16,
 ):
     """ONE fused frame integration program: backproject -> scene insert ->
@@ -114,7 +116,8 @@ def frame_step(
         scene, pix_rows, masks_flat, ff.valid, ff.f_masks, chunk=32768
     )
     finst = inst_mod.frame_instances.__wrapped__(
-        masks_flat, ff.valid, ff.f_masks, pix_rows, pts, min_rows=3, k_cap=mask_k_cap
+        masks_flat, ff.valid, ff.f_masks, pix_rows, pts, min_rows=3,
+        k_cap=mask_k_cap, stride=pixel_stride,
     )
     out_cap = instances.rows.shape[0]
     instances = inst_mod.merge_round.__wrapped__(
@@ -152,35 +155,82 @@ class Mapper:
 
     # -- per-frame ----------------------------------------------------------
 
+    def _pixel_stride(self, frame: RGBDFrame) -> int:
+        s = self.cfg.pipeline.instance_pixel_stride
+        if s > 0:
+            return s
+        n_pix = frame.rgb.shape[0] * frame.rgb.shape[1]
+        return max(1, n_pix // 32768)
+
     def process_frame(self, frame: RGBDFrame) -> None:
-        """Integrate one frame: ONE fused device program per frame."""
+        """Integrate one frame (fused single program or staged programs per
+        cfg.pipeline.fused_frame_step)."""
         p = self.cfg.pipeline
-        self.scene, self.instances, f_g = frame_step(
-            self.scene,
-            self.instances,
-            self.clip_params,
-            self.sam_params,
-            jnp.asarray(frame.rgb),
-            jnp.asarray(frame.depth),
-            Pinhole.from_matrix(frame.k),
-            jnp.asarray(frame.pose),
-            self.clip_variant,
-            self.sam_variant,
-            depth_cut=self.cfg.main.depth_cut,
+        if p.fused_frame_step:
+            self.scene, self.instances, f_g = frame_step(
+                self.scene,
+                self.instances,
+                self.clip_params,
+                self.sam_params,
+                jnp.asarray(frame.rgb),
+                jnp.asarray(frame.depth),
+                Pinhole.from_matrix(frame.k),
+                jnp.asarray(frame.pose),
+                self.clip_variant,
+                self.sam_variant,
+                depth_cut=self.cfg.main.depth_cut,
+                pred_iou_thresh=self.cfg.models.sam.pred_iou_thresh,
+                stability_thresh=self.cfg.models.sam.stability_score_thresh,
+                min_area=float(self.cfg.models.sam.min_mask_region_area),
+                masked_weight=p.clip_masked_weight,
+                bbox_margin=float(p.clip_bbox_margin),
+                overlap_thresh=p.init_overlap_thresh,
+                iou_thresh=p.iou_thresh,
+                points_per_side=self.cfg.models.sam.points_per_side,
+                max_masks=self.cfg.models.sam.max_masks,
+                mask_k_cap=p.mask_point_capacity,
+                pixel_stride=self._pixel_stride(frame),
+                dtype=self._dtype,
+            )
+        else:
+            self.scene, self.instances, f_g = self._staged_step(frame)
+        self.keyframes.append(frame)
+        self._kf_feats.append(np.asarray(f_g, np.float32))
+
+    def _staged_step(self, frame: RGBDFrame):
+        p = self.cfg.pipeline
+        cam = Pinhole.from_matrix(frame.k)
+        rgb = jnp.asarray(frame.rgb)
+        pts, cols, valid = backproject(
+            jnp.asarray(frame.depth), rgb, cam, jnp.asarray(frame.pose),
+            1e-3, self.cfg.main.depth_cut,
+        )
+        scene, pix_rows = scene_mod.insert_points(self.scene, pts, cols, valid)
+        ff = extract_frame_features(
+            self.clip_params, self.sam_params, rgb,
+            self.clip_variant, self.sam_variant,
+            points_per_side=self.cfg.models.sam.points_per_side,
             pred_iou_thresh=self.cfg.models.sam.pred_iou_thresh,
             stability_thresh=self.cfg.models.sam.stability_score_thresh,
             min_area=float(self.cfg.models.sam.min_mask_region_area),
+            max_masks=self.cfg.models.sam.max_masks,
             masked_weight=p.clip_masked_weight,
             bbox_margin=float(p.clip_bbox_margin),
-            overlap_thresh=p.init_overlap_thresh,
-            iou_thresh=p.iou_thresh,
-            points_per_side=self.cfg.models.sam.points_per_side,
-            max_masks=self.cfg.models.sam.max_masks,
-            mask_k_cap=p.mask_point_capacity,
             dtype=self._dtype,
         )
-        self.keyframes.append(frame)
-        self._kf_feats.append(np.asarray(f_g, np.float32))
+        masks_flat = ff.masks.reshape(ff.masks.shape[0], -1)
+        scene = scene_mod.fuse_pixel_features(
+            scene, pix_rows, masks_flat, ff.valid, ff.f_masks
+        )
+        finst = inst_mod.frame_instances(
+            masks_flat, ff.valid, ff.f_masks, pix_rows, pts,
+            min_rows=3, k_cap=p.mask_point_capacity,
+            stride=self._pixel_stride(frame),
+        )
+        instances = inst_mod.seq_merge_step(
+            self.instances, finst, p.init_overlap_thresh, p.iou_thresh
+        )
+        return scene, instances, ff.f_global
 
     def run(self, dataset: RGBDDataset) -> "MappedScene":
         skip = self.cfg.pipeline.skip_frames

@@ -117,3 +117,24 @@ def test_check_object_in_view():
     behind = np.array([[0.0, 0.0, -2.0]])
     vis2, _ = check_object_in_view(64, 48, k, np.eye(4), behind)
     assert not vis2
+
+
+def test_room_names_from_objects(built):
+    g, _, _ = built
+    import jax as _jax
+    from holoagent_tpu.models.tokenizer import SimpleTokenizer as _Tok
+    from holoagent_tpu.utils.labels import get_label_feats as _glf, DEFAULT_ROOM_TYPES as _RT
+    clip_p = clip_mod.init_clip(_jax.random.key(0), clip_mod.VARIANTS["test-tiny"])
+    rt, _ = _glf(clip_p, _Tok(), clip_mod.VARIANTS["test-tiny"], "ROOM_TYPES")
+    g.generate_room_names(np.asarray(rt), _RT, method="objects")
+    assert all(r.name for r in g.rooms)
+
+
+def test_visualizer_writes_pngs(built, tmp_path):
+    from holoagent_tpu.apps.visualize_graph import render_hierarchy, render_top_down
+
+    g, _, _ = built
+    render_top_down(g, tmp_path / "map.png")
+    render_hierarchy(g, tmp_path / "h.png")
+    assert (tmp_path / "map.png").stat().st_size > 1000
+    assert (tmp_path / "h.png").stat().st_size > 1000

@@ -40,3 +40,14 @@ def test_gt_instances_visible_across_frames():
         seen.update(np.unique(inst).tolist())
     seen.discard(-1)
     assert len(seen) >= 4  # most furniture instances observed over the orbit
+
+
+def test_pose_replay_roundtrip(tmp_path):
+    from holoagent_tpu.dataloader.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(num_frames=6, hw=(30, 40))
+    ds.save_poses(tmp_path / "poses.txt")
+    ds2 = SyntheticDataset.from_pose_file(tmp_path / "poses.txt", hw=(30, 40))
+    assert len(ds2) == 6
+    np.testing.assert_allclose(ds2[3].rgb, ds[3].rgb, atol=1e-6)
+    np.testing.assert_allclose(ds2[3].depth, ds[3].depth, atol=1e-6)
