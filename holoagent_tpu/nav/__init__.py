@@ -1,0 +1,15 @@
+"""Host-side navigation planning/control.
+
+The reference vendors ROS 2 Nav2 and configures NavFn global planning + DWB
+local control for the robot (reference nav_agent/.../g1_navigation2/param/
+g1.yaml:50-286).  This package provides the same planning/control capability
+as self-contained components: an inflated costmap from the scene's occupancy
+raster, A* global planning on it, and a dynamic-window trajectory-rollout
+local controller — so the framework can close the loop without a vendored
+navigation stack (deployments with ROS 2 keep using Nav2 through the agent
+glue instead).
+"""
+
+from .costmap import Costmap
+from .planner import astar_plan
+from .controller import DWAController

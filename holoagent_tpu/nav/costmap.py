@@ -1,0 +1,72 @@
+"""2-D costmap with obstacle inflation (nav2_costmap_2d's role:
+occupancy + inflation layers, reference g1.yaml costmap plugin config
+:137-260)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import image2d
+
+LETHAL = 254
+INSCRIBED = 253
+FREE = 0
+
+
+@dataclass
+class Costmap:
+    origin: np.ndarray  # (2,) world xy of cell (0, 0)
+    resolution: float
+    cost: np.ndarray  # (H, W) uint8
+
+    @staticmethod
+    def from_occupancy(
+        occupied: np.ndarray,  # (H, W) bool
+        origin: np.ndarray,
+        resolution: float,
+        robot_radius: float = 0.3,
+        inflation_radius: float = 0.8,
+        cost_scaling: float = 3.0,
+    ) -> "Costmap":
+        """Lethal at obstacles, inscribed within the robot radius, then an
+        exponential decay out to the inflation radius (the nav2 inflation
+        layer's cost profile)."""
+        dist = np.asarray(image2d.distance_transform(jnp.asarray(occupied))) * resolution
+        cost = np.zeros(occupied.shape, np.uint8)
+        decay = np.exp(-cost_scaling * (dist - robot_radius))
+        band = (INSCRIBED - 1) * np.clip(decay, 0.0, 1.0)
+        cost = np.where(dist <= inflation_radius, band, 0).astype(np.uint8)
+        cost[dist <= robot_radius] = INSCRIBED
+        cost[occupied] = LETHAL
+        return Costmap(np.asarray(origin, np.float64), float(resolution), cost)
+
+    def to_grid(self, xy: np.ndarray) -> np.ndarray:
+        xy = np.asarray(xy, np.float64)
+        return np.stack(
+            [
+                np.floor((xy[..., 1] - self.origin[1]) / self.resolution),
+                np.floor((xy[..., 0] - self.origin[0]) / self.resolution),
+            ],
+            axis=-1,
+        ).astype(np.int64)
+
+    def to_world(self, rc: np.ndarray) -> np.ndarray:
+        rc = np.asarray(rc, np.float64)
+        return np.stack(
+            [
+                (rc[..., 1] + 0.5) * self.resolution + self.origin[0],
+                (rc[..., 0] + 0.5) * self.resolution + self.origin[1],
+            ],
+            axis=-1,
+        )
+
+    def cost_at_world(self, xy: np.ndarray) -> np.ndarray:
+        rc = self.to_grid(xy)
+        h, w = self.cost.shape
+        r = np.clip(rc[..., 0], 0, h - 1)
+        c = np.clip(rc[..., 1], 0, w - 1)
+        inb = (rc[..., 0] == r) & (rc[..., 1] == c)
+        return np.where(inb, self.cost[r, c], LETHAL)
