@@ -8,24 +8,45 @@ pipeline — backprojection + voxel-scene insert, SAM automatic masks
 (ConceptFusion), per-pixel feature fusion, and the instance merge fold — at
 the reference's 5 cm / 0.75-overlap operating point with random-init weights
 (throughput is weight-independent).  SAM backbone: vit_b this round (vit_h
-pending the rel-pos Pallas flash-attention variant).
+pending the rel-pos flash-attention variant).
 
-Each stage is timed ON DEVICE with a serially-dependent scan + host-fetch
-sync (the sandbox's TPU tunnel neither syncs on block_until_ready nor
-amortizes its ~30 ms RPC latency, and its remote compiler cannot hold the
-fully-fused frame program — staged timing measures the chip, not the tunnel).
-mapping FPS = 1 / sum(stage seconds).
+Timing method: this sandbox reaches its chip through an RPC tunnel with ~30 ms
+round-trip that `block_until_ready` does not observe, and a remote compiler
+that cannot hold scan-wrapped mega-programs.  So the benchmark times the exact
+programs the production Mapper dispatches (per-stage), syncing each iteration
+with a host scalar fetch, and subtracts the independently measured tunnel
+round-trip from every dispatch.  mapping FPS = 1 / sum(per-stage device time).
 
-`vs_baseline`: the reference is single-GPU torch/CUDA and publishes no
-numbers (BASELINE.md); the driver target is ">5x reference CPU throughput".
-We normalize against a nominal 1.0 FPS reference rate (generous: its
+`vs_baseline`: the reference is single-GPU torch/CUDA and publishes no numbers
+(BASELINE.md); the driver target is ">5x reference CPU throughput".  We
+normalize against a nominal 1.0 FPS reference rate (generous: its
 host-orchestrated per-frame SAM ViT-H + per-crop CLIP pipeline is slower than
-that even on its GPU), so vs_baseline == measured FPS.
+that even on GPU), so vs_baseline == measured FPS.
 """
 
 import json
+import statistics
+import time
 
 import numpy as np
+
+
+def _sync(x):
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(x)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
+def _time_dispatch(fn, iters=6):
+    """Median seconds per dispatch incl. tunnel RTT (each iter host-synced)."""
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn())
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
 
 
 def main():
@@ -40,7 +61,6 @@ def main():
     from holoagent_tpu.ops.backproject import backproject
     from holoagent_tpu.ops.voxel import GridSpec
     from holoagent_tpu.perception.extractor import extract_frame_features
-    from holoagent_tpu.utils.benchtime import time_device_fn
     from holoagent_tpu.utils.camera import Pinhole
 
     dev = jax.devices()[0]
@@ -59,51 +79,51 @@ def main():
     grid = GridSpec.centered(0.05)
     scene = scene_mod.init_scene(grid, 1 << 19, cv.embed_dim)
     instances = inst_mod.empty_instances(256, 2048, cv.embed_dim)
-    n_pix = 480 * 640
-    stride = max(1, n_pix // 32768)
+    stride = max(1, (480 * 640) // 32768)
 
-    stage_s = {}
+    # tunnel round-trip floor (cached trivial program)
+    trivial = jax.jit(lambda x: x + 1.0)
+    xs = jnp.zeros((8, 128))
+    _sync(trivial(xs))
+    rtt = _time_dispatch(lambda: trivial(xs), iters=8)
 
-    # stage 1: backproject + scene insert
-    def s1(d, r, po, sc):
-        pts, cols, valid = backproject(d, r, cam, po, 1e-3, 10.0)
-        sc2, rows = scene_mod.insert_points(sc, pts, cols, valid)
-        return pts, rows, sc2
-
-    pts, rows, scene = s1(depth, rgb, pose, scene)
-    stage_s["insert"] = time_device_fn(
-        lambda d, r, po, sc: s1(d, r, po, sc)[2].count, (depth, rgb, pose, scene), iters=8
+    # warm up + materialize intermediates the later stages need
+    pts, cols, valid = backproject(depth, rgb, cam, pose, 1e-3, 10.0)
+    scene1, rows = scene_mod.insert_points(scene, pts, cols, valid)
+    ff = extract_frame_features(
+        clip_params, sam_params, rgb, cv, sv,
+        points_per_side=12, max_masks=64, dtype=jnp.bfloat16,
     )
-
-    # stage 2: SAM + CLIP ConceptFusion extraction
-    def s2(r):
-        return extract_frame_features(
-            clip_params, sam_params, r, cv, sv,
-            points_per_side=12, max_masks=64, dtype=jnp.bfloat16,
-        )
-
-    ff = s2(rgb)
-    stage_s["extract"] = time_device_fn(lambda r: s2(r).f_masks, (rgb,), iters=4)
-
-    # stage 3: feature scatter + instance fold
     masks_flat = ff.masks.reshape(64, -1)
-
-    def s3(mf, sc, inst):
-        sc2 = scene_mod.fuse_pixel_features(sc, rows, mf, ff.valid, ff.f_masks)
-        finst = inst_mod.frame_instances(
-            mf, ff.valid, ff.f_masks, rows, pts, k_cap=2048, stride=stride
-        )
-        inst2 = inst_mod.seq_merge_step(inst, finst, 0.75, 0.05)
-        return sc2.feat_count, inst2.count
-
-    stage_s["fuse_merge"] = time_device_fn(
-        lambda mf, sc, inst: s3(mf, sc, inst), (masks_flat, scene, instances), iters=4
+    _sync(scene_mod.fuse_pixel_features(scene1, rows, masks_flat, ff.valid, ff.f_masks).feat_count)
+    finst = inst_mod.frame_instances(
+        masks_flat, ff.valid, ff.f_masks, rows, pts, k_cap=2048, stride=stride
     )
+    _sync(inst_mod.seq_merge_step(instances, finst, 0.75, 0.05).count)
+
+    stages = {
+        "backproject": lambda: backproject(depth, rgb, cam, pose, 1e-3, 10.0)[0],
+        "insert": lambda: scene_mod.insert_points(scene, pts, cols, valid)[0].count,
+        "extract": lambda: extract_frame_features(
+            clip_params, sam_params, rgb, cv, sv,
+            points_per_side=12, max_masks=64, dtype=jnp.bfloat16,
+        ).f_masks,
+        "fuse": lambda: scene_mod.fuse_pixel_features(
+            scene1, rows, masks_flat, ff.valid, ff.f_masks
+        ).feat_count,
+        "instances": lambda: inst_mod.frame_instances(
+            masks_flat, ff.valid, ff.f_masks, rows, pts, k_cap=2048, stride=stride
+        ).count,
+        "merge": lambda: inst_mod.seq_merge_step(instances, finst, 0.75, 0.05).count,
+    }
+    stage_s = {}
+    for name, fn in stages.items():
+        stage_s[name] = max(_time_dispatch(fn) - rtt, 1e-4)
 
     total = sum(stage_s.values())
     fps = 1.0 / total
     print(
-        "# stage ms/frame: "
+        f"# rtt {rtt*1e3:.1f} ms; stage ms/frame: "
         + ", ".join(f"{k}={v*1e3:.1f}" for k, v in stage_s.items())
         + f"; total {total*1e3:.1f} ms on {dev}",
         flush=True,
