@@ -79,6 +79,38 @@ def _load() -> C.CDLL:
         C.c_int, C.c_float, C.c_float, C.c_int, C.c_void_p,
     ]
     lib.velbridge_close.argtypes = [C.c_int]
+    # registration (FRICP role)
+    lib.reg_index_create.restype = C.c_void_p
+    lib.reg_index_create.argtypes = [C.c_void_p, C.c_size_t, C.c_double]
+    lib.reg_index_destroy.argtypes = [C.c_void_p]
+    lib.reg_register.restype = C.c_double
+    lib.reg_register.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_size_t, C.c_int, C.c_int, C.c_double,
+        C.c_int, C.c_void_p, C.POINTER(C.c_double),
+    ]
+    # preprocess
+    lib.pp_sweep.restype = C.c_size_t
+    lib.pp_sweep.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t, C.c_double, C.c_double,
+        C.c_int, C.c_int, C.c_double, C.c_double,
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+    ]
+    # pose graph
+    lib.pg_create.restype = C.c_void_p
+    lib.pg_destroy.argtypes = [C.c_void_p]
+    lib.pg_add_node.restype = C.c_int
+    lib.pg_add_node.argtypes = [C.c_void_p, C.c_void_p]
+    lib.pg_add_prior.argtypes = [
+        C.c_void_p, C.c_int, C.c_void_p, C.c_double, C.c_double,
+    ]
+    lib.pg_add_between.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.c_void_p, C.c_double, C.c_double, C.c_int,
+    ]
+    lib.pg_optimize.restype = C.c_double
+    lib.pg_optimize.argtypes = [C.c_void_p, C.c_int]
+    lib.pg_get_pose.argtypes = [C.c_void_p, C.c_int, C.c_void_p]
+    lib.pg_num_nodes.restype = C.c_size_t
+    lib.pg_num_nodes.argtypes = [C.c_void_p]
     return lib
 
 
@@ -209,6 +241,131 @@ class ImuPropagator:
             _ptr(pts), _ptr(tp), len(pts), sweep_dt,
         )
         return pts
+
+
+class Registration:
+    """Fast & Robust ICP family on a voxel-hash NN index (native).
+
+    The FRICP-toolkit role (reference nav_agent/.../include/FRICP-toolkit/
+    FRICP.h, ICP.h, AndersonAcceleration.h and the regMode selector in
+    online-relo/pose_estimator.cpp:28-39): modes 0 point-to-point,
+    1 point-to-plane, 2 robust (Welsch) point-to-point, 3 robust
+    point-to-plane; optional Anderson acceleration (AA-ICP)."""
+
+    P2P, P2PLANE, ROBUST_P2P, ROBUST_P2PLANE = 0, 1, 2, 3
+
+    def __init__(self, target: np.ndarray, cell: float = 0.5):
+        self._l = lib()
+        tgt = np.ascontiguousarray(target, np.float64)
+        self._tgt = tgt  # keep alive
+        self._h = self._l.reg_index_create(_ptr(tgt), len(tgt), cell)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._l.reg_index_destroy(self._h)
+
+    def register(
+        self,
+        source: np.ndarray,
+        pose_init: Optional[np.ndarray] = None,
+        mode: int = ROBUST_P2P,
+        max_iters: int = 30,
+        max_corr: float = 1.0,
+        anderson: bool = True,
+    ) -> Tuple[np.ndarray, float, float]:
+        """Returns (pose 4x4 mapping source->target, inlier RMSE, inlier frac)."""
+        src = np.ascontiguousarray(source, np.float64)
+        pose = (
+            np.eye(4) if pose_init is None else np.asarray(pose_init, np.float64)
+        ).reshape(16).copy()
+        frac = C.c_double()
+        rmse = self._l.reg_register(
+            self._h, _ptr(src), len(src), mode, max_iters, max_corr,
+            int(anderson), _ptr(pose), C.byref(frac),
+        )
+        return pose.reshape(4, 4), float(rmse), float(frac.value)
+
+
+def preprocess_sweep(
+    xyz: np.ndarray,
+    intensity: Optional[np.ndarray] = None,
+    t_offset: Optional[np.ndarray] = None,
+    blind_radius: float = 0.5,
+    max_radius: float = 100.0,
+    point_stride: int = 1,
+    feature_window: int = 4,
+    edge_thresh: float = 0.12,
+    surf_thresh: float = 0.02,
+):
+    """LiDAR sweep preprocessing (native): validity/range gate, stride,
+    time ordering, LOAM-style surface/edge tags (reference
+    lio_mapping_loc/src/preprocess.cpp role).
+
+    Returns (xyz, intensity, t, tag) arrays of the kept points; tag is
+    0 untagged / 1 surface / 2 edge."""
+    l = lib()
+    pts = np.ascontiguousarray(xyz, np.float32)
+    n = len(pts)
+    inten = (
+        np.ascontiguousarray(intensity, np.float32) if intensity is not None else None
+    )
+    toff = np.ascontiguousarray(t_offset, np.float32) if t_offset is not None else None
+    out_xyz = np.zeros((n, 3), np.float32)
+    out_i = np.zeros(n, np.float32)
+    out_t = np.zeros(n, np.float32)
+    out_tag = np.zeros(n, np.uint8)
+    m = l.pp_sweep(
+        _ptr(pts), _ptr(inten) if inten is not None else None,
+        _ptr(toff) if toff is not None else None, n,
+        blind_radius, max_radius, point_stride, feature_window,
+        edge_thresh, surf_thresh,
+        _ptr(out_xyz), _ptr(out_i), _ptr(out_t), _ptr(out_tag),
+    )
+    m = int(m)
+    return out_xyz[:m], out_i[:m], out_t[:m], out_tag[:m]
+
+
+class PoseGraph:
+    """Batch SE(3) pose-graph optimizer (native).
+
+    The gtsam role in the reference (LIVMapper.cpp:837-895 prior/odom/loop
+    factors; multi-session anchor merging Incremental_mapping.hpp:65-237):
+    prior + between factors with diagonal information, optional Huber
+    robustness on loop factors, Gauss-Newton with dense Cholesky."""
+
+    def __init__(self):
+        self._l = lib()
+        self._h = self._l.pg_create()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._l.pg_destroy(self._h)
+
+    def add_node(self, pose: np.ndarray) -> int:
+        p = np.ascontiguousarray(pose, np.float64).reshape(16)
+        return int(self._l.pg_add_node(self._h, _ptr(p)))
+
+    def add_prior(self, i: int, pose: np.ndarray, rot_w: float = 1e4, trans_w: float = 1e4):
+        p = np.ascontiguousarray(pose, np.float64).reshape(16)
+        self._l.pg_add_prior(self._h, i, _ptr(p), rot_w, trans_w)
+
+    def add_between(
+        self, i: int, j: int, rel: np.ndarray, rot_w: float = 100.0,
+        trans_w: float = 100.0, robust: bool = False,
+    ):
+        p = np.ascontiguousarray(rel, np.float64).reshape(16)
+        self._l.pg_add_between(self._h, i, j, _ptr(p), rot_w, trans_w, int(robust))
+
+    def optimize(self, max_iters: int = 20) -> float:
+        return float(self._l.pg_optimize(self._h, max_iters))
+
+    def pose(self, i: int) -> np.ndarray:
+        out = np.zeros(16, np.float64)
+        self._l.pg_get_pose(self._h, i, _ptr(out))
+        return out.reshape(4, 4)
+
+    def __len__(self) -> int:
+        return int(self._l.pg_num_nodes(self._h))
 
 
 class VelocityBridge:

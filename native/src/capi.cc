@@ -4,10 +4,18 @@
 #include <vector>
 
 #include "holoagent/imu.h"
+#include "holoagent/pose_graph.h"
+#include "holoagent/preprocess.h"
+#include "holoagent/registration.h"
 #include "holoagent/scan_context.h"
 #include "holoagent/voxel_plane_map.h"
 
+using holoagent::GridIndex;
 using holoagent::ImuState;
+using holoagent::Mat3;
+using holoagent::PoseGraph;
+using holoagent::PreprocessParams;
+using holoagent::RegMode;
 using holoagent::ScanContext;
 using holoagent::Vec3;
 using holoagent::VoxelPlaneMap;
@@ -120,5 +128,81 @@ void imu_undistort_c(const double* state17, const double* gyro,
   holoagent::undistort_sweep(unpack(state17), gyro, accel, dts, n_imu, points,
                              t_points, n_points, sweep_dt);
 }
+
+// --------------------------------------------------------- Registration (FRICP)
+
+void* reg_index_create(const double* pts, size_t n, double cell) {
+  return new GridIndex(pts, n, cell);
+}
+
+void reg_index_destroy(void* h) { delete static_cast<GridIndex*>(h); }
+
+// pose16 (row-major 4x4) is the initial guess in and the result out.
+// Returns inlier RMSE (or -1 if registration failed to find correspondences).
+double reg_register(void* index_h, const double* src, size_t n_src, int mode,
+                    int max_iters, double max_corr, int use_anderson,
+                    double* pose16, double* inlier_frac_out) {
+  const GridIndex& index = *static_cast<GridIndex*>(index_h);
+  Mat3 r0;
+  for (int r = 0; r < 3; ++r)
+    for (int c = 0; c < 3; ++c) r0(r, c) = pose16[r * 4 + c];
+  Vec3 t0{pose16[3], pose16[7], pose16[11]};
+  auto res = holoagent::register_clouds(src, n_src, index, (RegMode)mode,
+                                        max_iters, max_corr, use_anderson != 0,
+                                        r0, t0);
+  for (int r = 0; r < 3; ++r)
+    for (int c = 0; c < 3; ++c) pose16[r * 4 + c] = res.rot(r, c);
+  pose16[3] = res.trans.x; pose16[7] = res.trans.y; pose16[11] = res.trans.z;
+  pose16[12] = pose16[13] = pose16[14] = 0.0; pose16[15] = 1.0;
+  if (inlier_frac_out) *inlier_frac_out = res.inlier_frac;
+  return res.rmse;
+}
+
+// ------------------------------------------------------------------ Preprocess
+
+size_t pp_sweep(const float* xyz, const float* intensity, const float* t_offset,
+                size_t n, double blind, double max_r, int stride, int feat_win,
+                double edge_thresh, double surf_thresh, float* out_xyz,
+                float* out_intensity, float* out_t, uint8_t* out_tag) {
+  PreprocessParams p;
+  p.blind_radius = blind;
+  p.max_radius = max_r;
+  p.point_stride = stride;
+  p.feature_window = feat_win;
+  p.edge_thresh = edge_thresh;
+  p.surf_thresh = surf_thresh;
+  return holoagent::preprocess_sweep(xyz, intensity, t_offset, n, p, out_xyz,
+                                     out_intensity, out_t, out_tag);
+}
+
+// ------------------------------------------------------------------ Pose graph
+
+void* pg_create() { return new PoseGraph(); }
+void pg_destroy(void* h) { delete static_cast<PoseGraph*>(h); }
+
+int pg_add_node(void* h, const double* pose16) {
+  return static_cast<PoseGraph*>(h)->add_node(pose16);
+}
+
+void pg_add_prior(void* h, int id, const double* pose16, double rot_w,
+                  double trans_w) {
+  static_cast<PoseGraph*>(h)->add_prior(id, pose16, rot_w, trans_w);
+}
+
+void pg_add_between(void* h, int i, int j, const double* rel16, double rot_w,
+                    double trans_w, int robust) {
+  static_cast<PoseGraph*>(h)->add_between(i, j, rel16, rot_w, trans_w,
+                                          robust != 0);
+}
+
+double pg_optimize(void* h, int max_iters) {
+  return static_cast<PoseGraph*>(h)->optimize(max_iters);
+}
+
+void pg_get_pose(void* h, int id, double* pose16_out) {
+  static_cast<PoseGraph*>(h)->get_pose(id, pose16_out);
+}
+
+size_t pg_num_nodes(void* h) { return static_cast<PoseGraph*>(h)->num_nodes(); }
 
 }  // extern "C"

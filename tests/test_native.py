@@ -148,3 +148,182 @@ def test_velocity_bridge(tmp_path):
     out = vb.read_shaped()
     np.testing.assert_allclose(out[0], 0.2, atol=1e-6)
     vb.close()
+
+
+# ---------------------------------------------------------------------------
+# Registration (FRICP role)
+# ---------------------------------------------------------------------------
+
+
+def _structured_cloud(rng, n=3000):
+    """Two walls + floor + a blob: enough structure to lock all 6 DoF."""
+    f = rng.uniform([-4, -4, 0], [4, 4, 0.02], (n // 3, 3))
+    w1 = rng.uniform([-4, -4.02, 0], [4, -3.98, 2.5], (n // 3, 3))
+    w2 = rng.uniform([-4.02, -4, 0], [-3.98, 4, 2.5], (n // 3, 3))
+    blob = rng.normal([2.0, 1.0, 0.8], 0.3, (n // 6, 3))
+    return np.concatenate([f, w1, w2, blob])
+
+
+def _se3(rng, rot_deg, trans):
+    ang = np.deg2rad(rot_deg)
+    c, s = np.cos(ang), np.sin(ang)
+    T = np.eye(4)
+    T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    T[:3, 3] = trans
+    return T
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
+def test_registration_recovers_transform(rng, mode):
+    from holoagent_tpu.native import Registration
+
+    tgt = _structured_cloud(rng)
+    T = _se3(rng, 8.0, [0.3, -0.2, 0.1])
+    src = (np.linalg.inv(T)[:3, :3] @ tgt.T).T + np.linalg.inv(T)[:3, 3]
+    reg = Registration(tgt, cell=0.6)
+    pose, rmse, frac = reg.register(src, mode=mode, max_iters=40, max_corr=1.2)
+    err_t = np.linalg.norm(pose[:3, 3] - T[:3, 3])
+    err_r = np.rad2deg(
+        np.arccos(np.clip((np.trace(pose[:3, :3].T @ T[:3, :3]) - 1) / 2, -1, 1))
+    )
+    assert err_t < 0.05, (mode, err_t, rmse)
+    assert err_r < 1.5, (mode, err_r)
+    assert frac > 0.8
+
+
+def test_registration_robust_vs_outliers(rng):
+    """Welsch-weighted mode stays accurate with 25% gross outliers."""
+    from holoagent_tpu.native import Registration
+
+    tgt = _structured_cloud(rng)
+    T = _se3(rng, 5.0, [0.25, 0.1, 0.0])
+    src = (np.linalg.inv(T)[:3, :3] @ tgt.T).T + np.linalg.inv(T)[:3, 3]
+    n_out = len(src) // 4
+    src[rng.choice(len(src), n_out, replace=False)] += rng.normal(0, 1.0, (n_out, 3))
+    reg = Registration(tgt, cell=0.6)
+    pose, _, _ = reg.register(src, mode=Registration.ROBUST_P2P, max_iters=40)
+    assert np.linalg.norm(pose[:3, 3] - T[:3, 3]) < 0.08
+
+
+def test_registration_anderson_converges_no_worse(rng):
+    from holoagent_tpu.native import Registration
+
+    tgt = _structured_cloud(rng)
+    T = _se3(rng, 12.0, [0.5, -0.3, 0.15])
+    src = (np.linalg.inv(T)[:3, :3] @ tgt.T).T + np.linalg.inv(T)[:3, 3]
+    reg = Registration(tgt, cell=0.6)
+    p_aa, r_aa, _ = reg.register(src, mode=0, max_iters=25, anderson=True)
+    p_gn, r_gn, _ = reg.register(src, mode=0, max_iters=25, anderson=False)
+    e_aa = np.linalg.norm(p_aa[:3, 3] - T[:3, 3])
+    e_gn = np.linalg.norm(p_gn[:3, 3] - T[:3, 3])
+    assert e_aa < max(2 * e_gn, 0.06)
+
+
+# ---------------------------------------------------------------------------
+# Preprocess
+# ---------------------------------------------------------------------------
+
+
+def test_preprocess_filters_and_orders(rng):
+    from holoagent_tpu.native import preprocess_sweep
+
+    n = 1000
+    xyz = rng.uniform(-50, 50, (n, 3)).astype(np.float32)
+    xyz[0] = [0.1, 0.1, 0.0]        # inside blind radius
+    xyz[1] = [500.0, 0.0, 0.0]      # beyond max radius
+    xyz[2] = [np.nan, 0.0, 0.0]     # invalid
+    t = rng.uniform(0, 0.1, n).astype(np.float32)
+    inten = rng.uniform(0, 255, n).astype(np.float32)
+    out_xyz, out_i, out_t, tag = preprocess_sweep(
+        xyz, inten, t, blind_radius=0.5, max_radius=100.0
+    )
+    assert len(out_xyz) <= n - 3
+    assert np.all(np.diff(out_t) >= 0)  # time-ordered
+    r = np.linalg.norm(out_xyz, axis=1)
+    assert r.min() >= 0.5 and r.max() <= 100.0
+
+
+def test_preprocess_stride_and_tags(rng):
+    from holoagent_tpu.native import preprocess_sweep
+
+    # smooth arc -> surface tags; an inserted spike -> edge tag near it
+    ang = np.linspace(0, np.pi / 2, 400)
+    xyz = np.stack([10 * np.cos(ang), 10 * np.sin(ang), np.zeros_like(ang)], 1)
+    xyz[200] = [14.0, 14.0, 0.0]  # range discontinuity
+    xyz = xyz.astype(np.float32)
+    t = np.linspace(0, 0.1, 400).astype(np.float32)
+    out_xyz, _, _, tag = preprocess_sweep(
+        xyz, None, t, blind_radius=0.5, max_radius=100.0,
+        feature_window=4, edge_thresh=0.05, surf_thresh=0.01,
+    )
+    assert (tag == 1).sum() > 200          # mostly surface
+    assert (tag == 2).sum() >= 1           # the spike region is edge
+    strided, _, _, _ = preprocess_sweep(xyz, None, t, point_stride=4)
+    assert abs(len(strided) - len(out_xyz) / 4) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Pose graph
+# ---------------------------------------------------------------------------
+
+
+def _pose_yaw(yaw, t):
+    T = np.eye(4)
+    c, s = np.cos(yaw), np.sin(yaw)
+    T[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    T[:3, 3] = t
+    return T
+
+
+def test_pose_graph_loop_closure(rng):
+    """Square trajectory with drift; loop factor pulls the end onto the start."""
+    from holoagent_tpu.native import PoseGraph
+
+    gt = [_pose_yaw(i * np.pi / 2, [[0, 0], [5, 0], [5, 5], [0, 5]][i] + [0]) for i in range(4)]
+    # odometry with yaw drift
+    pg = PoseGraph()
+    est = [gt[0]]
+    for i in range(1, 4):
+        rel = np.linalg.inv(gt[i - 1]) @ gt[i]
+        drift = _pose_yaw(0.05, [0.1, 0, 0])
+        est.append(est[-1] @ rel @ drift)
+    ids = [pg.add_node(p) for p in est]
+    pg.add_prior(ids[0], gt[0])
+    for i in range(1, 4):
+        rel = np.linalg.inv(gt[i - 1]) @ gt[i]
+        pg.add_between(ids[i - 1], ids[i], rel)
+    # loop closure: node 3 -> node 0 measured relative pose (exact)
+    rel30 = np.linalg.inv(gt[3]) @ gt[0]
+    pg.add_between(ids[3], ids[0], rel30, robust=True)
+    before = np.linalg.norm(est[3][:3, 3] - gt[3][:3, 3])
+    pg.optimize(25)
+    after = np.linalg.norm(pg.pose(ids[3])[:3, 3] - gt[3][:3, 3])
+    assert after < before * 0.3, (before, after)
+    assert np.linalg.norm(pg.pose(ids[0])[:3, 3] - gt[0][:3, 3]) < 1e-2
+
+
+def test_pose_graph_anchor_merge(rng):
+    """Two-session merge through anchor nodes (multi-session role): session B
+    is expressed in a frame offset from A; inter-session between factors via
+    the anchors recover the offset."""
+    from holoagent_tpu.native import PoseGraph
+
+    pg = PoseGraph()
+    # session A: two nodes on the x axis (world frame), anchored at origin
+    a0 = pg.add_node(_pose_yaw(0, [0, 0, 0]))
+    a1 = pg.add_node(_pose_yaw(0, [2, 0, 0]))
+    pg.add_prior(a0, _pose_yaw(0, [0, 0, 0]))
+    pg.add_between(a0, a1, _pose_yaw(0, [2, 0, 0]))
+    # session B: same two physical places, but B's local frame is offset by
+    # (1, 1, 0): B sees them at (-1,-1) and (1,-1).  Start B's nodes at their
+    # (wrong) local coordinates.
+    b0 = pg.add_node(_pose_yaw(0, [-1, -1, 0]))
+    b1 = pg.add_node(_pose_yaw(0, [1, -1, 0]))
+    pg.add_between(b0, b1, _pose_yaw(0, [2, 0, 0]))
+    # inter-session loop closures: b0 is at the same place as a0, b1 as a1
+    pg.add_between(a0, b0, np.eye(4), robust=True)
+    pg.add_between(a1, b1, np.eye(4), robust=True)
+    pg.optimize(25)
+    assert np.linalg.norm(pg.pose(b0)[:3, 3] - [0, 0, 0]) < 1e-2
+    assert np.linalg.norm(pg.pose(b1)[:3, 3] - [2, 0, 0]) < 1e-2
+    assert len(pg) == 4
