@@ -8,4 +8,5 @@ bridge).  The ROS 2 / DDS world stays host-side and talks to these over zmq.
 """
 
 from .goal_service import GoalService, GoalResult
+from .voice_client import VoiceClient
 from .waypoint_navigator import WaypointNavigator

@@ -1,0 +1,71 @@
+"""Voice client layer: WS framing, PCM codec, loopback round trip."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from holoagent_tpu.agent.voice_client import (
+    LoopbackVoiceServer,
+    VoiceClient,
+    decode_pcm_b64,
+    encode_pcm_b64,
+    pcm_float_to_int16,
+    pcm_int16_to_float,
+    resample_linear,
+)
+
+
+def test_pcm_roundtrip(rng):
+    x = rng.uniform(-0.9, 0.9, 4096).astype(np.float32)
+    y = pcm_int16_to_float(pcm_float_to_int16(x))
+    np.testing.assert_allclose(y, x, atol=1e-4)
+    z = decode_pcm_b64(encode_pcm_b64(x))
+    np.testing.assert_allclose(z, x, atol=1e-4)
+
+
+def test_resample_preserves_tone(rng):
+    """A 440 Hz tone resampled 48k->16k keeps its frequency."""
+    t = np.arange(48000) / 48000.0
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = resample_linear(x, 48000, 16000)
+    assert abs(len(y) - 16000) <= 1
+    spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    peak_hz = np.argmax(spec) * 16000 / len(y)
+    assert abs(peak_hz - 440) < 5
+
+
+def test_voice_loopback_roundtrip(rng):
+    """Audio up -> transcript down -> waypoint feedback -> signal ack."""
+    server = LoopbackVoiceServer(transcript="go to the red chair", min_samples=4000)
+    texts, signals = [], []
+    got_text = threading.Event()
+    got_signal = threading.Event()
+
+    def on_text(t):
+        texts.append(t)
+        got_text.set()
+
+    def on_signal(s):
+        signals.append(s)
+        got_signal.set()
+
+    client = VoiceClient(
+        "127.0.0.1", server.port, on_text=on_text, on_signal=on_signal,
+        capture_rate=48000, server_rate=16000, heartbeat_s=0.2,
+    )
+    try:
+        chunk = rng.uniform(-0.5, 0.5, 6000).astype(np.float32)
+        for _ in range(3):  # 3 x 2000 samples at 16k after resample
+            client.send_audio(chunk)
+        assert got_text.wait(5.0), "no transcript received"
+        assert texts == ["go to the red chair"]
+        client.notify_waypoint_reached("1")
+        assert got_signal.wait(5.0), "no signal ack received"
+        assert signals == ["ack"]
+        time.sleep(0.5)  # let at least one heartbeat ping/pong cycle run
+        assert client._alive
+        assert server.waypoint_msgs == ["1"]
+    finally:
+        client.close()
