@@ -95,6 +95,18 @@ def _load() -> C.CDLL:
         C.c_int, C.c_int, C.c_double, C.c_double,
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
     ]
+    # vio
+    lib.vio_create.restype = C.c_void_p
+    lib.vio_create.argtypes = [
+        C.c_int, C.c_int, C.c_double, C.c_double, C.c_double, C.c_double,
+        C.c_double, C.c_int, C.c_int,
+    ]
+    lib.vio_destroy.argtypes = [C.c_void_p]
+    lib.vio_num_points.restype = C.c_size_t
+    lib.vio_num_points.argtypes = [C.c_void_p]
+    lib.vio_process.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_int, C.c_void_p,
+    ]
     # pose graph
     lib.pg_create.restype = C.c_void_p
     lib.pg_destroy.argtypes = [C.c_void_p]
@@ -323,6 +335,56 @@ def preprocess_sweep(
     )
     m = int(m)
     return out_xyz[:m], out_i[:m], out_t[:m], out_tag[:m]
+
+
+class Vio:
+    """Sparse-patch photometric visual odometry (native).
+
+    The VIOManager role (reference nav_agent/.../lio_mapping_loc/src/vio.cpp,
+    include/vio.h:82-210): voxel-hashed visual point map with grayscale
+    reference patches, per-cell retrieval, joint Gauss-Newton over se(3) pose
+    + affine brightness (exposure estimation role), gradient-based new-point
+    spawning with per-voxel LRU eviction."""
+
+    def __init__(
+        self, width: int, height: int, fx: float, fy: float, cx: float, cy: float,
+        map_cell: float = 0.5, max_per_cell: int = 8, grid_px: int = 32,
+    ):
+        self._l = lib()
+        self._h = self._l.vio_create(
+            width, height, fx, fy, cx, cy, map_cell, max_per_cell, grid_px
+        )
+        self.shape = (height, width)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._l.vio_destroy(self._h)
+
+    def __len__(self) -> int:
+        return int(self._l.vio_num_points(self._h))
+
+    def process(
+        self,
+        image: np.ndarray,                 # (H, W) float gray [0,1]
+        pose_guess: np.ndarray,            # (4, 4) camera-to-world
+        depth: Optional[np.ndarray] = None,  # (H, W) meters; enables spawning
+        max_iters: int = 12,
+    ):
+        """Returns (pose 4x4, stats dict)."""
+        img = np.ascontiguousarray(image, np.float32)
+        assert img.shape == self.shape, (img.shape, self.shape)
+        d = np.ascontiguousarray(depth, np.float32) if depth is not None else None
+        pose = np.ascontiguousarray(pose_guess, np.float64).reshape(16).copy()
+        stats = np.zeros(6, np.float64)
+        self._l.vio_process(
+            self._h, _ptr(img), _ptr(d) if d is not None else None,
+            _ptr(pose), max_iters, _ptr(stats),
+        )
+        return pose.reshape(4, 4), {
+            "rmse": stats[0], "affine_a": stats[1], "affine_b": stats[2],
+            "n_tracked": int(stats[3]), "n_spawned": int(stats[4]),
+            "iters": int(stats[5]),
+        }
 
 
 class PoseGraph:

@@ -8,6 +8,7 @@
 #include "holoagent/preprocess.h"
 #include "holoagent/registration.h"
 #include "holoagent/scan_context.h"
+#include "holoagent/vio.h"
 #include "holoagent/voxel_plane_map.h"
 
 using holoagent::GridIndex;
@@ -173,6 +174,44 @@ size_t pp_sweep(const float* xyz, const float* intensity, const float* t_offset,
   p.surf_thresh = surf_thresh;
   return holoagent::preprocess_sweep(xyz, intensity, t_offset, n, p, out_xyz,
                                      out_intensity, out_t, out_tag);
+}
+
+// ------------------------------------------------------------------------ VIO
+
+void* vio_create(int w, int h, double fx, double fy, double cx, double cy,
+                 double map_cell, int max_per_cell, int grid_px) {
+  holoagent::PinholeCam cam;
+  cam.width = w; cam.height = h;
+  cam.fx = fx; cam.fy = fy; cam.cx = cx; cam.cy = cy;
+  return new holoagent::VioManager(cam, map_cell, max_per_cell, grid_px);
+}
+
+void vio_destroy(void* h) { delete static_cast<holoagent::VioManager*>(h); }
+
+size_t vio_num_points(void* h) {
+  return static_cast<holoagent::VioManager*>(h)->num_points();
+}
+
+// pose16: camera-to-world, in (guess) / out (refined).  stats6 out:
+// [rmse, affine_a, affine_b, n_tracked, n_spawned, iters]
+void vio_process(void* h, const float* img, const float* depth, double* pose16,
+                 int max_iters, double* stats6) {
+  auto* vm = static_cast<holoagent::VioManager*>(h);
+  Mat3 r;
+  for (int rr = 0; rr < 3; ++rr)
+    for (int c = 0; c < 3; ++c) r(rr, c) = pose16[rr * 4 + c];
+  Vec3 t{pose16[3], pose16[7], pose16[11]};
+  auto res = vm->process_frame(img, depth, r, t, max_iters);
+  for (int rr = 0; rr < 3; ++rr)
+    for (int c = 0; c < 3; ++c) pose16[rr * 4 + c] = res.rot(rr, c);
+  pose16[3] = res.trans.x; pose16[7] = res.trans.y; pose16[11] = res.trans.z;
+  pose16[12] = pose16[13] = pose16[14] = 0.0; pose16[15] = 1.0;
+  stats6[0] = res.rmse;
+  stats6[1] = res.affine_a;
+  stats6[2] = res.affine_b;
+  stats6[3] = res.n_tracked;
+  stats6[4] = res.n_spawned;
+  stats6[5] = res.iters;
 }
 
 // ------------------------------------------------------------------ Pose graph

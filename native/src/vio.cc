@@ -1,0 +1,276 @@
+#include "holoagent/vio.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+
+namespace holoagent {
+
+namespace {
+
+inline float sample_bilinear(const float* img, int w, int h, double u, double v) {
+  int x0 = (int)std::floor(u), y0 = (int)std::floor(v);
+  if (x0 < 0 || y0 < 0 || x0 + 1 >= w || y0 + 1 >= h) return -1.0f;
+  double ax = u - x0, ay = v - y0;
+  const float* r0 = img + y0 * w + x0;
+  const float* r1 = r0 + w;
+  return (float)((1 - ax) * (1 - ay) * r0[0] + ax * (1 - ay) * r0[1] +
+                 (1 - ax) * ay * r1[0] + ax * ay * r1[1]);
+}
+
+// solve SPD n x n via Cholesky; returns false if not PD
+bool solve_spd_n(double* h, const double* g, int n, double* out) {
+  std::vector<double> l(n * n, 0.0);
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j <= i; ++j) {
+      double s = h[i * n + j];
+      for (int k = 0; k < j; ++k) s -= l[i * n + k] * l[j * n + k];
+      if (i == j) {
+        if (s <= 0) return false;
+        l[i * n + i] = std::sqrt(s);
+      } else {
+        l[i * n + j] = s / l[j * n + j];
+      }
+    }
+  }
+  std::vector<double> y(n);
+  for (int i = 0; i < n; ++i) {
+    double s = g[i];
+    for (int k = 0; k < i; ++k) s -= l[i * n + k] * y[k];
+    y[i] = s / l[i * n + i];
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    double s = y[i];
+    for (int k = i + 1; k < n; ++k) s -= l[k * n + i] * out[k];
+    out[i] = s / l[i * n + i];
+  }
+  return true;
+}
+
+}  // namespace
+
+VioManager::VioManager(const PinholeCam& cam, double map_cell, int max_per_cell,
+                       int grid_cell_px)
+    : cam_(cam),
+      map_cell_(map_cell),
+      max_per_cell_(max_per_cell),
+      grid_px_(grid_cell_px) {}
+
+int64_t VioManager::cell_key(const Vec3& p) const {
+  const int64_t off = 1 << 20;
+  int ix = (int)std::floor(p.x / map_cell_);
+  int iy = (int)std::floor(p.y / map_cell_);
+  int iz = (int)std::floor(p.z / map_cell_);
+  return (((int64_t)(ix + off)) << 42) | (((int64_t)(iy + off)) << 21) |
+         (int64_t)(iz + off);
+}
+
+VioResult VioManager::process_frame(const float* img, const float* depth,
+                                    const Mat3& rot, const Vec3& trans,
+                                    int max_iters) {
+  ++frame_id_;
+  VioResult res;
+  res.rot = rot;
+  res.trans = trans;
+
+  const int w = cam_.width, h = cam_.height;
+  const int gw = (w + grid_px_ - 1) / grid_px_;
+  const int gh = (h + grid_px_ - 1) / grid_px_;
+  const double half = kPatch / 2.0 - 0.5;
+
+  // ---------------------------------------------------------------- retrieve
+  // one visible point per image grid cell (closest wins), like
+  // retrieveFromVisualSparseMap's per-cell selection.
+  std::vector<int32_t> cell_pick(gw * gh, -1);
+  std::vector<double> cell_depth(gw * gh, 1e18);
+  {
+    Mat3 rt = res.rot.transpose();
+    for (size_t i = 0; i < points_.size(); ++i) {
+      Vec3 pc = rt * (points_[i].pos - res.trans);
+      if (pc.z < 0.1) continue;
+      double u = cam_.fx * pc.x / pc.z + cam_.cx;
+      double v = cam_.fy * pc.y / pc.z + cam_.cy;
+      if (u < kPatch || v < kPatch || u >= w - kPatch || v >= h - kPatch) continue;
+      int gc = (int)(v / grid_px_) * gw + (int)(u / grid_px_);
+      if (pc.z < cell_depth[gc]) {
+        cell_depth[gc] = pc.z;
+        cell_pick[gc] = (int32_t)i;
+      }
+    }
+  }
+  std::vector<int32_t> tracked;
+  for (int gc = 0; gc < gw * gh; ++gc)
+    if (cell_pick[gc] >= 0) tracked.push_back(cell_pick[gc]);
+  res.n_tracked = (int)tracked.size();
+
+  // ------------------------------------------------- joint GN: pose + (a, b)
+  // state: [w(3), dt(3), a, b]; residual per patch pixel:
+  //   r = I_cur(proj(p) + offset) - (a * patch_ref + b)
+  double a = 1.0, b = 0.0;
+  if (!tracked.empty()) {
+    for (int it = 0; it < max_iters; ++it) {
+      double H[64] = {0}, g8[8] = {0};
+      double cost = 0;
+      int n_res = 0;
+      Mat3 rt = res.rot.transpose();
+      for (int32_t pi : tracked) {
+        VisualPoint& vp = points_[pi];
+        Vec3 pc = rt * (vp.pos - res.trans);
+        if (pc.z < 0.1) continue;
+        double iz = 1.0 / pc.z;
+        double u = cam_.fx * pc.x * iz + cam_.cx;
+        double v = cam_.fy * pc.y * iz + cam_.cy;
+        if (u < kPatch || v < kPatch || u >= w - kPatch || v >= h - kPatch)
+          continue;
+        // du/dpc (2x3), dpc/dw = [pc]_x, dpc/ddt = -I
+        double jp[2][3] = {
+            {cam_.fx * iz, 0, -cam_.fx * pc.x * iz * iz},
+            {0, cam_.fy * iz, -cam_.fy * pc.y * iz * iz},
+        };
+        double jw[2][3], jt[2][3];
+        for (int r2 = 0; r2 < 2; ++r2) {
+          // [pc]_x columns: d(pc)/dw_k = e_k x ... using  dpc = [pc]_x w
+          jw[r2][0] = jp[r2][1] * pc.z - jp[r2][2] * pc.y;
+          jw[r2][1] = jp[r2][2] * pc.x - jp[r2][0] * pc.z;
+          jw[r2][2] = jp[r2][0] * pc.y - jp[r2][1] * pc.x;
+          for (int c = 0; c < 3; ++c) jt[r2][c] = -jp[r2][c];
+        }
+        vp.last_seen = frame_id_;
+        for (int py = 0; py < kPatch; ++py)
+          for (int px = 0; px < kPatch; ++px) {
+            double su = u + px - half, sv = v + py - half;
+            float cur = sample_bilinear(img, w, h, su, sv);
+            if (cur < 0) continue;
+            float ref = vp.patch[py * kPatch + px];
+            double r = (double)cur - (a * ref + b);
+            // image gradient at the sample (central differences)
+            float gx1 = sample_bilinear(img, w, h, su + 1, sv);
+            float gx0 = sample_bilinear(img, w, h, su - 1, sv);
+            float gy1 = sample_bilinear(img, w, h, su, sv + 1);
+            float gy0 = sample_bilinear(img, w, h, su, sv - 1);
+            if (gx1 < 0 || gx0 < 0 || gy1 < 0 || gy0 < 0) continue;
+            double gx = 0.5 * (gx1 - gx0), gy = 0.5 * (gy1 - gy0);
+            double jrow[8];
+            for (int c = 0; c < 3; ++c) {
+              jrow[c] = gx * jw[0][c] + gy * jw[1][c];
+              jrow[3 + c] = gx * jt[0][c] + gy * jt[1][c];
+            }
+            jrow[6] = -(double)ref;  // d r / d a
+            jrow[7] = -1.0;          // d r / d b
+            // Huber weight
+            double wgt = std::abs(r) < 0.1 ? 1.0 : 0.1 / std::abs(r);
+            for (int p = 0; p < 8; ++p) {
+              g8[p] += wgt * jrow[p] * r;
+              for (int q = 0; q < 8; ++q) H[p * 8 + q] += wgt * jrow[p] * jrow[q];
+            }
+            cost += wgt * r * r;
+            ++n_res;
+          }
+      }
+      if (n_res < 32) break;
+      // weak prior keeping the brightness model near identity (conditioning
+      // only — must stay far below the photometric terms, which are O(n_res))
+      H[6 * 8 + 6] += 1.0; g8[6] += 1.0 * (a - 1.0);
+      H[7 * 8 + 7] += 1.0; g8[7] += 1.0 * b;
+      for (int p = 0; p < 8; ++p) H[p * 8 + p] += 1e-6;
+      double xi[8];
+      if (!solve_spd_n(H, g8, 8, xi)) break;
+      for (int p = 0; p < 8; ++p) xi[p] = -xi[p];
+      Quat dq = Quat::from_axis_angle({xi[0], xi[1], xi[2]});
+      dq.normalize();
+      res.rot = res.rot * dq.to_matrix();
+      res.trans = res.trans + res.rot * Vec3{xi[3], xi[4], xi[5]};
+      a += xi[6];
+      b += xi[7];
+      res.rmse = std::sqrt(cost / n_res);
+      res.iters = it + 1;
+      double s2 = 0;
+      for (int p = 0; p < 8; ++p) s2 += xi[p] * xi[p];
+      if (s2 < 1e-14) break;
+    }
+  }
+  res.affine_a = a;
+  res.affine_b = b;
+
+  // -------------------------------------------------------------- spawn new
+  if (depth) {
+    std::vector<bool> cell_used(gw * gh, false);
+    {
+      Mat3 rt = res.rot.transpose();
+      for (int32_t pi : tracked) {
+        Vec3 pc = rt * (points_[pi].pos - res.trans);
+        if (pc.z < 0.1) continue;
+        double u = cam_.fx * pc.x / pc.z + cam_.cx;
+        double v = cam_.fy * pc.y / pc.z + cam_.cy;
+        if (u < 0 || v < 0 || u >= w || v >= h) continue;
+        cell_used[(int)(v / grid_px_) * gw + (int)(u / grid_px_)] = true;
+      }
+    }
+    spawn_points(img, depth, res.rot, res.trans, cell_used, &res);
+  }
+  return res;
+}
+
+void VioManager::spawn_points(const float* img, const float* depth,
+                              const Mat3& rot, const Vec3& trans,
+                              const std::vector<bool>& cell_used,
+                              VioResult* res) {
+  const int w = cam_.width, h = cam_.height;
+  const int gw = (w + grid_px_ - 1) / grid_px_;
+  const int gh = (h + grid_px_ - 1) / grid_px_;
+  const double half = kPatch / 2.0 - 0.5;
+  for (int gy = 0; gy < gh; ++gy)
+    for (int gx = 0; gx < gw; ++gx) {
+      if (cell_used[gy * gw + gx]) continue;
+      // strongest-gradient pixel in the cell
+      int best_x = -1, best_y = -1;
+      double best_g = 1e-4;  // squared-gradient floor: skip textureless cells
+      int x0 = std::max(gx * grid_px_, kPatch);
+      int y0 = std::max(gy * grid_px_, kPatch);
+      int x1 = std::min((gx + 1) * grid_px_, w - kPatch);
+      int y1 = std::min((gy + 1) * grid_px_, h - kPatch);
+      for (int y = y0; y < y1; ++y)
+        for (int x = x0; x < x1; ++x) {
+          double dx = 0.5 * (img[y * w + x + 1] - img[y * w + x - 1]);
+          double dy = 0.5 * (img[(y + 1) * w + x] - img[(y - 1) * w + x]);
+          double g = dx * dx + dy * dy;
+          if (g > best_g) { best_g = g; best_x = x; best_y = y; }
+        }
+      if (best_x < 0) continue;
+      float z = depth[best_y * w + best_x];
+      if (z <= 0.05f || !std::isfinite(z)) continue;
+      Vec3 pc{(best_x - cam_.cx) / cam_.fx * z, (best_y - cam_.cy) / cam_.fy * z,
+              z};
+      VisualPoint vp;
+      vp.pos = rot * pc + trans;
+      vp.r_ref = rot;
+      vp.t_ref = trans;
+      vp.depth_ref = z;
+      vp.last_seen = frame_id_;
+      for (int py = 0; py < kPatch; ++py)
+        for (int px = 0; px < kPatch; ++px)
+          vp.patch[py * kPatch + px] = sample_bilinear(
+              img, w, h, best_x + px - half, best_y + py - half);
+      int64_t key = cell_key(vp.pos);
+      auto& bucket = cells_[key];
+      if ((int)bucket.size() >= max_per_cell_) {
+        // LRU: evict the stalest point in this voxel (LRU map variant,
+        // reference generateVisualMapPointsLRU)
+        int32_t stalest = bucket[0];
+        size_t slot = 0;
+        for (size_t k = 1; k < bucket.size(); ++k)
+          if (points_[bucket[k]].last_seen < points_[stalest].last_seen) {
+            stalest = bucket[k];
+            slot = k;
+          }
+        points_[stalest] = vp;
+        bucket[slot] = stalest;
+      } else {
+        bucket.push_back((int32_t)points_.size());
+        points_.push_back(vp);
+      }
+      ++res->n_spawned;
+    }
+}
+
+}  // namespace holoagent

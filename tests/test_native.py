@@ -327,3 +327,80 @@ def test_pose_graph_anchor_merge(rng):
     assert np.linalg.norm(pg.pose(b0)[:3, 3] - [0, 0, 0]) < 1e-2
     assert np.linalg.norm(pg.pose(b1)[:3, 3] - [2, 0, 0]) < 1e-2
     assert len(pg) == 4
+
+
+# ---------------------------------------------------------------------------
+# VIO (sparse-patch photometric odometry)
+# ---------------------------------------------------------------------------
+
+
+def _render_plane(rng_unused, pose, w=160, h=120, fx=120.0, fy=120.0):
+    """Render a smooth procedural texture on the world plane z=0 seen from a
+    camera-to-world `pose` (camera looks along its +z axis).  Returns
+    (gray image [0,1], depth in meters)."""
+    cx, cy = w / 2 - 0.5, h / 2 - 0.5
+    ys, xs = np.mgrid[0:h, 0:w]
+    rays_c = np.stack([(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, float)], -1)
+    R, t = pose[:3, :3], pose[:3, 3]
+    rays_w = rays_c @ R.T
+    # intersect z=0: t_z + s * r_z = 0
+    s = -t[2] / rays_w[..., 2]
+    pts = t + s[..., None] * rays_w
+    u, v = pts[..., 0], pts[..., 1]
+    tex = (
+        0.5
+        + 0.15 * np.sin(3.1 * u) * np.cos(2.7 * v)
+        + 0.12 * np.sin(7.3 * u + 1.0)
+        + 0.1 * np.cos(5.9 * v + 2.0)
+        + 0.08 * np.sin(11.0 * (u + v))
+    )
+    depth = s.astype(np.float32)  # distance along camera z
+    return np.clip(tex, 0, 1).astype(np.float32), depth
+
+
+def _down_cam(x, y, z, yaw=0.0):
+    """Camera at (x, y, z) looking straight down at the z=0 plane."""
+    T = np.eye(4)
+    c, s = np.cos(yaw), np.sin(yaw)
+    # camera +z maps to world -z; camera x/y yawed in the plane
+    T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, -1.0]]) @ np.diag([1, -1, 1])
+    T[:3, 3] = [x, y, z]
+    return T
+
+
+def test_vio_tracks_small_motion(rng):
+    from holoagent_tpu.native import Vio
+
+    vio = Vio(160, 120, 120.0, 120.0, 79.5, 59.5, map_cell=0.3, grid_px=24)
+    p1 = _down_cam(0.0, 0.0, 2.0)
+    img1, d1 = _render_plane(rng, p1)
+    pose, st = vio.process(img1, p1, depth=d1)
+    assert st["n_spawned"] > 10
+    assert len(vio) == st["n_spawned"]
+    # true motion: small translation + yaw; guess = stale previous pose
+    p2 = _down_cam(0.04, -0.03, 2.01, yaw=0.02)
+    img2, d2 = _render_plane(rng, p2)
+    pose2, st2 = vio.process(img2, p1, depth=d2)
+    assert st2["n_tracked"] > 10
+    err_t = np.linalg.norm(pose2[:3, 3] - p2[:3, 3])
+    err_r = np.rad2deg(
+        np.arccos(np.clip((np.trace(pose2[:3, :3].T @ p2[:3, :3]) - 1) / 2, -1, 1))
+    )
+    assert err_t < 0.01, (err_t, st2)
+    assert err_r < 0.5, (err_r, st2)
+
+
+def test_vio_estimates_exposure(rng):
+    from holoagent_tpu.native import Vio
+
+    vio = Vio(160, 120, 120.0, 120.0, 79.5, 59.5, map_cell=0.3, grid_px=24)
+    p1 = _down_cam(0.0, 0.0, 2.0)
+    img1, d1 = _render_plane(rng, p1)
+    vio.process(img1, p1, depth=d1)
+    p2 = _down_cam(0.02, 0.01, 2.0)
+    img2, _ = _render_plane(rng, p2)
+    img2 = np.clip(0.8 * img2 + 0.05, 0, 1).astype(np.float32)  # exposure change
+    pose2, st2 = vio.process(img2, p1, max_iters=20)
+    assert abs(st2["affine_a"] - 0.8) < 0.1, st2
+    assert abs(st2["affine_b"] - 0.05) < 0.05, st2
+    assert np.linalg.norm(pose2[:3, 3] - p2[:3, 3]) < 0.015
