@@ -2,3 +2,4 @@
 
 from .gt import GTGraph, GTFloor, GTRoom, GTObject, gt_from_synthetic
 from .evaluator import HMSGEvaluator
+from .long_query import LongQuery, LongQueryReport, generate_long_queries, score_long_queries

@@ -103,3 +103,71 @@ def test_segmentation_metrics():
     m = segmentation_metrics(conf)
     assert 0 < m["mIoU"] < 1
     assert m["pAcc"] == 5 / 6
+
+
+# ---------------------------------------------------------------------------
+# Long-query dataset generation + scoring (reference long_query_eval_utils)
+# ---------------------------------------------------------------------------
+
+
+def _toy_gt():
+    from holoagent_tpu.eval import GTFloor, GTGraph, GTObject, GTRoom
+
+    g = GTGraph()
+    g.floors.append(GTFloor(0, 0.0, 3.0))
+    sq = lambda x0, y0, x1, y1: np.array(
+        [[x, y] for x in np.linspace(x0, x1, 8) for y in np.linspace(y0, y1, 8)]
+    )
+    g.rooms.append(GTRoom(0, 0, "kitchen", sq(0, 0, 4, 4), 0.0, 3.0))
+    g.rooms.append(GTRoom(1, 0, "bedroom", sq(4, 0, 8, 4), 0.0, 3.0))
+    g.rooms.append(GTRoom(2, 0, "kitchen", sq(0, 4, 4, 8), 0.0, 3.0))  # 2nd kitchen
+    mk = lambda oid, rid, cat, c: GTObject(
+        oid, rid, 0, cat, np.array([c]), np.asarray(c, float), np.ones(3) * 0.5
+    )
+    g.objects.append(mk(0, 0, "chair", [1.0, 1.0, 0.5]))
+    g.objects.append(mk(1, 1, "chair", [5.0, 1.0, 0.5]))
+    g.objects.append(mk(2, 2, "chair", [1.0, 5.0, 0.5]))  # chair in other kitchen
+    g.objects.append(mk(3, 1, "bed", [6.0, 2.0, 0.5]))
+    return g
+
+
+def test_long_query_generation_aggregates_answers():
+    from holoagent_tpu.eval import generate_long_queries
+
+    qs = generate_long_queries(_toy_gt())
+    by_text = {q.text: q for q in qs}
+    # unique (object cat, room cat, floor) triples: chair/kitchen, chair/bedroom, bed/bedroom
+    assert len(qs) == 3
+    ck = by_text["chair in region kitchen on floor 0"]
+    assert sorted(a[2] for a in ck.answers) == [0, 2]  # both kitchens' chairs
+    cb = by_text["chair in region bedroom on floor 0"]
+    assert [a[2] for a in cb.answers] == [1]
+
+
+def test_long_query_scoring():
+    from holoagent_tpu.eval import generate_long_queries, score_long_queries
+
+    gt = _toy_gt()
+    qs = generate_long_queries(gt)
+    qs.sort(key=lambda q: q.text)
+    # predictions: answer the second kitchen's chair for the kitchen query
+    # (valid — multi-answer), the right bed, and a wrong room for chair/bedroom
+    preds = []
+    for q in qs:
+        if q.text.startswith("bed "):
+            preds.append(
+                {"floor_id": 0, "room_center": [6.0, 2.0], "object_center": [6.0, 2.0, 0.5]}
+            )
+        elif "kitchen" in q.text:
+            preds.append(
+                {"floor_id": 0, "room_center": [1.0, 5.0], "object_center": [1.1, 5.0, 0.5]}
+            )
+        else:  # chair in bedroom: wrong object, wrong room
+            preds.append(
+                {"floor_id": 0, "room_center": [1.0, 1.0], "object_center": [0.0, 0.0, 0.0]}
+            )
+    rep = score_long_queries(qs, preds, gt)
+    assert rep.n_queries == 3
+    assert rep.floor_acc == 1.0
+    assert abs(rep.room_acc - 2 / 3) < 1e-9
+    assert abs(rep.object_acc - 2 / 3) < 1e-9
