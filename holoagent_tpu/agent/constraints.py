@@ -2,19 +2,23 @@
 Mahalanobis gating and adaptive measurement scaling, zero-velocity update
 (ZUPT), and ground-plane z constraint.
 
-Host-side rebuilds of reference nav_agent/.../include/wheel_odometry.h:38-179
+Rebuilds of reference nav_agent/.../include/wheel_odometry.h:38-179
 (`WheelOdometryConstraint::update_state_joint`), include/zupt.h:6-19
 (`ZUPT::applyZConstraint`), and the ground-constraint role of
-include/ground_detection.h — expressed as small EKF-style updates on a
-(pos, vel, yaw) state with covariance.
+include/ground_detection.h — EKF-style updates on a (pos, vel, yaw) belief.
+The numerics live in the native C++ runtime (native/src/constraints.cc, like
+the reference's); this module is the typed state + ctypes marshalling.
 """
 
 from __future__ import annotations
 
+import ctypes as C
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
+
+from .. import native
 
 
 @dataclass
@@ -26,6 +30,29 @@ class OdomState:
     yaw: float = 0.0
     cov_vel: np.ndarray = field(default_factory=lambda: np.eye(3) * 0.25)
     cov_z: float = 0.05
+
+    # native layout: [pos(3), vel(3), yaw, cov_vel(9), cov_z] = 17 doubles
+    def _pack(self) -> np.ndarray:
+        return np.concatenate(
+            [
+                np.asarray(self.pos, np.float64),
+                np.asarray(self.vel, np.float64),
+                [float(self.yaw)],
+                np.asarray(self.cov_vel, np.float64).reshape(9),
+                [float(self.cov_z)],
+            ]
+        )
+
+    def _unpack(self, st: np.ndarray) -> None:
+        self.pos = st[0:3].copy()
+        self.vel = st[3:6].copy()
+        self.yaw = float(st[6])
+        self.cov_vel = st[7:16].reshape(3, 3).copy()
+        self.cov_z = float(st[16])
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(C.c_void_p)
 
 
 class WheelOdometryConstraint:
@@ -47,22 +74,15 @@ class WheelOdometryConstraint:
         self.rejected = 0
 
     def update(self, state: OdomState, wheel_vel_body: np.ndarray) -> bool:
-        c, s = np.cos(state.yaw), np.sin(state.yaw)
-        r_wb = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
-        z = r_wb @ np.asarray(wheel_vel_body, np.float64)  # world-frame measurement
-        innov = z - state.vel
-        r = np.eye(3) * self.r_base
-        s_mat = state.cov_vel + r
-        m2 = float(innov @ np.linalg.solve(s_mat, innov))
-        if m2 > self.gate * self.adaptive_scale:
+        st = state._pack()
+        z = np.ascontiguousarray(wheel_vel_body, np.float64)
+        ok = native.lib().wheel_update(
+            _ptr(st), _ptr(z), self.r_base, self.gate, self.adaptive_scale
+        )
+        if not ok:
             self.rejected += 1
             return False
-        if m2 > self.gate:  # soft outlier: inflate R (adaptive scaling)
-            r = r * (m2 / self.gate)
-            s_mat = state.cov_vel + r
-        k = state.cov_vel @ np.linalg.inv(s_mat)
-        state.vel = state.vel + k @ innov
-        state.cov_vel = (np.eye(3) - k) @ state.cov_vel
+        state._unpack(st)
         return True
 
 
@@ -70,11 +90,13 @@ def apply_zupt(state: OdomState, accel_std: float, gyro_std: float,
                accel_thresh: float = 0.08, gyro_thresh: float = 0.02) -> bool:
     """Zero-velocity update when the IMU is quiescent (reference zupt.h:6-19):
     clamp the velocity belief to zero with tight covariance."""
-    if accel_std > accel_thresh or gyro_std > gyro_thresh:
-        return False
-    state.vel = np.zeros(3)
-    state.cov_vel = np.eye(3) * 1e-4
-    return True
+    st = state._pack()
+    ok = native.lib().zupt_update(
+        _ptr(st), accel_std, gyro_std, accel_thresh, gyro_thresh
+    )
+    if ok:
+        state._unpack(st)
+    return bool(ok)
 
 
 def ground_plane_constraint(
@@ -83,21 +105,15 @@ def ground_plane_constraint(
     """Pull the height belief onto the detected ground plane (the ERASOR-style
     ground-constraint role, reference ground_detection.h:23-50): scalar EKF
     update on z."""
-    s = state.cov_z + sigma**2
-    k = state.cov_z / s
-    state.pos[2] += k * (ground_z - state.pos[2])
-    state.cov_z *= 1 - k
+    st = state._pack()
+    native.lib().ground_update(_ptr(st), float(ground_z), float(sigma))
+    state._unpack(st)
 
 
 def estimate_ground_z(points: np.ndarray, z_band: float = 0.3) -> Optional[float]:
     """Ground height from a scan: the dominant low-z mode (histogram peak of
     the lowest band), None when no credible ground is visible."""
-    if len(points) < 50:
-        return None
-    z = points[:, 2]
-    lo = np.percentile(z, 2)
-    band = z[(z >= lo) & (z <= lo + z_band)]
-    if len(band) < 30:
-        return None
-    hist, edges = np.histogram(band, bins=20)
-    return float(edges[int(np.argmax(hist))] + (edges[1] - edges[0]) / 2)
+    pts = np.ascontiguousarray(points, np.float64)
+    out = C.c_double()
+    ok = native.lib().ground_estimate(_ptr(pts), len(pts), float(z_band), C.byref(out))
+    return float(out.value) if ok else None

@@ -132,8 +132,15 @@ def _rel_pos_bias(q_hw: int, rel_table: jnp.ndarray) -> jnp.ndarray:
     return rel_table[rel]
 
 
-def _attention_2d(x: jnp.ndarray, p: Params, heads: int) -> jnp.ndarray:
-    """Attention over a (B, H, W, C) tile with decomposed rel-pos (SAM-style)."""
+def _attention_2d(
+    x: jnp.ndarray, p: Params, heads: int, impl: str = "xla", interpret: bool = False
+) -> jnp.ndarray:
+    """Attention over a (B, H, W, C) tile with decomposed rel-pos (SAM-style).
+
+    impl="flash" streams K/V through the Pallas kernel with the decomposed
+    bias folded per k-block (ops.flash_attention.flash_attention_2d) — the
+    (N, N) score/bias tensors never touch HBM; used for the global layers
+    (N = 4096 at 1024 px) where the XLA path materializes ~1 GB/layer."""
     b, h, w, c = x.shape
     hd = c // heads
     qkv = (
@@ -142,20 +149,39 @@ def _attention_2d(x: jnp.ndarray, p: Params, heads: int) -> jnp.ndarray:
     ).astype(x.dtype)
     qkv = qkv.reshape(b, h * w, 3, heads, hd).transpose(2, 0, 3, 1, 4)  # (3,B,heads,N,hd)
     q, k, val = qkv[0], qkv[1], qkv[2]
-    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32) * (
-        hd**-0.5
-    )
     # decomposed relative position: bias(nq, nk) = q . rel_h + q . rel_w
     rh = _rel_pos_bias(h, p["rel_h"])  # (h, h, hd)
     rw = _rel_pos_bias(w, p["rel_w"])  # (w, w, hd)
     qg = q.reshape(b, heads, h, w, hd)
     bias_h = jnp.einsum("bhywd,ykd->bhywk", qg, rh, preferred_element_type=jnp.float32)
     bias_w = jnp.einsum("bhywd,wkd->bhywk", qg, rw, preferred_element_type=jnp.float32)
-    attn = attn.reshape(b, heads, h, w, h, w)
-    attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
-    attn = attn.reshape(b, heads, h * w, h * w)
-    probs = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhnm,bhmd->bhnd", probs, val, preferred_element_type=jnp.float32)
+    n = h * w
+    block_q = 128 if n % 128 == 0 else (64 if n % 64 == 0 else 0)
+    if impl == "flash" and block_q:
+        from ..ops.flash_attention import flash_attention_2d
+
+        out = flash_attention_2d(
+            q.reshape(b * heads, n, hd),
+            k.reshape(b * heads, n, hd),
+            val.reshape(b * heads, n, hd),
+            bias_h.reshape(b * heads, n, h),
+            bias_w.reshape(b * heads, n, w),
+            grid_hw=(h, w),
+            block_q=block_q,
+            interpret=interpret,
+        )
+        out = out.reshape(b, heads, n, hd)
+    else:
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        attn = attn.reshape(b, heads, h, w, h, w)
+        attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
+        attn = attn.reshape(b, heads, n, n)
+        probs = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum(
+            "bhnm,bhmd->bhnd", probs, val, preferred_element_type=jnp.float32
+        )
     out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, h, w, c)
     return (
         jnp.einsum("bhwc,cd->bhwd", out, p["proj"]["w"], preferred_element_type=jnp.float32)
@@ -183,9 +209,16 @@ def _window_unpartition(x: jnp.ndarray, win: int, padded, orig):
 
 
 def encode_image(
-    params: Params, images: jnp.ndarray, v: SAMVariant, dtype=jnp.bfloat16
+    params: Params,
+    images: jnp.ndarray,
+    v: SAMVariant,
+    dtype=jnp.bfloat16,
+    impl: str = "xla",
 ) -> jnp.ndarray:
-    """(B, S, S, 3) normalized image -> (B, g, g, out_chans) embedding."""
+    """(B, S, S, 3) normalized image -> (B, g, g, out_chans) embedding.
+
+    impl="flash" uses the Pallas rel-pos flash kernel on the global-attention
+    layers (windowed layers are 196 tokens — XLA is already optimal there)."""
     b, s, _, _ = images.shape
     p = v.patch
     g = s // p
@@ -206,7 +239,7 @@ def encode_image(
         shortcut = x
         xn = _ln(x, blk["norm1_g"].astype(jnp.float32), blk["norm1_b"].astype(jnp.float32))
         if i in v.global_idx:
-            att = _attention_2d(xn, bp, v.heads)
+            att = _attention_2d(xn, bp, v.heads, impl=impl)
         else:
             xw, padded = _window_partition(xn, v.window)
             aw = _attention_2d(xw, bp, v.heads)
@@ -521,7 +554,7 @@ def preprocess(images01: jnp.ndarray, img_size: int) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("v", "points_per_side", "max_masks", "mask_hw", "dtype"),
+    static_argnames=("v", "points_per_side", "max_masks", "mask_hw", "dtype", "impl"),
 )
 def generate_masks(
     params: Params,
@@ -535,6 +568,7 @@ def generate_masks(
     max_masks: int = 64,
     mask_hw: Tuple[int, int] | None = None,
     dtype=jnp.bfloat16,
+    impl: str = "xla",
 ):
     """Automatic mask generation, fixed budget.
 
@@ -545,7 +579,7 @@ def generate_masks(
     h, w, _ = image01.shape
     mask_hw = mask_hw or (h, w)
     x = preprocess(image01[None], v.img_size)
-    emb = encode_image(params["encoder"], x, v, dtype=dtype)[0]  # (g, g, D)
+    emb = encode_image(params["encoder"], x, v, dtype=dtype, impl=impl)[0]  # (g, g, D)
     g = emb.shape[0]
     pe = image_pe(params["prompt"], g).astype(emb.dtype)
 

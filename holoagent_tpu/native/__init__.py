@@ -95,6 +95,20 @@ def _load() -> C.CDLL:
         C.c_int, C.c_int, C.c_double, C.c_double,
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
     ]
+    # odometry constraints
+    lib.wheel_update.restype = C.c_int
+    lib.wheel_update.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_double, C.c_double, C.c_double,
+    ]
+    lib.zupt_update.restype = C.c_int
+    lib.zupt_update.argtypes = [
+        C.c_void_p, C.c_double, C.c_double, C.c_double, C.c_double,
+    ]
+    lib.ground_update.argtypes = [C.c_void_p, C.c_double, C.c_double]
+    lib.ground_estimate.restype = C.c_int
+    lib.ground_estimate.argtypes = [
+        C.c_void_p, C.c_size_t, C.c_double, C.POINTER(C.c_double),
+    ]
     # vio
     lib.vio_create.restype = C.c_void_p
     lib.vio_create.argtypes = [

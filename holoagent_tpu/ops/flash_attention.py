@@ -61,6 +61,84 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool, sca
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _flash2d_kernel(
+    q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *, block_k: int, grid_w: int, scale: float
+):
+    """Flash attention over an (h*w)-token square image grid with SAM-style
+    decomposed relative-position bias folded into the k-block loop.
+
+    block_k = r * grid_w covers r whole key rows, so the bias for a k block
+    is bh[:, kb*r:(kb+1)*r] broadcast over columns plus bw broadcast over the
+    r rows — no (N, N) bias tensor ever exists."""
+    _, bq, d = q_ref.shape
+    t = k_ref.shape[1]
+    r = block_k // grid_w
+    q = q_ref[0].astype(jnp.float32)
+    bh = bh_ref[0].astype(jnp.float32)  # (bq, h): q . rel_h per key row
+    bw = bw_ref[0].astype(jnp.float32)  # (bq, w): q . rel_w per key col
+
+    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        bh_blk = jax.lax.dynamic_slice_in_dim(bh, kb * r, r, axis=1)  # (bq, r)
+        bias = bh_blk[:, :, None] + bw[:, None, :]  # (bq, r, w) row-major == key order
+        s = s + bias.reshape(bq, block_k)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, t // block_k, body, (m, l, acc))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("grid_hw", "block_q", "interpret"))
+def flash_attention_2d(
+    q: jnp.ndarray,  # (BH, N, D), N = h*w row-major over the image grid
+    k: jnp.ndarray,  # (BH, N, D)
+    v: jnp.ndarray,  # (BH, N, D)
+    bias_h: jnp.ndarray,  # (BH, N, h) f32: q_n . rel_h[y(n), y'] per key row y'
+    bias_w: jnp.ndarray,  # (BH, N, w) f32: q_n . rel_w[x(n), x'] per key col x'
+    grid_hw: tuple,  # (h, w)
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """SAM global-attention flash kernel (reference SamAutomaticMaskGenerator
+    backbone layers, image_encoder.py Attention.use_rel_pos): blockwise
+    online-softmax with decomposed rel-pos added per k block.  Requires
+    h*w % block_q == 0 and a block_k that is a whole number of key rows;
+    callers fall back to the XLA path for shapes that don't tile."""
+    bhn, n, d = q.shape
+    h, w = grid_hw
+    assert n == h * w, (n, grid_hw)
+    block_k = w * max(1, 128 // w)
+    assert n % block_q == 0 and n % block_k == 0, (n, block_q, block_k)
+    scale = d**-0.5
+    grid = (bhn, n // block_q)
+    return pl.pallas_call(
+        partial(_flash2d_kernel, block_k=block_k, grid_w=w, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bhn, n, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, n, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, block_q, h), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, w), lambda bh, qi: (bh, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        interpret=interpret,
+    )(q, k, v, bias_h, bias_w)
+
+
 @partial(jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret"))
 def flash_attention(
     q: jnp.ndarray,  # (B, H, T, D)

@@ -58,6 +58,7 @@ def _l2(x, axis=-1, eps=1e-9):
         "points_per_side",
         "max_masks",
         "dtype",
+        "impl",
     ),
 )
 def extract_frame_features(
@@ -74,6 +75,7 @@ def extract_frame_features(
     masked_weight: float = 0.4418,  # reference config clip_masked_weight
     bbox_margin: float = 50.0,  # reference config clip_bbox_margin
     dtype=jnp.bfloat16,
+    impl: str = "xla",  # "flash" -> Pallas rel-pos flash attn in SAM globals
 ) -> FrameFeatures:
     h, w, _ = image01.shape
     gen = sam_mod.generate_masks(
@@ -86,6 +88,7 @@ def extract_frame_features(
         min_area=min_area,
         max_masks=max_masks,
         dtype=dtype,
+        impl=impl,
     )
     masks, valid, boxes = gen["masks"], gen["valid"], gen["boxes"]
     eboxes = expand_boxes(boxes, bbox_margin, h, w)

@@ -78,3 +78,30 @@ def test_capacity_overflow(rng):
     )
     assert int(sc.num) == 16
     assert (np.asarray(sc.key)[:16] != int(SENTINEL)).all()
+
+
+def test_sorted_index_matches_full_sort(rng):
+    """The merge-based sorted index == a full sort of the stable keys, across
+    many overlapping inserts (exercises the searchsorted rank merge)."""
+    sc = _scene(cap=2048)
+    for k in range(5):
+        pts = rng.uniform(-1.5, 1.5, (300, 3)).astype(np.float32)
+        if k > 1:  # re-insert some known region for existing-key hits
+            pts[:80] = rng.uniform(-0.3, 0.3, (80, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (300, 3)).astype(np.float32)
+        valid = rng.uniform(size=300) > 0.1
+        sc, rows = scene_mod.insert_points(
+            sc, jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid)
+        )
+        skey = np.asarray(sc.sorted_key)
+        srow = np.asarray(sc.sorted_row)
+        key = np.asarray(sc.key)
+        ref = np.sort(key.astype(np.int64)).astype(np.int32)
+        np.testing.assert_array_equal(skey, ref)
+        # row mapping consistent on the real (non-padding) range:
+        # sorted_key[i] == key[sorted_row[i]] and rows are unique.  (Padding
+        # entries keep stale rows — lookup() only dereferences rows on a key
+        # hit, so the sentinel region's row values are never read.)
+        real = skey != SENTINEL
+        np.testing.assert_array_equal(skey[real], key[srow[real]])
+        assert len(np.unique(srow[real])) == real.sum()
