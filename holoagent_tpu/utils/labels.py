@@ -34,8 +34,80 @@ DEFAULT_ROOM_TYPES: Tuple[str, ...] = (
     "lobby", "corridor", "storage room", "stairwell",
 )
 
+# ScanNet-200 benchmark vocabulary (public benchmark category names; the
+# reference's SCANNET_200 role, labels/label_constants.py / constants.py).
+SCANNET_LABELS_200: Tuple[str, ...] = (
+    "wall", "chair", "floor", "table", "door", "couch", "cabinet", "shelf",
+    "desk", "office chair", "bed", "pillow", "sink", "picture", "window",
+    "toilet", "bookshelf", "monitor", "curtain", "book", "armchair",
+    "coffee table", "box", "refrigerator", "lamp", "kitchen cabinet", "towel",
+    "clothes", "tv", "nightstand", "counter", "dresser", "stool", "cushion",
+    "plant", "ceiling", "bathtub", "end table", "dining table", "keyboard",
+    "bag", "backpack", "toilet paper", "printer", "tv stand", "whiteboard",
+    "blanket", "shower curtain", "trash can", "closet", "stairs", "microwave",
+    "stove", "shoe", "computer tower", "bottle", "bin", "ottoman", "bench",
+    "board", "washing machine", "mirror", "copier", "basket", "sofa chair",
+    "file cabinet", "fan", "laptop", "shower", "paper", "person",
+    "paper towel dispenser", "oven", "blinds", "rack", "plate", "blackboard",
+    "piano", "suitcase", "rail", "radiator", "recycling bin", "container",
+    "wardrobe", "soap dispenser", "telephone", "bucket", "clock", "stand",
+    "light", "laundry basket", "pipe", "clothes dryer", "guitar",
+    "toilet paper holder", "seat", "speaker", "column", "bicycle", "ladder",
+    "bathroom stall", "shower wall", "cup", "jacket", "storage bin",
+    "coffee maker", "dishwasher", "paper towel roll", "machine", "mat",
+    "windowsill", "bar", "toaster", "bulletin board", "ironing board",
+    "fireplace", "soap dish", "kitchen counter", "doorframe",
+    "toilet paper dispenser", "mini fridge", "fire extinguisher", "ball",
+    "hat", "shower curtain rod", "water cooler", "paper cutter", "tray",
+    "shower door", "pillar", "ledge", "toaster oven", "mouse",
+    "toilet seat cover dispenser", "furniture", "cart", "storage container",
+    "scale", "tissue box", "light switch", "crate", "power outlet",
+    "decoration", "sign", "projector", "closet door", "vacuum cleaner",
+    "candle", "plunger", "stuffed animal", "headphones", "dish rack", "broom",
+    "guitar case", "range hood", "dustpan", "hair dryer", "water bottle",
+    "handicap bar", "purse", "vent", "shower floor", "water pitcher",
+    "mailbox", "bowl", "paper bag", "alarm clock", "music stand",
+    "projector screen", "divider", "laundry detergent", "bathroom counter",
+    "object", "bathroom vanity", "closet wall", "laundry hamper",
+    "bathroom stall door", "ceiling light", "trash bin", "dumbbell",
+    "stair rail", "tube", "bathroom cabinet", "cd case", "closet rod",
+    "coffee kettle", "structure", "shower head", "keyboard piano",
+    "case of water bottles", "coat rack", "storage organizer", "folded chair",
+    "fire alarm", "power strip", "calendar", "poster", "potted plant",
+    "luggage", "mattress",
+)
+
+# Matterport mpcat40 category set (public Matterport3D metadata; the
+# reference's MATTERPORT_LABELS_40 role, utils/label_feats.py Matterport
+# vocabularies)
+MATTERPORT_LABELS_40: Tuple[str, ...] = (
+    "wall", "floor", "chair", "door", "table", "picture", "cabinet",
+    "cushion", "window", "sofa", "bed", "curtain", "chest of drawers",
+    "plant", "sink", "stairs", "ceiling", "toilet", "stool", "towel",
+    "mirror", "tv monitor", "shower", "column", "bathtub", "counter",
+    "fireplace", "lighting", "beam", "railing", "shelving", "blinds",
+    "gym equipment", "seating", "board panel", "furniture", "appliances",
+    "clothes", "objects", "misc",
+)
+
+# Common HM3DSem navigation-relevant categories (HM3D semantic annotations
+# vocabulary head; the reference's HM3D label role)
+HM3D_LABELS: Tuple[str, ...] = (
+    "wall", "floor", "ceiling", "door", "window", "chair", "table", "couch",
+    "bed", "cabinet", "shelf", "lamp", "plant", "pillow", "curtain", "mirror",
+    "picture", "rug", "towel", "sink", "toilet", "bathtub", "shower",
+    "refrigerator", "oven", "microwave", "stove", "dishwasher", "tv",
+    "stairs", "railing", "counter", "desk", "wardrobe", "nightstand",
+    "dresser", "bench", "stool", "ottoman", "fireplace", "washing machine",
+    "clothes", "box", "book", "bottle", "cup", "vase", "basket", "bag",
+    "trash can",
+)
+
 _BUILTIN: Dict[str, Tuple[str, ...]] = {
     "SCANNET20": SCANNET_LABELS_20,
+    "SCANNET200": SCANNET_LABELS_200,
+    "MATTERPORT40": MATTERPORT_LABELS_40,
+    "HM3D": HM3D_LABELS,
     "ROOM_TYPES": DEFAULT_ROOM_TYPES,
 }
 
