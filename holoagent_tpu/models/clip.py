@@ -191,6 +191,72 @@ def encode_text(
 # active template set (reference utils/clip_utils.py:271-335 keeps two)
 TEMPLATES = ("{}", "a photo of {} in the scene.")
 
+# extended prompt-ensemble bank (role of the reference's large multi-template
+# variant, utils/clip_utils.py:165-254; standard CLIP prompt-engineering set)
+EXTENDED_TEMPLATES = (
+    "{}",
+    "a photo of a {}.",
+    "a photo of the {}.",
+    "a photo of one {}.",
+    "a photo of a {} in the scene.",
+    "a photo of the {} in the scene.",
+    "a bad photo of a {}.",
+    "a bad photo of the {}.",
+    "a good photo of a {}.",
+    "a good photo of the {}.",
+    "a cropped photo of a {}.",
+    "a cropped photo of the {}.",
+    "a close-up photo of a {}.",
+    "a close-up photo of the {}.",
+    "a bright photo of a {}.",
+    "a bright photo of the {}.",
+    "a dark photo of a {}.",
+    "a dark photo of the {}.",
+    "a blurry photo of a {}.",
+    "a blurry photo of the {}.",
+    "a photo of a small {}.",
+    "a photo of the small {}.",
+    "a photo of a large {}.",
+    "a photo of the large {}.",
+    "a photo of a clean {}.",
+    "a photo of the clean {}.",
+    "a photo of a dirty {}.",
+    "a photo of the dirty {}.",
+    "a low resolution photo of a {}.",
+    "a low resolution photo of the {}.",
+    "a pixelated photo of a {}.",
+    "a pixelated photo of the {}.",
+    "a jpeg corrupted photo of a {}.",
+    "a jpeg corrupted photo of the {}.",
+    "a photo of a {} in a room.",
+    "a photo of the {} in a room.",
+    "a photo of a {} in a house.",
+    "a photo of the {} in a house.",
+    "there is a {} in the scene.",
+    "there is the {} in the scene.",
+    "this is a {} in the scene.",
+    "this is the {} in the scene.",
+    "this is one {} in the scene.",
+    "an indoor photo of a {}.",
+    "an indoor photo of the {}.",
+    "a rendering of a {}.",
+    "a rendering of the {}.",
+    "a picture of a {}.",
+    "a picture of the {}.",
+    "an image of a {}.",
+    "an image of the {}.",
+    "a photo of a {} on a floor.",
+    "a photo of the {} on a floor.",
+    "a photo of a nice {}.",
+    "a photo of the nice {}.",
+    "a photo of a weird {}.",
+    "a photo of the weird {}.",
+    "a photo of my {}.",
+    "i took a picture of a {}.",
+    "a photograph of a {}.",
+    "a photograph of the {}.",
+)
+
 
 def text_features_multi_template(
     params: Params,
