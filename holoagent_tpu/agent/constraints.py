@@ -19,6 +19,7 @@ from typing import Optional
 import numpy as np
 
 from .. import native
+from ..native import _ptr
 
 
 @dataclass
@@ -49,10 +50,6 @@ class OdomState:
         self.yaw = float(st[6])
         self.cov_vel = st[7:16].reshape(3, 3).copy()
         self.cov_z = float(st[16])
-
-
-def _ptr(a: np.ndarray):
-    return a.ctypes.data_as(C.c_void_p)
 
 
 class WheelOdometryConstraint:

@@ -72,6 +72,14 @@ def decode_pcm_b64(s: str) -> np.ndarray:
 OP_TEXT, OP_BIN, OP_CLOSE, OP_PING, OP_PONG = 0x1, 0x2, 0x8, 0x9, 0xA
 
 
+def _mask_bytes(payload: bytes, key: bytes) -> bytes:
+    """Vectorized XOR mask (a per-byte Python loop would burn the single host
+    core at streaming-audio rates)."""
+    a = np.frombuffer(payload, np.uint8)
+    k = np.resize(np.frombuffer(key, np.uint8), len(a))
+    return (a ^ k).tobytes()
+
+
 def ws_encode(payload: bytes, opcode: int = OP_TEXT, mask: bool = True) -> bytes:
     head = bytes([0x80 | opcode])
     n = len(payload)
@@ -84,39 +92,64 @@ def ws_encode(payload: bytes, opcode: int = OP_TEXT, mask: bool = True) -> bytes
         head += bytes([mbit | 127]) + struct.pack(">Q", n)
     if mask:
         key = os.urandom(4)
-        masked = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
-        return head + key + masked
+        return head + key + _mask_bytes(payload, key)
     return head + payload
 
 
-def _read_exact(sock: socket.socket, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
-            raise ConnectionError("socket closed")
-        buf += chunk
-    return buf
+class WsConn:
+    """Framing layer over a connected socket: buffered reads (bytes received
+    past the handshake terminator are NOT lost), frame decode, and
+    fragmented-message reassembly (FIN/continuation, RFC 6455 §5.4)."""
+
+    def __init__(self, sock: socket.socket, leftover: bytes = b""):
+        self.sock = sock
+        self._buf = leftover
+
+    def read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(max(4096, n - len(self._buf)))
+            if not chunk:
+                raise ConnectionError("socket closed")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def read_frame(self):
+        """One raw frame -> (fin, opcode, payload)."""
+        b0, b1 = self.read_exact(2)
+        fin = bool(b0 & 0x80)
+        opcode = b0 & 0x0F
+        masked = bool(b1 & 0x80)
+        n = b1 & 0x7F
+        if n == 126:
+            (n,) = struct.unpack(">H", self.read_exact(2))
+        elif n == 127:
+            (n,) = struct.unpack(">Q", self.read_exact(8))
+        key = self.read_exact(4) if masked else None
+        payload = self.read_exact(n)
+        if key:
+            payload = _mask_bytes(payload, key)
+        return fin, opcode, payload
+
+    def read_message(self):
+        """One complete message -> (opcode, payload), reassembling
+        continuation frames; control frames (ping/pong/close) are returned
+        immediately even mid-fragmentation."""
+        op_acc = None
+        acc = b""
+        while True:
+            fin, opcode, payload = self.read_frame()
+            if opcode in (OP_CLOSE, OP_PING, OP_PONG):
+                return opcode, payload
+            if opcode != 0:  # first (or only) fragment
+                op_acc, acc = opcode, payload
+            else:  # continuation
+                acc += payload
+            if fin:
+                return (op_acc if op_acc is not None else OP_TEXT), acc
 
 
-def ws_decode(sock: socket.socket):
-    """Read one frame -> (opcode, payload). Blocks."""
-    b0, b1 = _read_exact(sock, 2)
-    opcode = b0 & 0x0F
-    masked = bool(b1 & 0x80)
-    n = b1 & 0x7F
-    if n == 126:
-        (n,) = struct.unpack(">H", _read_exact(sock, 2))
-    elif n == 127:
-        (n,) = struct.unpack(">Q", _read_exact(sock, 8))
-    key = _read_exact(sock, 4) if masked else None
-    payload = _read_exact(sock, n)
-    if key:
-        payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
-    return opcode, payload
-
-
-def ws_client_handshake(sock: socket.socket, host: str, path: str = "/") -> None:
+def ws_client_handshake(sock: socket.socket, host: str, path: str = "/") -> WsConn:
     key = base64.b64encode(os.urandom(16)).decode()
     req = (
         f"GET {path} HTTP/1.1\r\nHost: {host}\r\nUpgrade: websocket\r\n"
@@ -130,24 +163,27 @@ def ws_client_handshake(sock: socket.socket, host: str, path: str = "/") -> None
         if not chunk:
             raise ConnectionError("handshake failed")
         resp += chunk
-    if b"101" not in resp.split(b"\r\n", 1)[0]:
-        raise ConnectionError(f"bad upgrade response: {resp[:80]!r}")
+    head, _, leftover = resp.partition(b"\r\n\r\n")
+    if b"101" not in head.split(b"\r\n", 1)[0]:
+        raise ConnectionError(f"bad upgrade response: {head[:80]!r}")
     expect = base64.b64encode(
         hashlib.sha1((key + _WS_MAGIC).encode()).digest()
     ).decode()
-    if expect.encode() not in resp:
+    if expect.encode() not in head:
         raise ConnectionError("Sec-WebSocket-Accept mismatch")
+    return WsConn(sock, leftover)
 
 
-def ws_server_handshake(conn: socket.socket) -> None:
+def ws_server_handshake(conn: socket.socket) -> WsConn:
     req = b""
     while b"\r\n\r\n" not in req:
         chunk = conn.recv(4096)
         if not chunk:
             raise ConnectionError("client went away")
         req += chunk
+    head, _, leftover = req.partition(b"\r\n\r\n")
     key = ""
-    for line in req.decode(errors="replace").split("\r\n"):
+    for line in head.decode(errors="replace").split("\r\n"):
         if line.lower().startswith("sec-websocket-key:"):
             key = line.split(":", 1)[1].strip()
     accept = base64.b64encode(hashlib.sha1((key + _WS_MAGIC).encode()).digest()).decode()
@@ -157,6 +193,7 @@ def ws_server_handshake(conn: socket.socket) -> None:
             f"Connection: Upgrade\r\nSec-WebSocket-Accept: {accept}\r\n\r\n"
         ).encode()
     )
+    return WsConn(conn, leftover)
 
 
 # ---------------------------------------------------------------------------
@@ -192,7 +229,7 @@ class VoiceClient:
         self.heartbeat_s = heartbeat_s
         self._send_q: "queue.Queue[Optional[bytes]]" = queue.Queue()
         self._sock = socket.create_connection((host, port))
-        ws_client_handshake(self._sock, f"{host}:{port}")
+        self._conn = ws_client_handshake(self._sock, f"{host}:{port}")
         self._alive = True
         self._rx = threading.Thread(target=self._recv_loop, daemon=True)
         self._tx = threading.Thread(target=self._send_loop, daemon=True)
@@ -251,7 +288,7 @@ class VoiceClient:
     def _recv_loop(self) -> None:
         try:
             while self._alive:
-                opcode, payload = ws_decode(self._sock)
+                opcode, payload = self._conn.read_message()
                 if opcode == OP_PING:
                     self._send_q.put(ws_encode(payload, OP_PONG))
                 elif opcode == OP_CLOSE:
@@ -303,10 +340,10 @@ class LoopbackVoiceServer:
     def _serve(self) -> None:
         conn, _ = self._srv.accept()
         try:
-            ws_server_handshake(conn)
+            wc = ws_server_handshake(conn)
             sent = False
             while True:
-                opcode, payload = ws_decode(conn)
+                opcode, payload = wc.read_message()
                 if opcode == OP_CLOSE:
                     break
                 if opcode == OP_PING:

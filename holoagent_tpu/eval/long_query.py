@@ -80,6 +80,11 @@ def score_long_queries(
     credit: predicted center within `object_match_radius` of ANY answer
     object's center (position-based, since predicted instance ids don't map
     to GT ids; mirrors the evaluator's center-distance association)."""
+    if len(predictions) != len(queries):
+        raise ValueError(
+            f"{len(predictions)} predictions for {len(queries)} queries — "
+            "pad missing predictions with {} rather than dropping them"
+        )
     room_by_id = {r.id: r for r in gt.rooms}
     obj_by_id = {o.id: o for o in gt.objects}
     n = len(queries)

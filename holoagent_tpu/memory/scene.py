@@ -105,48 +105,12 @@ def insert_points(
     key2 = jnp.concatenate([scene.key, jnp.zeros((1,), jnp.int32)])
     key2 = key2.at[safe_rows].set(jnp.where(is_new, fkeys, 0))[:c]
     num2 = jnp.minimum(scene.num + jnp.sum((is_new & ~overflow).astype(jnp.int32)), c)
-    # update the sorted (key, row) index by MERGING the (already sorted)
-    # fresh frame keys into the existing sorted index instead of re-sorting
-    # all C keys — two searchsorted rank computations + scatters, O(C log M)
-    # instead of an O(C log^2 C) bitonic sort per frame.
-    m = fkeys.shape[0]
-    fresh = is_new & ~overflow
-    # compact fresh keys/rows left (fkeys is ascending, so compaction keeps
-    # it sorted); SENTINEL-pad the tail
-    rank = jnp.cumsum(fresh.astype(jnp.int32)) - 1
-    tgt_n = jnp.where(fresh, rank, m)
-    nk = (
-        jnp.full((m + 1,), voxel.SENTINEL, jnp.int32)
-        .at[tgt_n]
-        .set(jnp.where(fresh, fkeys, voxel.SENTINEL))[:m]
-    )
-    nrow = (
-        jnp.zeros((m + 1,), jnp.int32)
-        .at[tgt_n]
-        .set(jnp.where(fresh, new_row, 0).astype(jnp.int32))[:m]
-    )
-    # merge ranks (ties — only SENTINEL padding — break old-before-new, so
-    # every dropped tail entry is a SENTINEL)
-    shift = jnp.searchsorted(nk, scene.sorted_key, side="left").astype(jnp.int32)
-    pos_old = jnp.arange(c, dtype=jnp.int32) + shift
-    pos_new = (
-        jnp.searchsorted(scene.sorted_key, nk, side="right").astype(jnp.int32)
-        + jnp.arange(m, dtype=jnp.int32)
-    )
-    skey = (
-        jnp.full((c + m,), voxel.SENTINEL, jnp.int32)
-        .at[pos_old]
-        .set(scene.sorted_key)
-        .at[pos_new]
-        .set(nk)[:c]
-    )
-    srow = (
-        jnp.zeros((c + m,), jnp.int32)
-        .at[pos_old]
-        .set(scene.sorted_row)
-        .at[pos_new]
-        .set(nrow)[:c]
-    )
+    # rebuild the sorted (key, row) index with one int32 sort.  (Measured on
+    # v5e: a searchsorted/scatter/cumsum MERGE of the already-sorted frame
+    # keys is 1.7-2.3x SLOWER than this sort — binary-search gathers and
+    # big scatters are scalar-unit-bound on TPU while lax.sort's bitonic
+    # network is vectorized.  Keep the sort.)
+    skey, srow = jax.lax.sort((key2, jnp.arange(c, dtype=jnp.int32)), num_keys=1)
     # scatter frame sums into rows
     tgt = jnp.where(row_of_fvoxel >= 0, row_of_fvoxel, c)
     cnt_f = down["count"]

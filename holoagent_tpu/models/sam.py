@@ -157,7 +157,8 @@ def _attention_2d(
     bias_w = jnp.einsum("bhywd,wkd->bhywk", qg, rw, preferred_element_type=jnp.float32)
     n = h * w
     block_q = 128 if n % 128 == 0 else (64 if n % 64 == 0 else 0)
-    if impl == "flash" and block_q:
+    block_k = w * max(1, 128 // w)  # must match flash_attention_2d's choice
+    if impl == "flash" and block_q and n % block_k == 0:
         from ..ops.flash_attention import flash_attention_2d
 
         out = flash_attention_2d(
@@ -214,11 +215,13 @@ def encode_image(
     v: SAMVariant,
     dtype=jnp.bfloat16,
     impl: str = "xla",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, S, S, 3) normalized image -> (B, g, g, out_chans) embedding.
 
     impl="flash" uses the Pallas rel-pos flash kernel on the global-attention
-    layers (windowed layers are 196 tokens — XLA is already optimal there)."""
+    layers (windowed layers are 196 tokens — XLA is already optimal there);
+    interpret=True runs that kernel in Pallas interpret mode (CPU tests)."""
     b, s, _, _ = images.shape
     p = v.patch
     g = s // p
@@ -239,7 +242,7 @@ def encode_image(
         shortcut = x
         xn = _ln(x, blk["norm1_g"].astype(jnp.float32), blk["norm1_b"].astype(jnp.float32))
         if i in v.global_idx:
-            att = _attention_2d(xn, bp, v.heads, impl=impl)
+            att = _attention_2d(xn, bp, v.heads, impl=impl, interpret=interpret)
         else:
             xw, padded = _window_partition(xn, v.window)
             aw = _attention_2d(xw, bp, v.heads)

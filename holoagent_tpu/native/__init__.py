@@ -387,7 +387,10 @@ class Vio:
         """Returns (pose 4x4, stats dict)."""
         img = np.ascontiguousarray(image, np.float32)
         assert img.shape == self.shape, (img.shape, self.shape)
-        d = np.ascontiguousarray(depth, np.float32) if depth is not None else None
+        d = None
+        if depth is not None:
+            d = np.ascontiguousarray(depth, np.float32)
+            assert d.shape == self.shape, (d.shape, self.shape)
         pose = np.ascontiguousarray(pose_guess, np.float64).reshape(16).copy()
         stats = np.zeros(6, np.float64)
         self._l.vio_process(

@@ -113,16 +113,14 @@ int wheel_update(double* state17, const double* wheel_vel_body, double r_base,
     for (int t = 0; t < 3; ++t) acc += k[i * 3 + t] * innov[t];
     st.vel[i] += acc;
   }
-  double newcov[9];
+  double newcov[9];  // (I - K) P
   for (int i = 0; i < 3; ++i)
     for (int j = 0; j < 3; ++j) {
-      double ik = (i == j ? 1.0 : 0.0) - k[i * 3 + j];
       newcov[i * 3 + j] = 0;
       for (int t = 0; t < 3; ++t) {
         double ikt = (i == t ? 1.0 : 0.0) - k[i * 3 + t];
         newcov[i * 3 + j] += ikt * st.cov_vel[t * 3 + j];
       }
-      (void)ik;
     }
   std::copy(newcov, newcov + 9, st.cov_vel);
   return 1;

@@ -254,17 +254,14 @@ void VioManager::spawn_points(const float* img, const float* depth,
       int64_t key = cell_key(vp.pos);
       auto& bucket = cells_[key];
       if ((int)bucket.size() >= max_per_cell_) {
-        // LRU: evict the stalest point in this voxel (LRU map variant,
-        // reference generateVisualMapPointsLRU)
+        // LRU: overwrite the stalest point in this voxel in place (LRU map
+        // variant, reference generateVisualMapPointsLRU); bucket membership
+        // is stable — only the point record changes
         int32_t stalest = bucket[0];
-        size_t slot = 0;
         for (size_t k = 1; k < bucket.size(); ++k)
-          if (points_[bucket[k]].last_seen < points_[stalest].last_seen) {
+          if (points_[bucket[k]].last_seen < points_[stalest].last_seen)
             stalest = bucket[k];
-            slot = k;
-          }
         points_[stalest] = vp;
-        bucket[slot] = stalest;
       } else {
         bucket.push_back((int32_t)points_.size());
         points_.push_back(vp);

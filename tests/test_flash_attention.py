@@ -77,21 +77,10 @@ def test_sam_encoder_flash_matches_xla(rng):
     )
     params = sam_mod.init_sam(jax.random.key(0), v)
     img = jnp.asarray(rng.uniform(0, 1, (1, v.img_size, v.img_size, 3)), jnp.float32)
-    import unittest.mock as mock
-
-    from holoagent_tpu.ops import flash_attention as fa
-
     ref = sam_mod.encode_image(params["encoder"], img, v, dtype=jnp.float32, impl="xla")
-    orig = fa.flash_attention_2d
-
-    def interp(*a, **kw):
-        kw["interpret"] = True
-        return orig(*a, **kw)
-
-    with mock.patch.object(fa, "flash_attention_2d", interp):
-        out = sam_mod.encode_image(
-            params["encoder"], img, v, dtype=jnp.float32, impl="flash"
-        )
+    out = sam_mod.encode_image(
+        params["encoder"], img, v, dtype=jnp.float32, impl="flash", interpret=True
+    )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
 
 
@@ -107,3 +96,22 @@ def test_flash_unaligned_length(rng):
     )
     ref = _ref_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=2e-3)
+
+
+def test_sam_encoder_flash_falls_back_on_nontiling_grid(rng):
+    """g=24 (n=576: block_q=64 divides, block_k=120 doesn't) must take the
+    XLA path instead of crashing in the kernel's tiling assert."""
+    import dataclasses
+
+    from holoagent_tpu.models import sam as sam_mod
+
+    v = dataclasses.replace(
+        sam_mod.VARIANTS["test-tiny"], img_size=96, patch=4, window=2
+    )  # 24x24 global grid
+    params = sam_mod.init_sam(jax.random.key(0), v)
+    img = jnp.asarray(rng.uniform(0, 1, (1, v.img_size, v.img_size, 3)), jnp.float32)
+    ref = sam_mod.encode_image(params["encoder"], img, v, dtype=jnp.float32, impl="xla")
+    out = sam_mod.encode_image(
+        params["encoder"], img, v, dtype=jnp.float32, impl="flash", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)

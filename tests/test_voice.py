@@ -69,3 +69,55 @@ def test_voice_loopback_roundtrip(rng):
         assert server.waypoint_msgs == ["1"]
     finally:
         client.close()
+
+
+def test_ws_fragmented_message_and_handshake_leftover():
+    """Frames sent in the same TCP segment as the handshake tail, and a
+    message fragmented across FIN=0 continuation frames, must both survive."""
+    import json
+    import socket
+    import threading
+
+    from holoagent_tpu.agent.voice_client import (
+        OP_TEXT,
+        WsConn,
+        ws_client_handshake,
+        ws_encode,
+        ws_server_handshake,
+    )
+
+    srv = socket.socket()
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    payload = json.dumps({"type": "text", "text": "x" * 300}).encode()
+
+    def server():
+        conn, _ = srv.accept()
+        wc = ws_server_handshake(conn)
+        # greeting frame immediately (may coalesce with the 101 response),
+        # then a 3-fragment message: text FIN=0, cont FIN=0, cont FIN=1
+        conn.sendall(ws_encode(b'{"type":"signal","value":"hello"}', OP_TEXT, mask=False))
+        a, b, c = payload[:100], payload[100:200], payload[200:]
+        f1 = ws_encode(a, OP_TEXT, mask=False)
+        f1 = bytes([f1[0] & 0x7F]) + f1[1:]  # clear FIN
+        f2 = ws_encode(b, 0x0, mask=False)
+        f2 = bytes([f2[0] & 0x7F]) + f2[1:]
+        f3 = ws_encode(c, 0x0, mask=False)
+        conn.sendall(f1 + f2 + f3)
+        # read one client frame then close
+        wc.read_message()
+        conn.close()
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    sock = socket.create_connection(("127.0.0.1", port))
+    wc = ws_client_handshake(sock, f"127.0.0.1:{port}")
+    op1, p1 = wc.read_message()
+    assert json.loads(p1)["value"] == "hello"
+    op2, p2 = wc.read_message()
+    assert p2 == payload and json.loads(p2)["text"] == "x" * 300
+    sock.sendall(ws_encode(b'{"type":"audio","pcm":""}', OP_TEXT))
+    sock.close()
+    srv.close()
