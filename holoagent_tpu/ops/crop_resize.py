@@ -1,9 +1,13 @@
 """Batched crop-and-resize: the on-device replacement for the reference's
 host-side PIL/cv2 crop pipeline (reference fsr_vln/memory/hmsg/utils/sam_utils.py:36-80
 `crop_all_bounding_boxs` + margin expansion, and the per-crop torchvision
-preprocess in clip_utils).  One gather-based bilinear kernel resamples every
-mask's (margin-expanded) bounding box to the CLIP input resolution, optionally
-blanking background pixels — all masks of a frame in one shot, no host copies.
+preprocess in clip_utils).
+
+Formulated for the MXU, not the gather unit: bilinear resampling is separable,
+so each crop is two small matmuls with per-crop interpolation-weight matrices
+(out = Wy @ image @ Wx^T) instead of a 4-point gather per output pixel — an
+arbitrary-index gather of (M, S, S, C) samples runs ~300 ms/frame on a v5e
+chip, the matmul form is bandwidth-bound on the image read.
 """
 
 from __future__ import annotations
@@ -13,6 +17,26 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def _interp_weights(
+    start: jnp.ndarray,  # (M,) box start in pixels
+    end: jnp.ndarray,  # (M,) box end in pixels (exclusive)
+    out_size: int,
+    in_size: int,
+) -> jnp.ndarray:
+    """(M, out_size, in_size) bilinear weight rows: W[m, s] has (1-f), f at the
+    two source pixels bracketing output sample s of box m."""
+    t = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
+    pos = start[:, None] + t[None, :] * (end - start)[:, None] - 0.5  # (M, S)
+    pos = jnp.clip(pos, 0.0, in_size - 1.0)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    f = pos - i0
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    cols = jnp.arange(in_size, dtype=jnp.int32)
+    w0 = jnp.where(cols[None, None, :] == i0[:, :, None], (1.0 - f)[:, :, None], 0.0)
+    w1 = jnp.where(cols[None, None, :] == i1[:, :, None], f[:, :, None], 0.0)
+    return w0 + w1  # i0 == i1 at the clip boundary sums to 1 exactly
 
 
 @partial(jax.jit, static_argnames=("out_size",))
@@ -25,48 +49,21 @@ def crop_and_resize(
     """Bilinearly resample each box to (out_size, out_size). Returns
     (M, out_size, out_size, C)."""
     h, w, c = image.shape
-    m = boxes.shape[0]
-    y0, x0, y1, x1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    # sample centers: u in [0, 1) across the box
-    t = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
-    ys = y0[:, None] + t[None, :] * (y1 - y0)[:, None] - 0.5  # (M, S)
-    xs = x0[:, None] + t[None, :] * (x1 - x0)[:, None] - 0.5
-    ys = jnp.clip(ys, 0.0, h - 1.0)
-    xs = jnp.clip(xs, 0.0, w - 1.0)
-    yi = jnp.floor(ys).astype(jnp.int32)
-    xi = jnp.floor(xs).astype(jnp.int32)
-    yf = (ys - yi)[:, :, None, None]  # (M, S, 1, 1)
-    xf = (xs - xi)[:, None, :, None]  # (M, 1, S, 1)
-    yi1 = jnp.minimum(yi + 1, h - 1)
-    xi1 = jnp.minimum(xi + 1, w - 1)
-
-    def gather(yy, xx):
-        # (M,S) x (M,S) -> (M,S,S,C)
-        return image[yy[:, :, None], xx[:, None, :]]
-
-    v00 = gather(yi, xi)
-    v01 = gather(yi, xi1)
-    v10 = gather(yi1, xi)
-    v11 = gather(yi1, xi1)
-    out = (
-        v00 * (1 - yf) * (1 - xf)
-        + v01 * (1 - yf) * xf
-        + v10 * yf * (1 - xf)
-        + v11 * yf * xf
+    wy = _interp_weights(boxes[:, 0], boxes[:, 2], out_size, h)  # (M, S, H)
+    wx = _interp_weights(boxes[:, 1], boxes[:, 3], out_size, w)  # (M, S, W)
+    # rows: (M*S, H) @ (H, W*C) — one large MXU matmul
+    tmp = jnp.einsum(
+        "msh,hwc->mswc", wy, image, preferred_element_type=jnp.float32
     )
+    # cols: batched (S, W) @ (W, S) per crop
+    out = jnp.einsum(
+        "mtw,mswc->mstc", wx, tmp, preferred_element_type=jnp.float32
+    ).astype(image.dtype)
     if masks is not None:
-        mk = masks.astype(image.dtype)
-
-        def gmask(yy, xx):
-            return mk[jnp.arange(m)[:, None, None], yy[:, :, None], xx[:, None, :]]
-
-        mv = (
-            gmask(yi, xi) * (1 - yf[..., 0]) * (1 - xf[..., 0])
-            + gmask(yi, xi1) * (1 - yf[..., 0]) * xf[..., 0]
-            + gmask(yi1, xi) * yf[..., 0] * (1 - xf[..., 0])
-            + gmask(yi1, xi1) * yf[..., 0] * xf[..., 0]
-        )
-        out = out * (mv > 0.5)[..., None]
+        mk = masks.astype(jnp.float32)
+        tmpm = jnp.einsum("msh,mhw->msw", wy, mk, preferred_element_type=jnp.float32)
+        mv = jnp.einsum("mtw,msw->mst", wx, tmpm, preferred_element_type=jnp.float32)
+        out = out * (mv > 0.5)[..., None].astype(image.dtype)
     return out
 
 

@@ -62,42 +62,44 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool, sca
 
 
 def _flash2d_kernel(
-    q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *, block_k: int, grid_w: int, scale: float
+    q_ref, k_ref, v_ref, bw_ref, o_ref, m_s, l_s, acc_s, *, nkb: int
 ):
     """Flash attention over an (h*w)-token square image grid with SAM-style
-    decomposed relative-position bias folded into the k-block loop.
+    decomposed relative-position bias.
 
-    block_k = r * grid_w covers r whole key rows, so the bias for a k block
-    is bh[:, kb*r:(kb+1)*r] broadcast over columns plus bw broadcast over the
-    r rows — no (N, N) bias tensor ever exists."""
-    _, bq, d = q_ref.shape
-    t = k_ref.shape[1]
-    r = block_k // grid_w
+    The k loop is the innermost GRID dimension (one whole key row per step).
+    The per-key-row bias bh[q, row] is already folded into the q/k feature
+    dims by the wrapper (q carries scale*q ++ bias_h, k carries k ++
+    onehot(row)), so s = q_ext @ k_ext.T lands pre-biased; the per-column
+    bias is a full-width aligned block added directly.  Running max/sum/acc
+    live in VMEM scratch across the k-row steps."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
     q = q_ref[0].astype(jnp.float32)
-    bh = bh_ref[0].astype(jnp.float32)  # (bq, h): q . rel_h per key row
-    bw = bw_ref[0].astype(jnp.float32)  # (bq, w): q . rel_w per key col
+    k = k_ref[0].astype(jnp.float32)  # (w, d_ext): one key row
+    v = v_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, w)
+    s = s + bw_ref[0].astype(jnp.float32)
 
-    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
-    acc = jnp.zeros((bq, d), jnp.float32)
+    m_prev = m_s[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_s[...] = m_new
+    l_s[...] = l_s[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_s[...] = acc_s[...] * alpha + jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    )
 
-    def body(kb, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        bh_blk = jax.lax.dynamic_slice_in_dim(bh, kb * r, r, axis=1)  # (bq, r)
-        bias = bh_blk[:, :, None] + bw[:, None, :]  # (bq, r, w) row-major == key order
-        s = s + bias.reshape(bq, block_k)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
-
-    m, l, acc = jax.lax.fori_loop(0, t // block_k, body, (m, l, acc))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    @pl.when(kb == nkb - 1)
+    def _emit():
+        o_ref[0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("grid_hw", "block_q", "interpret"))
@@ -113,30 +115,47 @@ def flash_attention_2d(
 ) -> jnp.ndarray:
     """SAM global-attention flash kernel (reference SamAutomaticMaskGenerator
     backbone layers, image_encoder.py Attention.use_rel_pos): blockwise
-    online-softmax with decomposed rel-pos added per k block.  Requires
-    h*w % block_q == 0 and a block_k that is a whole number of key rows;
-    callers fall back to the XLA path for shapes that don't tile."""
+    online-softmax with decomposed rel-pos, no (N, N) tensor in HBM.
+
+    The row bias rides the MXU: q_ext = [scale*q ++ bias_h], k_ext =
+    [k ++ onehot(key_row)], so q_ext @ k_ext.T = scale*qk + bias_h[q, row] —
+    sidestepping Mosaic's alignment limits on dynamically sliced bias blocks.
+    Requires h*w % block_q == 0; callers fall back to XLA otherwise."""
     bhn, n, d = q.shape
     h, w = grid_hw
     assert n == h * w, (n, grid_hw)
-    block_k = w * max(1, 128 // w)
-    assert n % block_q == 0 and n % block_k == 0, (n, block_q, block_k)
+    assert n % block_q == 0, (n, block_q)
     scale = d**-0.5
-    grid = (bhn, n // block_q)
+    rows = jnp.arange(n, dtype=jnp.int32) // w  # key row id per token
+    row_onehot = (rows[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]).astype(
+        q.dtype
+    )  # (N, h)
+    q_ext = jnp.concatenate([q * scale, bias_h.astype(q.dtype)], axis=-1)
+    k_ext = jnp.concatenate(
+        [k, jnp.broadcast_to(row_onehot, (bhn, n, h))], axis=-1
+    )
+    grid = (bhn, n // block_q, h)  # one key row per innermost step
     return pl.pallas_call(
-        partial(_flash2d_kernel, block_k=block_k, grid_w=w, scale=scale),
+        partial(_flash2d_kernel, nkb=h),
         out_shape=jax.ShapeDtypeStruct((bhn, n, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, n, d), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, n, d), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, block_q, h), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q, w), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, d + h), lambda b, qi, kb: (b, qi, 0)),
+            pl.BlockSpec((1, w, d + h), lambda b, qi, kb: (b, kb, 0)),
+            pl.BlockSpec((1, w, d), lambda b, qi, kb: (b, kb, 0)),
+            pl.BlockSpec((1, block_q, w), lambda b, qi, kb: (b, qi, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, kb: (b, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
         interpret=interpret,
-    )(q, k, v, bias_h, bias_w)
+    )(q_ext, k_ext, v, bias_w)
 
 
 @partial(jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret"))

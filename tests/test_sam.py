@@ -120,3 +120,29 @@ def test_crop_and_resize_masked():
     )
     o = np.asarray(out)[0]
     assert o[:3].min() == 1.0 and o[5:].max() == 0.0  # background blanked
+
+
+def test_crop_and_resize_matches_numpy_bilinear(rng):
+    """Matmul-form separable resampling == direct 4-point bilinear gather."""
+    import jax.numpy as jnp
+    from holoagent_tpu.ops.crop_resize import crop_and_resize
+
+    h, w, s = 37, 53, 16
+    img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    boxes = np.array(
+        [[0, 0, h, w], [3.5, 7.25, 20.0, 40.5], [10, 10, 11, 11]], np.float32
+    )
+    out = np.asarray(crop_and_resize(jnp.asarray(img), jnp.asarray(boxes), s))
+    t = (np.arange(s) + 0.5) / s
+    for m, (y0, x0, y1, x1) in enumerate(boxes):
+        ys = np.clip(y0 + t * (y1 - y0) - 0.5, 0, h - 1)
+        xs = np.clip(x0 + t * (x1 - x0) - 0.5, 0, w - 1)
+        yi = np.floor(ys).astype(int); yf = ys - yi; yi1 = np.minimum(yi + 1, h - 1)
+        xi = np.floor(xs).astype(int); xf = xs - xi; xi1 = np.minimum(xi + 1, w - 1)
+        ref = (
+            img[yi][:, xi] * ((1 - yf)[:, None] * (1 - xf)[None, :])[..., None]
+            + img[yi][:, xi1] * ((1 - yf)[:, None] * xf[None, :])[..., None]
+            + img[yi1][:, xi] * (yf[:, None] * (1 - xf)[None, :])[..., None]
+            + img[yi1][:, xi1] * (yf[:, None] * xf[None, :])[..., None]
+        )
+        np.testing.assert_allclose(out[m], ref, atol=2e-5, rtol=1e-4)
