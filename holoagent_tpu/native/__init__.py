@@ -121,6 +121,21 @@ def _load() -> C.CDLL:
     lib.vio_process.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_int, C.c_void_p,
     ]
+    # lio pipeline
+    lib.lio_create.restype = C.c_void_p
+    lib.lio_create.argtypes = [
+        C.c_double, C.c_int, C.c_double, C.c_double, C.c_double, C.c_double,
+        C.c_int, C.c_double, C.c_int,
+    ]
+    lib.lio_destroy.argtypes = [C.c_void_p]
+    lib.lio_init_static.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t]
+    lib.lio_process.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t,
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t, C.c_double, C.c_void_p,
+    ]
+    lib.lio_num_keyframes.restype = C.c_size_t
+    lib.lio_num_keyframes.argtypes = [C.c_void_p]
+    lib.lio_keyframe_pose.argtypes = [C.c_void_p, C.c_int, C.c_void_p]
     # pose graph
     lib.pg_create.restype = C.c_void_p
     lib.pg_destroy.argtypes = [C.c_void_p]
@@ -402,6 +417,81 @@ class Vio:
             "n_tracked": int(stats[3]), "n_spawned": int(stats[4]),
             "iters": int(stats[5]),
         }
+
+
+class LioPipeline:
+    """LiDAR-inertial odometry pipeline driver (native).
+
+    The LIVMapper orchestration role (reference lio_mapping_loc/src/
+    LIVMapper.cpp:1889-1909 run loop; keyframe/loop factors :837-895):
+    preprocess -> IMU undistort+propagate -> point-to-plane registration
+    against the voxel plane map -> map insert -> distance-gated keyframes
+    with ScanContext loop detection -> pose-graph optimization on loops."""
+
+    def __init__(
+        self, map_voxel: float = 0.5, map_min_points: int = 6,
+        planarity: float = 0.1, keyframe_dist: float = 1.0,
+        blind_radius: float = 0.3, max_radius: float = 100.0,
+        point_stride: int = 1, sc_max_dist: float = 0.25,
+        sc_exclude_recent: int = 10,
+    ):
+        self._l = lib()
+        self._h = self._l.lio_create(
+            map_voxel, map_min_points, planarity, keyframe_dist,
+            blind_radius, max_radius, point_stride, sc_max_dist,
+            sc_exclude_recent,
+        )
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._l.lio_destroy(self._h)
+
+    def init_static(self, gyro: np.ndarray, accel: np.ndarray) -> None:
+        g = np.ascontiguousarray(gyro, np.float64)
+        a = np.ascontiguousarray(accel, np.float64)
+        self._l.lio_init_static(self._h, _ptr(g), _ptr(a), len(g))
+
+    def process_sweep(
+        self,
+        xyz: np.ndarray,                      # (N, 3) sensor-frame points
+        t_offset: Optional[np.ndarray] = None,  # (N,) seconds within sweep
+        gyro: Optional[np.ndarray] = None,    # (K, 3)
+        accel: Optional[np.ndarray] = None,   # (K, 3)
+        dts: Optional[np.ndarray] = None,     # (K,)
+        sweep_dt: float = 0.1,
+    ):
+        """Returns (pose 4x4 body-to-world, stats dict)."""
+        pts = np.ascontiguousarray(xyz, np.float32)
+        toff = (
+            np.ascontiguousarray(t_offset, np.float32)
+            if t_offset is not None else np.zeros(len(pts), np.float32)
+        )
+        n_imu = 0 if gyro is None else len(gyro)
+        g = np.ascontiguousarray(gyro, np.float64) if gyro is not None else None
+        a = np.ascontiguousarray(accel, np.float64) if accel is not None else None
+        d = np.ascontiguousarray(dts, np.float64) if dts is not None else None
+        out = np.zeros(24, np.float64)
+        self._l.lio_process(
+            self._h, _ptr(pts), _ptr(toff), len(pts),
+            _ptr(g) if g is not None else None,
+            _ptr(a) if a is not None else None,
+            _ptr(d) if d is not None else None,
+            n_imu, sweep_dt, _ptr(out),
+        )
+        return out[:16].reshape(4, 4), {
+            "reg_rms": out[16], "keyframe": bool(out[17]),
+            "loop_with": int(out[18]), "map_voxels": int(out[19]),
+            "points_used": int(out[20]),
+        }
+
+    @property
+    def num_keyframes(self) -> int:
+        return int(self._l.lio_num_keyframes(self._h))
+
+    def keyframe_pose(self, i: int) -> np.ndarray:
+        out = np.zeros(16, np.float64)
+        self._l.lio_keyframe_pose(self._h, i, _ptr(out))
+        return out.reshape(4, 4)
 
 
 class PoseGraph:

@@ -1,0 +1,80 @@
+// Host-side LiDAR-inertial odometry pipeline driver.
+//
+// The orchestration role of the reference's LIVMapper main loop
+// (nav_agent/.../lio_mapping_loc/src/LIVMapper.cpp:1889-1909 run():
+// sync_packages -> processImu -> stateEstimationAndMapping, keyframe +
+// loop-closure factors :837-895) composed from this runtime's own modules:
+// sweep preprocessing, IMU propagation + undistortion, point-to-plane
+// registration against the voxel plane map, map insertion, distance-gated
+// keyframes with ScanContext loop detection, and pose-graph optimization on
+// loop closure.  (The reference's VIO branch lives in VioManager; fusing it
+// here is the caller's choice.)
+#pragma once
+
+#include <cstddef>
+#include <vector>
+
+#include "holoagent/imu.h"
+#include "holoagent/linalg.h"
+#include "holoagent/pose_graph.h"
+#include "holoagent/preprocess.h"
+#include "holoagent/scan_context.h"
+#include "holoagent/voxel_plane_map.h"
+
+namespace holoagent {
+
+struct LioParams {
+  PreprocessParams preprocess;
+  double map_voxel = 0.5;
+  int map_min_points = 6;
+  double map_planarity = 0.1;
+  double keyframe_dist = 1.0;     // meters between keyframes
+  int reg_iters = 12;
+  double reg_max_residual = 1.0;
+  int sc_exclude_recent = 10;     // keyframes excluded from loop search
+  double sc_max_dist = 0.25;
+  double gravity_z = -9.81;
+};
+
+struct LioStepResult {
+  Mat3 rot;              // body-to-world at sweep end
+  Vec3 pos;
+  double reg_rms = -1.0;
+  bool keyframe = false;
+  int loop_with = -1;    // keyframe id of a detected loop (-1 none)
+  size_t map_voxels = 0;
+  size_t points_used = 0;
+};
+
+class LioPipeline {
+ public:
+  explicit LioPipeline(const LioParams& p);
+
+  // Static initialization window (robot at rest): gravity + gyro bias.
+  void init_static(const double* gyro, const double* accel, size_t n);
+
+  // One synchronized packet: a LiDAR sweep (xyz float, per-point time offset)
+  // + the IMU samples spanning it (gyro/accel (n_imu,3), per-sample dt).
+  LioStepResult process_sweep(const float* xyz, const float* t_offset,
+                              size_t n_pts, const double* gyro,
+                              const double* accel, const double* dts,
+                              size_t n_imu, double sweep_dt);
+
+  size_t num_keyframes() const { return kf_poses_.size(); }
+  void keyframe_pose(int i, double* pose16_out) const;
+  const ImuState& state() const { return state_; }
+
+ private:
+  LioParams p_;
+  ImuState state_;
+  VoxelPlaneMap map_;
+  ScanContext sc_;
+  PoseGraph pg_;
+  std::vector<int> pg_ids_;          // pose-graph node per keyframe
+  std::vector<Pose> kf_poses_;       // optimized keyframe poses
+  Vec3 last_kf_pos_;
+  bool have_kf_ = false;
+  bool initialized_ = false;
+};
+
+}  // namespace holoagent

@@ -4,6 +4,7 @@
 #include <vector>
 
 #include "holoagent/imu.h"
+#include "holoagent/lio_pipeline.h"
 #include "holoagent/pose_graph.h"
 #include "holoagent/preprocess.h"
 #include "holoagent/registration.h"
@@ -243,5 +244,55 @@ void pg_get_pose(void* h, int id, double* pose16_out) {
 }
 
 size_t pg_num_nodes(void* h) { return static_cast<PoseGraph*>(h)->num_nodes(); }
+
+// ---------------------------------------------------------------- LIO pipeline
+
+void* lio_create(double map_voxel, int map_min_points, double planarity,
+                 double keyframe_dist, double blind_radius, double max_radius,
+                 int point_stride, double sc_max_dist, int sc_exclude_recent) {
+  holoagent::LioParams p;
+  p.map_voxel = map_voxel;
+  p.map_min_points = map_min_points;
+  p.map_planarity = planarity;
+  p.keyframe_dist = keyframe_dist;
+  p.preprocess.blind_radius = blind_radius;
+  p.preprocess.max_radius = max_radius;
+  p.preprocess.point_stride = point_stride;
+  p.sc_max_dist = sc_max_dist;
+  p.sc_exclude_recent = sc_exclude_recent;
+  return new holoagent::LioPipeline(p);
+}
+
+void lio_destroy(void* h) { delete static_cast<holoagent::LioPipeline*>(h); }
+
+void lio_init_static(void* h, const double* gyro, const double* accel, size_t n) {
+  static_cast<holoagent::LioPipeline*>(h)->init_static(gyro, accel, n);
+}
+
+// out24: pose16, reg_rms, keyframe, loop_with, map_voxels, points_used, pad
+void lio_process(void* h, const float* xyz, const float* t_offset, size_t n_pts,
+                 const double* gyro, const double* accel, const double* dts,
+                 size_t n_imu, double sweep_dt, double* out24) {
+  auto res = static_cast<holoagent::LioPipeline*>(h)->process_sweep(
+      xyz, t_offset, n_pts, gyro, accel, dts, n_imu, sweep_dt);
+  std::memset(out24, 0, 24 * sizeof(double));
+  for (int r = 0; r < 3; ++r)
+    for (int c = 0; c < 3; ++c) out24[r * 4 + c] = res.rot(r, c);
+  out24[3] = res.pos.x; out24[7] = res.pos.y; out24[11] = res.pos.z;
+  out24[15] = 1.0;
+  out24[16] = res.reg_rms;
+  out24[17] = res.keyframe ? 1.0 : 0.0;
+  out24[18] = res.loop_with;
+  out24[19] = (double)res.map_voxels;
+  out24[20] = (double)res.points_used;
+}
+
+size_t lio_num_keyframes(void* h) {
+  return static_cast<holoagent::LioPipeline*>(h)->num_keyframes();
+}
+
+void lio_keyframe_pose(void* h, int i, double* pose16_out) {
+  static_cast<holoagent::LioPipeline*>(h)->keyframe_pose(i, pose16_out);
+}
 
 }  // extern "C"

@@ -1,0 +1,197 @@
+#include "holoagent/lio_pipeline.h"
+
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+namespace holoagent {
+
+namespace {
+
+void pose_to16(const Mat3& r, const Vec3& t, double* m) {
+  std::memset(m, 0, 16 * sizeof(double));
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) m[i * 4 + j] = r(i, j);
+  m[3] = t.x; m[7] = t.y; m[11] = t.z;
+  m[15] = 1.0;
+}
+
+void pose_from16(const double* m, Mat3* r, Vec3* t) {
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) (*r)(i, j) = m[i * 4 + j];
+  *t = {m[3], m[7], m[11]};
+}
+
+}  // namespace
+
+LioPipeline::LioPipeline(const LioParams& p)
+    : p_(p),
+      map_(p.map_voxel, p.map_min_points, p.map_planarity),
+      sc_(20, 60, 80.0) {
+  state_.gravity = {0, 0, p.gravity_z};
+}
+
+void LioPipeline::init_static(const double* gyro, const double* accel, size_t n) {
+  imu_init(gyro, accel, n, &state_);
+  state_.gravity = {0, 0, p_.gravity_z};
+  initialized_ = true;
+}
+
+LioStepResult LioPipeline::process_sweep(const float* xyz, const float* t_offset,
+                                         size_t n_pts, const double* gyro,
+                                         const double* accel, const double* dts,
+                                         size_t n_imu, double sweep_dt) {
+  LioStepResult res;
+  // 1. preprocess: gate/stride/time-order
+  std::vector<float> fx(3 * n_pts), fi(n_pts), ft(n_pts);
+  std::vector<uint8_t> tag(n_pts);
+  size_t m = preprocess_sweep(xyz, nullptr, t_offset, n_pts, p_.preprocess,
+                              fx.data(), fi.data(), ft.data(), tag.data());
+  res.points_used = m;
+
+  // 2. IMU: undistort the sweep into its end frame from the pre-propagation
+  // state, then propagate the state across the sweep
+  ImuState start = state_;
+  std::vector<double> pts(3 * m);
+  std::vector<double> tp(m);
+  for (size_t i = 0; i < m; ++i) {
+    pts[3 * i] = fx[3 * i];
+    pts[3 * i + 1] = fx[3 * i + 1];
+    pts[3 * i + 2] = fx[3 * i + 2];
+    tp[i] = ft[i];
+  }
+  if (n_imu > 0) {
+    undistort_sweep(start, gyro, accel, dts, n_imu, pts.data(), tp.data(), m,
+                    sweep_dt);
+    imu_propagate(state_, gyro, accel, dts, n_imu, nullptr);
+  }
+
+  // 3. transform points to world with the predicted pose, register
+  Mat3 rot_pred = state_.rot.to_matrix();
+  Vec3 pos_pred = state_.pos;
+  std::vector<double> world(3 * m);
+  for (size_t i = 0; i < m; ++i) {
+    Vec3 p{pts[3 * i], pts[3 * i + 1], pts[3 * i + 2]};
+    Vec3 w = rot_pred * p + pos_pred;
+    world[3 * i] = w.x; world[3 * i + 1] = w.y; world[3 * i + 2] = w.z;
+  }
+  if (map_.num_planes() > 0 && m >= 20) {
+    double corr[16];
+    pose_to16(Mat3::identity(), Vec3{0, 0, 0}, corr);
+    res.reg_rms = map_.register_scan(world.data(), m, corr, p_.reg_iters,
+                                     p_.reg_max_residual);
+    Mat3 dr; Vec3 dt;
+    pose_from16(corr, &dr, &dt);
+    // correction maps predicted-world -> map frame
+    rot_pred = dr * rot_pred;
+    pos_pred = dr * pos_pred + dt;
+    for (size_t i = 0; i < m; ++i) {
+      Vec3 p{pts[3 * i], pts[3 * i + 1], pts[3 * i + 2]};
+      Vec3 w = rot_pred * p + pos_pred;
+      world[3 * i] = w.x; world[3 * i + 1] = w.y; world[3 * i + 2] = w.z;
+    }
+    // feed the correction back into the filter state (the ESIKF-update role)
+    Quat q;
+    {  // rotation matrix -> quaternion via largest-component method
+      Mat3& r = rot_pred;
+      double tr = r(0, 0) + r(1, 1) + r(2, 2);
+      if (tr > 0) {
+        double s = std::sqrt(tr + 1.0) * 2;
+        q = Quat(0.25 * s, (r(2, 1) - r(1, 2)) / s, (r(0, 2) - r(2, 0)) / s,
+                 (r(1, 0) - r(0, 1)) / s);
+      } else if (r(0, 0) > r(1, 1) && r(0, 0) > r(2, 2)) {
+        double s = std::sqrt(1.0 + r(0, 0) - r(1, 1) - r(2, 2)) * 2;
+        q = Quat((r(2, 1) - r(1, 2)) / s, 0.25 * s, (r(0, 1) + r(1, 0)) / s,
+                 (r(0, 2) + r(2, 0)) / s);
+      } else if (r(1, 1) > r(2, 2)) {
+        double s = std::sqrt(1.0 + r(1, 1) - r(0, 0) - r(2, 2)) * 2;
+        q = Quat((r(0, 2) - r(2, 0)) / s, (r(0, 1) + r(1, 0)) / s, 0.25 * s,
+                 (r(1, 2) + r(2, 1)) / s);
+      } else {
+        double s = std::sqrt(1.0 + r(2, 2) - r(0, 0) - r(1, 1)) * 2;
+        q = Quat((r(1, 0) - r(0, 1)) / s, (r(0, 2) + r(2, 0)) / s,
+                 (r(1, 2) + r(2, 1)) / s, 0.25 * s);
+      }
+      q.normalize();
+    }
+    state_.rot = q;
+    state_.pos = pos_pred;
+  }
+  map_.insert(world.data(), m);
+  res.rot = rot_pred;
+  res.pos = pos_pred;
+  res.map_voxels = map_.size();
+
+  // 4. keyframe + loop closure
+  Vec3 delta = pos_pred - last_kf_pos_;
+  if (!have_kf_ || delta.norm() >= p_.keyframe_dist) {
+    res.keyframe = true;
+    // descriptor in the BODY frame (rotation invariance handles yaw)
+    std::vector<double> body(3 * m);
+    Mat3 rt = rot_pred.transpose();
+    for (size_t i = 0; i < m; ++i) {
+      Vec3 w{world[3 * i], world[3 * i + 1], world[3 * i + 2]};
+      Vec3 b = rt * (w - pos_pred);
+      body[3 * i] = b.x; body[3 * i + 1] = b.y; body[3 * i + 2] = b.z;
+    }
+    auto desc = sc_.make_descriptor(body.data(), m);
+    double pose16[16];
+    pose_to16(rot_pred, pos_pred, pose16);
+    int node = pg_.add_node(pose16);
+    if (pg_ids_.empty()) {
+      pg_.add_prior(node, pose16, 1e4, 1e4);
+    } else {
+      // odometry between factor from the previous keyframe
+      double prev[16];
+      pg_.get_pose(pg_ids_.back(), prev);
+      Mat3 rp; Vec3 tp2;
+      pose_from16(prev, &rp, &tp2);
+      Mat3 rel_r = rp.transpose() * rot_pred;
+      Vec3 rel_t = rp.transpose() * (pos_pred - tp2);
+      double rel[16];
+      pose_to16(rel_r, rel_t, rel);
+      pg_.add_between(pg_ids_.back(), node, rel, 100.0, 100.0, false);
+    }
+    double yaw, dist;
+    int hit = sc_.detect_loop(desc, &yaw, &dist, p_.sc_exclude_recent,
+                              p_.sc_max_dist);
+    if (hit >= 0 && hit < (int)pg_ids_.size()) {
+      res.loop_with = hit;
+      // loop factor: relative pose between the matched keyframe and here,
+      // seeded by the SC yaw estimate around the matched pose
+      double kf16[16];
+      pg_.get_pose(pg_ids_[hit], kf16);
+      Mat3 rk; Vec3 tk;
+      pose_from16(kf16, &rk, &tk);
+      double c = std::cos(yaw), s = std::sin(yaw);
+      Mat3 ryaw;
+      ryaw.m = {c, -s, 0, s, c, 0, 0, 0, 1};
+      Mat3 rel_r = ryaw;           // revisit: same place, yaw offset
+      Vec3 rel_t{0, 0, 0};
+      double rel[16];
+      pose_to16(rel_r, rel_t, rel);
+      pg_.add_between(pg_ids_[hit], node, rel, 30.0, 30.0, true);
+      pg_.optimize(15);
+      // adopt the optimized pose for the filter state
+      double opt[16];
+      pg_.get_pose(node, opt);
+      Mat3 ro; Vec3 to;
+      pose_from16(opt, &ro, &to);
+      state_.pos = to;
+      res.pos = to;
+      res.rot = ro;
+    }
+    sc_.add_keyframe(desc);
+    pg_ids_.push_back(node);
+    kf_poses_.push_back({res.rot, res.pos});
+    last_kf_pos_ = res.pos;
+    have_kf_ = true;
+  }
+  return res;
+}
+
+void LioPipeline::keyframe_pose(int i, double* pose16_out) const {
+  pg_.get_pose(pg_ids_[i], pose16_out);
+}
+
+}  // namespace holoagent

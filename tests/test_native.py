@@ -404,3 +404,71 @@ def test_vio_estimates_exposure(rng):
     assert abs(st2["affine_a"] - 0.8) < 0.1, st2
     assert abs(st2["affine_b"] - 0.05) < 0.05, st2
     assert np.linalg.norm(pose2[:3, 3] - p2[:3, 3]) < 0.015
+
+
+# ---------------------------------------------------------------------------
+# LIO pipeline (LIVMapper orchestration role)
+# ---------------------------------------------------------------------------
+
+
+def _room_scan(rng, pos, yaw, n=4000, noise=0.005):
+    """Simulated LiDAR sweep in a 16x12 m room with structured walls, as seen
+    from world pose (pos, yaw): returns sensor-frame points."""
+    pts = []
+    for ang in np.linspace(0, 2 * np.pi, n, endpoint=False):
+        # cast a ray from pos; intersect the room's walls
+        d = np.array([np.cos(ang), np.sin(ang)])
+        ts = []
+        for axis, lo, hi in ((0, -8.0, 8.0), (1, -6.0, 6.0)):
+            if abs(d[axis]) > 1e-9:
+                for bound in (lo, hi):
+                    t = (bound - pos[axis]) / d[axis]
+                    if t > 0.1:
+                        q = pos[:2] + t * d
+                        if -8.01 <= q[0] <= 8.01 and -6.01 <= q[1] <= 6.01:
+                            ts.append(t)
+        if not ts:
+            continue
+        r = min(ts)
+        # wall height texture makes the scene unambiguous
+        zmax = 1.0 + 0.8 * np.sin(3 * ang + r)
+        for z in np.arange(0.0, max(zmax, 0.3), 0.25):
+            pts.append([r * np.cos(ang - yaw), r * np.sin(ang - yaw), z])
+    p = np.asarray(pts)
+    return p + rng.normal(0, noise, p.shape)
+
+
+def test_lio_pipeline_tracks_and_keyframes(rng):
+    from holoagent_tpu.native import LioPipeline
+
+    lio = LioPipeline(
+        map_voxel=0.4, keyframe_dist=0.5, blind_radius=0.2, sc_exclude_recent=3,
+    )
+    # static init: gravity-aligned accel, tiny gyro noise
+    gyro = rng.normal(0, 1e-4, (100, 3))
+    accel = np.tile([0.0, 0.0, 9.81], (100, 1)) + rng.normal(0, 1e-3, (100, 3))
+    lio.init_static(gyro, accel)
+
+    # robot translates along +x at 1 m/s, no rotation; IMU measures gravity
+    # only (constant velocity) — registration must hold the pose on track
+    poses_gt = []
+    est = []
+    for k in range(8):
+        x = 0.1 * k * 1.0  # 0.1 s per sweep at 1 m/s
+        pos = np.array([x, 0.0, 0.0])
+        scan = _room_scan(rng, pos, 0.0)
+        g = rng.normal(0, 1e-4, (10, 3))
+        a = np.tile([0.0, 0.0, 9.81], (10, 1))
+        dts = np.full(10, 0.01)
+        pose, st = lio.process_sweep(scan, None, g, a, dts, sweep_dt=0.1)
+        poses_gt.append(pos)
+        est.append(pose[:3, 3].copy())
+        assert st["points_used"] > 500
+    est = np.asarray(est)
+    gt = np.asarray(poses_gt)
+    # after the first sweep builds the map, tracking error stays bounded
+    err = np.linalg.norm(est[1:] - gt[1:], axis=1)
+    assert err.max() < 0.25, err
+    assert lio.num_keyframes >= 2
+    kf0 = lio.keyframe_pose(0)
+    assert np.isfinite(kf0).all()
