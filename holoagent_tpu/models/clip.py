@@ -131,8 +131,13 @@ def encode_image(
     dtype=jnp.bfloat16,
     normalize: bool = True,
     remat: bool = False,
+    impl: str = "xla",  # "flash": Pallas blockwise attention (TPU only)
 ) -> jnp.ndarray:
-    """Image tower: patchify -> pre-LN ViT -> cls token -> projection."""
+    """Image tower: patchify -> pre-LN ViT -> cls token -> projection.
+
+    impl="flash" streams attention through the Pallas kernel — at the crop
+    batch of the mapping pipeline (129 x 16 heads x 257 tokens) the XLA path
+    writes/reads ~26 GB of f32 score tensors across the 24 layers."""
     v = params["visual"]
     p = variant.patch
     b, s, _, _ = images.shape
@@ -149,7 +154,7 @@ def encode_image(
     x = x + v["pos"].astype(dtype)
     x = tfm.layer_norm(x, v["ln_pre_g"], v["ln_pre_b"])
     blocks = jax.tree.map(lambda a: a.astype(dtype), v["blocks"])
-    x = tfm.run_stack(x, blocks, variant.v_heads, remat=remat)
+    x = tfm.run_stack(x, blocks, variant.v_heads, remat=remat, impl=impl)
     x = tfm.layer_norm(x[:, 0], v["ln_post_g"], v["ln_post_b"])
     feats = jnp.einsum(
         "bw,wd->bd", x, v["proj"].astype(dtype), preferred_element_type=jnp.float32

@@ -166,7 +166,7 @@ def _block_with_cache(x, layer_params, ki, vi, pos, length, heads):
     return x, ki, vi
 
 
-@partial(jax.jit, static_argnames=("v", "dtype"))
+@partial(jax.jit, static_argnames=("v", "dtype", "impl"))
 def prefill(
     params: Params,
     embeddings: jnp.ndarray,  # (B, T, W) already-embedded prompt (text+vision)
@@ -174,9 +174,14 @@ def prefill(
     cache: KVCache,
     v: VLMVariant,
     dtype=jnp.bfloat16,
+    impl: str = "xla",  # "flash": Pallas causal attention for long prompts
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the prompt through the stacked-scan core, filling the KV cache.
-    Returns (logits at the last valid position (B, vocab), cache)."""
+    Returns (logits at the last valid position (B, vocab), cache).
+
+    impl="flash" routes the prefill attention through the Pallas causal
+    kernel — the multi-image gallery prompts (24 x vision tokens, SURVEY.md
+    §5.7) are long enough that the (T, T) score tensor dominates HBM."""
     b, t, w = embeddings.shape
     x = embeddings.astype(dtype) + params["pos"][:t].astype(dtype)
     causal = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)
@@ -195,11 +200,23 @@ def prefill(
         qh = q.reshape(b, t, v.heads, dh)
         kh = k.reshape(b, t, v.heads, dh)
         vh = val.reshape(b, t, v.heads, dh)
-        s = jnp.einsum("bthd,bshd->bhts", qh, kh, preferred_element_type=jnp.float32) * (
-            dh**-0.5
-        ) + causal
-        pr = jax.nn.softmax(s, axis=-1).astype(h.dtype)
-        att = jnp.einsum("bhts,bshd->bthd", pr, vh, preferred_element_type=jnp.float32)
+        if impl == "flash":
+            from ..ops.flash_attention import flash_attention
+
+            att = flash_attention(
+                qh.transpose(0, 2, 1, 3),
+                kh.transpose(0, 2, 1, 3),
+                vh.transpose(0, 2, 1, 3),
+                causal=True,
+            ).transpose(0, 2, 1, 3)
+        else:
+            s = jnp.einsum(
+                "bthd,bshd->bhts", qh, kh, preferred_element_type=jnp.float32
+            ) * (dh**-0.5) + causal
+            pr = jax.nn.softmax(s, axis=-1).astype(h.dtype)
+            att = jnp.einsum(
+                "bhts,bshd->bthd", pr, vh, preferred_element_type=jnp.float32
+            )
         att = att.astype(h.dtype).reshape(b, t, w)
         att = (
             jnp.einsum("btw,wc->btc", att, p["wo"], preferred_element_type=jnp.float32)

@@ -100,6 +100,10 @@ def extract_frame_features(
     mean = jnp.asarray(clip_mod.IMAGE_MEAN, stack.dtype)
     std = jnp.asarray(clip_mod.IMAGE_STD, stack.dtype)
     stack = (stack - mean) / std
+    # CLIP stays on the XLA path regardless of impl: at 257 tokens the flash
+    # kernel's pad-to-384 + small blocks LOSE to XLA's batched matmul
+    # (measured on v5e: 250 ms xla vs 432 ms flash for the 129-crop batch).
+    # impl="flash" only pays off for SAM's 4096-token global layers.
     feats = clip_mod.encode_image(clip_params, stack, clip_variant, dtype=dtype)
     feats = feats.astype(jnp.float32)
     m = max_masks
