@@ -1,0 +1,68 @@
+"""CLI applications end-to-end on the hermetic synthetic scene (the role of
+the reference's golden-path scripts, SURVEY.md §4.2): build_map -> graph dir,
+query_bench -> all_results.json in the reference schema, eval_graph, and the
+batch driver with per-scene skip_frames."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from holoagent_tpu import config as cfgmod
+
+
+@pytest.fixture(scope="module")
+def built_graph(tmp_path_factory):
+    from holoagent_tpu.apps import build_map
+
+    save = tmp_path_factory.mktemp("maps")
+    cfg = cfgmod.load("config/synthetic.yaml", [f"main.save_path={save}"])
+    graph_dir = build_map.run(cfg)
+    return cfg, Path(graph_dir)
+
+
+def test_build_map_produces_artifacts(built_graph):
+    cfg, graph_dir = built_graph
+    assert graph_dir.exists()
+    out = graph_dir.parent
+    stats = json.loads((out / "build_stats.json").read_text())
+    assert stats["frames"] > 0 and stats["scene_points"] > 0
+    assert stats["floors"] >= 1 and stats["objects"] >= 1
+    assert (out / "full_pcd.ply").exists()
+
+
+def test_query_bench_schema(built_graph, tmp_path):
+    from holoagent_tpu.apps import query_bench
+
+    cfg, graph_dir = built_graph
+    instructions = tmp_path / "instructions.json"
+    instructions.write_text(json.dumps(["box in the room", "the red object"]))
+    out_json = tmp_path / "all_results.json"
+    query_bench.main([
+        "--config", "config/synthetic.yaml",
+        f"main.save_path={graph_dir.parent.parent}",
+        "--graph", str(graph_dir),
+        "--instructions", str(instructions),
+        "--out", str(out_json),
+    ])
+    res = json.loads(out_json.read_text())
+    # reference all_results.json schema: per-query entries + stage averages
+    assert "average_total_time" in res
+    for key in ("average_llm_parse_time", "average_fastmatching"):
+        assert key in res, sorted(res)
+    assert len(res["results"]) == 2
+
+
+def test_batch_map_two_scenes(tmp_path):
+    from holoagent_tpu.apps import batch_map
+
+    cfg = cfgmod.load("config/synthetic.yaml", [f"main.save_path={tmp_path}"])
+    scenes = [
+        {"scene_id": "scene_a", "skip_frames": 3},
+        {"scene_id": "scene_b", "skip_frames": 4},
+    ]
+    summary = batch_map.run_batch(cfg, scenes)
+    assert set(summary) == {"scene_a", "scene_b"}
+    for st in summary.values():
+        assert st["frames"] > 0
+        assert Path(st["graph_dir"]).exists()
