@@ -39,6 +39,7 @@ class FSRQueryEngine:
         image_provider: Optional[Callable[[int], np.ndarray]] = None,
         vlm: Optional[VLMBackend] = None,
         parser=None,
+        update_dir: Optional[str] = None,  # persist slow-path-refined objects
     ):
         self.g = graph
         self.params = clip_params
@@ -47,6 +48,7 @@ class FSRQueryEngine:
         self.image_provider = image_provider
         self.vlm = vlm or NullVLM()
         self.parser = parser or RuleParser()
+        self.update_dir = update_dir
         self._text_cache: Dict[str, np.ndarray] = {}
         # device-side object gallery
         objs = graph.objects
@@ -340,6 +342,15 @@ class FSRQueryEngine:
                 gidx = {id(o): i for i, o in enumerate(self.g.objects)}
                 object_ids = [gidx[id(refined)]] + object_ids[:-1]
                 res["refined_object_id"] = oid
+                if self.update_dir is not None:
+                    # persist the slow-path-refined object (the reference
+                    # re-saves GPT-refined objects to objects_update/,
+                    # graph.py:2999-3006)
+                    from pathlib import Path
+
+                    upd = Path(self.update_dir) / "objects_update"
+                    upd.mkdir(parents=True, exist_ok=True)
+                    refined.save(upd)
         res["Re_Matching"] = time.time() - t_rm
         res["Total_Time"] = (
             res["FastMatching"]

@@ -218,3 +218,39 @@ def test_llm_client_bounded_failure():
     c = CachedLLMClient(broken, max_retries=2, backoff_s=0.0)
     with pytest.raises(RuntimeError):
         c.send_query([{"role": "user", "content": "hi"}])
+
+
+def test_slow_path_refinement_persists_objects_update(synthetic_graph, tmp_path):
+    """A VLM that rejects the fast pick and selects another view triggers
+    Re_Matching; the refined object is persisted to objects_update/ (the
+    reference mutates the saved graph the same way, graph.py:2999-3006)."""
+
+    class RefiningVLM:
+        def detect_object(self, image, label):
+            return False  # fast pick rejected -> rethinking engages
+
+        def choose_frame(self, images, instruction):
+            return 0
+
+        def detect_and_select_best(self, images, label):
+            # reject candidate 0, accept candidate 1 (the clip-best view)
+            return [False] + [True] * (len(images) - 1), 1
+
+    variant = clip_mod.VARIANTS["test-tiny"]
+    images = {i: np.zeros((8, 8, 3), np.float32) for i in range(8)}
+    eng = FakeTextEngine(
+        synthetic_graph,
+        clip_params=None,
+        tokenizer=None,
+        variant=variant,
+        image_provider=lambda i: images[i],
+        vlm=RefiningVLM(),
+        update_dir=str(tmp_path),
+    )
+    floor, rooms, objs, res = eng.query_hierarchy(
+        "towel in region bathroom on floor 1", use_slow=True
+    )
+    assert "refined_object_id" in res
+    upd = tmp_path / "objects_update"
+    oid = res["refined_object_id"]
+    assert (upd / f"{oid}.ply").exists() and (upd / f"{oid}.json").exists()
