@@ -462,14 +462,42 @@ class HMSGraph:
         room_type_feats: np.ndarray,
         room_types: Sequence[str],
         method: str = "view_embedding",
+        llm=None,  # callable(system, prompt) -> str, used by method="llm"
     ) -> None:
         """Name rooms (reference graph.py:2146-2187):
         'view_embedding' — dominant view embedding vs room-type text features
         (room.py:131-172); 'objects' — majority-informed vote over contained
         object names embedded as text (room.py:237-307
-        `infer_room_type_from_objects` semantics)."""
-        if method == "objects":
+        `infer_room_type_from_objects` semantics); 'llm' — ask an LLM to pick
+        the type from the contained object list (utils/llm_utils.py:52-126
+        `infer_room_type_from_object_list_chat`), falling back to the object
+        vote when the reply isn't a known type."""
+        if method == "llm" and llm is not None:
+            fallback = []
             for room in self.rooms:
+                names = sorted({o.name for o in room.objects if o.name})
+                try:
+                    reply = llm(
+                        "You classify rooms. Answer with exactly one room type "
+                        f"from this list: {', '.join(room_types)}.",
+                        f"A room contains: {', '.join(names) or 'nothing'}. "
+                        "What type of room is it?",
+                    ).strip().lower()
+                except Exception:
+                    reply = ""
+                match = next((t for t in room_types if t in reply), None)
+                if match is not None:
+                    room.name = match
+                else:
+                    fallback.append(room)
+            if not fallback:
+                return
+            # un-named rooms fall through to the object vote below
+            rooms_subset = fallback
+        else:
+            rooms_subset = self.rooms
+        if method in ("objects", "llm"):
+            for room in rooms_subset:
                 names = [o.name for o in room.objects if o.name]
                 if not names:
                     room.name = "room"

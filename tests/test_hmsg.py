@@ -138,3 +138,43 @@ def test_visualizer_writes_pngs(built, tmp_path):
     render_hierarchy(g, tmp_path / "h.png")
     assert (tmp_path / "map.png").stat().st_size > 1000
     assert (tmp_path / "h.png").stat().st_size > 1000
+
+
+def test_generate_room_names_llm_with_fallback(built_graph_fixtureless=None):
+    """LLM method: names from the LLM reply when it matches a known type;
+    rooms with unusable replies fall back to the object vote."""
+    import numpy as np
+    from holoagent_tpu.memory.hmsg import HMSGraph
+    from holoagent_tpu.memory.nodes import Floor, Object, Room
+
+    g = HMSGraph()
+    fl = Floor("0")
+    fl.floor_zero_level, fl.floor_height = 0.0, 2.5
+    g.floors.append(fl)
+    d = 8
+    types = ["kitchen", "bedroom"]
+    tfeats = np.eye(2, d, dtype=np.float32)  # kitchen=e0, bedroom=e1
+    for ri, objs in enumerate([["stove", "fridge"], ["bed", "pillow"]]):
+        r = Room(f"0_{ri}", "0")
+        r.room_zero_level, r.room_height = 0.0, 2.5
+        for oi, name in enumerate(objs):
+            o = Object(f"0_{ri}_{oi}", r.room_id, name=name)
+            emb = np.zeros(d, np.float32)
+            emb[ri] = 1.0  # votes for types[ri]
+            o.embedding = emb
+            r.add_object(o)
+        fl.add_room(r)
+        g.rooms.append(r)
+
+    calls = []
+
+    def llm(system, prompt):
+        calls.append(prompt)
+        if "stove" in prompt:
+            return "This is clearly a KITCHEN."
+        return "no idea"  # -> fallback vote picks bedroom via embeddings
+
+    g.generate_room_names(tfeats, types, method="llm", llm=llm)
+    assert g.rooms[0].name == "kitchen"
+    assert g.rooms[1].name == "bedroom"
+    assert len(calls) == 2
