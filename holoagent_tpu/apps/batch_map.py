@@ -24,6 +24,9 @@ from . import build_map
 
 
 def run_batch(cfg, scenes, gt_dir=None) -> dict:
+    from .common import load_models
+
+    models = load_models(cfg)  # checkpoints load ONCE across all scenes
     summary = {}
     for entry in scenes:
         scene_cfg = cfgmod.apply_override(cfg, f"main.scene_id={entry['scene_id']}")
@@ -37,7 +40,7 @@ def run_batch(cfg, scenes, gt_dir=None) -> dict:
             )
         print(f"=== scene {entry['scene_id']} "
               f"(skip_frames={scene_cfg.pipeline.skip_frames}) ===")
-        graph_dir = build_map.run(scene_cfg)
+        graph_dir = build_map.run(scene_cfg, models=models)
         stats_path = Path(scene_cfg.main.save_path) / entry["scene_id"] / "build_stats.json"
         stats = json.loads(stats_path.read_text()) if stats_path.exists() else {}
         stats["graph_dir"] = str(graph_dir)

@@ -26,8 +26,10 @@ from ..utils.ply import write_ply
 from .common import load_dataset, load_models, tokenizer
 
 
-def run(cfg: cfgmod.Config, dataset=None) -> Path:
-    clip_params, sam_params, cv, sv = load_models(cfg)
+def run(cfg: cfgmod.Config, dataset=None, models=None) -> Path:
+    """models: optional preloaded (clip_params, sam_params, cv, sv) so batch
+    drivers load checkpoints once across scenes."""
+    clip_params, sam_params, cv, sv = models if models is not None else load_models(cfg)
     dataset = dataset if dataset is not None else load_dataset(cfg)
     t0 = time.time()
     mapper = Mapper(cfg, clip_params, sam_params, clip_variant=cv, sam_variant=sv)

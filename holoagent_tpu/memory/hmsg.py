@@ -485,9 +485,12 @@ class HMSGraph:
                     ).strip().lower()
                 except Exception:
                     reply = ""
-                match = next((t for t in room_types if t in reply), None)
-                if match is not None:
-                    room.name = match
+                # accept the reply only when it names exactly ONE known type
+                # ("it is not a kitchen, more likely an office" must not pick
+                # kitchen); anything ambiguous falls back to the object vote
+                mentioned = [t for t in room_types if t in reply]
+                if len(mentioned) == 1:
+                    room.name = mentioned[0]
                 else:
                     fallback.append(room)
             if not fallback:

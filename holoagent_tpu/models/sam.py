@@ -156,9 +156,10 @@ def _attention_2d(
     bias_h = jnp.einsum("bhywd,ykd->bhywk", qg, rh, preferred_element_type=jnp.float32)
     bias_w = jnp.einsum("bhywd,wkd->bhywk", qg, rw, preferred_element_type=jnp.float32)
     n = h * w
+    # the kernel iterates one key row per grid step, so the only tiling
+    # requirement is a block_q that divides N
     block_q = 128 if n % 128 == 0 else (64 if n % 64 == 0 else 0)
-    block_k = w * max(1, 128 // w)  # must match flash_attention_2d's choice
-    if impl == "flash" and block_q and n % block_k == 0:
+    if impl == "flash" and block_q:
         from ..ops.flash_attention import flash_attention_2d
 
         out = flash_attention_2d(

@@ -166,7 +166,7 @@ def _block_with_cache(x, layer_params, ki, vi, pos, length, heads):
     return x, ki, vi
 
 
-@partial(jax.jit, static_argnames=("v", "dtype", "impl"))
+@partial(jax.jit, static_argnames=("v", "dtype", "impl", "interpret"))
 def prefill(
     params: Params,
     embeddings: jnp.ndarray,  # (B, T, W) already-embedded prompt (text+vision)
@@ -175,6 +175,7 @@ def prefill(
     v: VLMVariant,
     dtype=jnp.bfloat16,
     impl: str = "xla",  # "flash": Pallas causal attention for long prompts
+    interpret: bool = False,  # Pallas interpret mode (CPU tests)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the prompt through the stacked-scan core, filling the KV cache.
     Returns (logits at the last valid position (B, vocab), cache).
@@ -208,6 +209,7 @@ def prefill(
                 kh.transpose(0, 2, 1, 3),
                 vh.transpose(0, 2, 1, 3),
                 causal=True,
+                interpret=interpret,
             ).transpose(0, 2, 1, 3)
         else:
             s = jnp.einsum(

@@ -466,10 +466,15 @@ class LioPipeline:
             np.ascontiguousarray(t_offset, np.float32)
             if t_offset is not None else np.zeros(len(pts), np.float32)
         )
+        have = (gyro is not None, accel is not None, dts is not None)
+        if any(have) and not all(have):
+            raise ValueError("gyro, accel, and dts must be provided together")
         n_imu = 0 if gyro is None else len(gyro)
         g = np.ascontiguousarray(gyro, np.float64) if gyro is not None else None
         a = np.ascontiguousarray(accel, np.float64) if accel is not None else None
         d = np.ascontiguousarray(dts, np.float64) if dts is not None else None
+        if n_imu and (len(a) != n_imu or len(d) != n_imu):
+            raise ValueError("gyro/accel/dts length mismatch")
         out = np.zeros(24, np.float64)
         self._l.lio_process(
             self._h, _ptr(pts), _ptr(toff), len(pts),
@@ -489,6 +494,8 @@ class LioPipeline:
         return int(self._l.lio_num_keyframes(self._h))
 
     def keyframe_pose(self, i: int) -> np.ndarray:
+        if not 0 <= i < self.num_keyframes:
+            raise IndexError(f"keyframe {i} of {self.num_keyframes}")
         out = np.zeros(16, np.float64)
         self._l.lio_keyframe_pose(self._h, i, _ptr(out))
         return out.reshape(4, 4)

@@ -128,11 +128,15 @@ def flash_attention_2d(
     scale = d**-0.5
     rows = jnp.arange(n, dtype=jnp.int32) // w  # key row id per token
     row_onehot = (rows[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]).astype(
-        q.dtype
+        jnp.float32
     )  # (N, h)
-    q_ext = jnp.concatenate([q * scale, bias_h.astype(q.dtype)], axis=-1)
+    # build the augmented operands in f32: the bias (and scaled q) must not be
+    # rounded to bf16 before the matmul — the XLA path applies them in f32
+    q_ext = jnp.concatenate(
+        [q.astype(jnp.float32) * scale, bias_h.astype(jnp.float32)], axis=-1
+    )
     k_ext = jnp.concatenate(
-        [k, jnp.broadcast_to(row_onehot, (bhn, n, h))], axis=-1
+        [k.astype(jnp.float32), jnp.broadcast_to(row_onehot, (bhn, n, h))], axis=-1
     )
     grid = (bhn, n // block_q, h)  # one key row per innermost step
     return pl.pallas_call(

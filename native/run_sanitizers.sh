@@ -33,6 +33,15 @@ void pg_get_pose(void*, int, double*);
 void* vio_create(int, int, double, double, double, double, double, int, int);
 void vio_destroy(void*);
 void vio_process(void*, const float*, const float*, double*, int, double*);
+void imu_init_static(const double*, const double*, size_t, double*);
+void imu_propagate_c(double*, const double*, const double*, const double*, size_t, double*);
+void* lio_create(double, int, double, double, double, double, int, double, int);
+void lio_destroy(void*);
+void lio_init_static(void*, const double*, const double*, size_t);
+void lio_process(void*, const float*, const float*, size_t, const double*,
+                 const double*, const double*, size_t, double, double*);
+size_t lio_num_keyframes(void*);
+void lio_keyframe_pose(void*, int, double*);
 int wheel_update(double*, const double*, double, double, double);
 int zupt_update(double*, double, double, double, double);
 void ground_update(double*, double, double);
@@ -89,6 +98,38 @@ int main() {
   vio_process(vio, img.data(), dep.data(), vp, 8, stats);
   vio_process(vio, img.data(), nullptr, vp, 8, stats);
   vio_destroy(vio);
+  // imu
+  {
+    std::vector<double> g2(30, 1e-4), a2(30);
+    for (int i = 0; i < 10; ++i) { a2[3*i] = 0; a2[3*i+1] = 0; a2[3*i+2] = 9.81; }
+    double st17[17];
+    imu_init_static(g2.data(), a2.data(), 10, st17);
+    std::vector<double> dt2(10, 0.01), poses(10 * 7);
+    imu_propagate_c(st17, g2.data(), a2.data(), dt2.data(), 10, poses.data());
+  }
+  // lio pipeline (incl. out-of-range keyframe_pose defensive path)
+  {
+    void* lio = lio_create(0.5, 6, 0.1, 0.5, 0.2, 100.0, 1, 0.25, 3);
+    std::vector<double> g2(30, 1e-4), a2(30, 0.0), dt2(10, 0.01);
+    for (int i = 0; i < 10; ++i) a2[3*i+2] = 9.81;
+    lio_init_static(lio, g2.data(), a2.data(), 10);
+    std::vector<float> scan(3 * 600), st2(600, 0.0f);
+    for (int i = 0; i < 600; ++i) {
+      double ang2 = i * 0.0105;
+      scan[3*i] = (float)(6 * std::cos(ang2));
+      scan[3*i+1] = (float)(6 * std::sin(ang2));
+      scan[3*i+2] = (float)((i % 5) * 0.3);
+    }
+    double out24[24];
+    lio_process(lio, scan.data(), st2.data(), 600, g2.data(), a2.data(),
+                dt2.data(), 10, 0.1, out24);
+    lio_process(lio, scan.data(), st2.data(), 600, nullptr, nullptr, nullptr,
+                0, 0.1, out24);
+    double kf16[16];
+    lio_keyframe_pose(lio, 99, kf16);  // out-of-range -> identity, no UB
+    if (lio_num_keyframes(lio) > 0) lio_keyframe_pose(lio, 0, kf16);
+    lio_destroy(lio);
+  }
   // constraints
   double st[17] = {0,0,0, 0.1,0,0, 0, 0.25,0,0, 0,0.25,0, 0,0,0.25, 0.05};
   double wv[3] = {0.1, 0.0, 0.0};
@@ -105,7 +146,7 @@ g++ -O1 -g -std=c++17 -fsanitize=address -fno-omit-frame-pointer -Iinclude \
     build-asan/sanity_main.cc \
     src/scan_context.cc src/voxel_plane_map.cc src/imu.cc src/velocity_bridge.cc \
     src/registration.cc src/preprocess.cc src/pose_graph.cc src/vio.cc \
-    src/constraints.cc src/capi.cc \
+    src/constraints.cc src/lio_pipeline.cc src/capi.cc \
     -o build-asan/sanity
 ./build-asan/sanity
 echo "ASan: clean"

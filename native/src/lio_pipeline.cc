@@ -22,6 +22,31 @@ void pose_from16(const double* m, Mat3* r, Vec3* t) {
   *t = {m[3], m[7], m[11]};
 }
 
+// rotation matrix -> quaternion via the largest-component method
+Quat mat_to_quat(const Mat3& r) {
+  Quat q;
+  double tr = r(0, 0) + r(1, 1) + r(2, 2);
+  if (tr > 0) {
+    double s = std::sqrt(tr + 1.0) * 2;
+    q = Quat(0.25 * s, (r(2, 1) - r(1, 2)) / s, (r(0, 2) - r(2, 0)) / s,
+             (r(1, 0) - r(0, 1)) / s);
+  } else if (r(0, 0) > r(1, 1) && r(0, 0) > r(2, 2)) {
+    double s = std::sqrt(1.0 + r(0, 0) - r(1, 1) - r(2, 2)) * 2;
+    q = Quat((r(2, 1) - r(1, 2)) / s, 0.25 * s, (r(0, 1) + r(1, 0)) / s,
+             (r(0, 2) + r(2, 0)) / s);
+  } else if (r(1, 1) > r(2, 2)) {
+    double s = std::sqrt(1.0 + r(1, 1) - r(0, 0) - r(2, 2)) * 2;
+    q = Quat((r(0, 2) - r(2, 0)) / s, (r(0, 1) + r(1, 0)) / s, 0.25 * s,
+             (r(1, 2) + r(2, 1)) / s);
+  } else {
+    double s = std::sqrt(1.0 + r(2, 2) - r(0, 0) - r(1, 1)) * 2;
+    q = Quat((r(1, 0) - r(0, 1)) / s, (r(0, 2) + r(2, 0)) / s,
+             (r(1, 2) + r(2, 1)) / s, 0.25 * s);
+  }
+  q.normalize();
+  return q;
+}
+
 }  // namespace
 
 LioPipeline::LioPipeline(const LioParams& p)
@@ -90,32 +115,11 @@ LioStepResult LioPipeline::process_sweep(const float* xyz, const float* t_offset
       Vec3 w = rot_pred * p + pos_pred;
       world[3 * i] = w.x; world[3 * i + 1] = w.y; world[3 * i + 2] = w.z;
     }
-    // feed the correction back into the filter state (the ESIKF-update role)
-    Quat q;
-    {  // rotation matrix -> quaternion via largest-component method
-      Mat3& r = rot_pred;
-      double tr = r(0, 0) + r(1, 1) + r(2, 2);
-      if (tr > 0) {
-        double s = std::sqrt(tr + 1.0) * 2;
-        q = Quat(0.25 * s, (r(2, 1) - r(1, 2)) / s, (r(0, 2) - r(2, 0)) / s,
-                 (r(1, 0) - r(0, 1)) / s);
-      } else if (r(0, 0) > r(1, 1) && r(0, 0) > r(2, 2)) {
-        double s = std::sqrt(1.0 + r(0, 0) - r(1, 1) - r(2, 2)) * 2;
-        q = Quat((r(2, 1) - r(1, 2)) / s, 0.25 * s, (r(0, 1) + r(1, 0)) / s,
-                 (r(0, 2) + r(2, 0)) / s);
-      } else if (r(1, 1) > r(2, 2)) {
-        double s = std::sqrt(1.0 + r(1, 1) - r(0, 0) - r(2, 2)) * 2;
-        q = Quat((r(0, 2) - r(2, 0)) / s, (r(0, 1) + r(1, 0)) / s, 0.25 * s,
-                 (r(1, 2) + r(2, 1)) / s);
-      } else {
-        double s = std::sqrt(1.0 + r(2, 2) - r(0, 0) - r(1, 1)) * 2;
-        q = Quat((r(1, 0) - r(0, 1)) / s, (r(0, 2) + r(2, 0)) / s,
-                 (r(1, 2) + r(2, 1)) / s, 0.25 * s);
-      }
-      q.normalize();
-    }
-    state_.rot = q;
+    // feed the correction back into the filter state (the ESIKF-update role);
+    // velocity rotates with the correction too
+    state_.rot = mat_to_quat(rot_pred);
     state_.pos = pos_pred;
+    state_.vel = dr * state_.vel;
   }
   map_.insert(world.data(), m);
   res.rot = rot_pred;
@@ -172,14 +176,21 @@ LioStepResult LioPipeline::process_sweep(const float* xyz, const float* t_offset
       pose_to16(rel_r, rel_t, rel);
       pg_.add_between(pg_ids_[hit], node, rel, 30.0, 30.0, true);
       pg_.optimize(15);
-      // adopt the optimized pose for the filter state
+      // adopt the optimized pose for the filter state — position AND
+      // rotation, and rotate the velocity by the correction so the whole
+      // belief moves to the optimized frame consistently
       double opt[16];
       pg_.get_pose(node, opt);
       Mat3 ro; Vec3 to;
       pose_from16(opt, &ro, &to);
+      Mat3 dr = ro * rot_pred.transpose();
       state_.pos = to;
+      state_.vel = dr * state_.vel;
+      state_.rot = mat_to_quat(ro);
       res.pos = to;
       res.rot = ro;
+      rot_pred = ro;
+      pos_pred = to;
     }
     sc_.add_keyframe(desc);
     pg_ids_.push_back(node);
@@ -191,6 +202,11 @@ LioStepResult LioPipeline::process_sweep(const float* xyz, const float* t_offset
 }
 
 void LioPipeline::keyframe_pose(int i, double* pose16_out) const {
+  if (i < 0 || i >= (int)pg_ids_.size()) {  // defensive: reachable from ctypes
+    std::memset(pose16_out, 0, 16 * sizeof(double));
+    pose16_out[0] = pose16_out[5] = pose16_out[10] = pose16_out[15] = 1.0;
+    return;
+  }
   pg_.get_pose(pg_ids_[i], pose16_out);
 }
 

@@ -115,3 +115,24 @@ def test_sam_encoder_flash_falls_back_on_nontiling_grid(rng):
         params["encoder"], img, v, dtype=jnp.float32, impl="flash", interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_sam_encoder_flash_matches_xla_bf16(rng):
+    """bf16 production path: the f32 bias/scale handling inside the flash
+    wrapper must keep parity with the XLA path at bf16 tolerances."""
+    import dataclasses
+
+    from holoagent_tpu.models import sam as sam_mod
+
+    v = dataclasses.replace(
+        sam_mod.VARIANTS["test-tiny"], img_size=64, patch=4, window=2
+    )
+    params = sam_mod.init_sam(jax.random.key(0), v)
+    img = jnp.asarray(rng.uniform(0, 1, (1, v.img_size, v.img_size, 3)), jnp.float32)
+    ref = sam_mod.encode_image(
+        params["encoder"], img, v, dtype=jnp.bfloat16, impl="xla"
+    ).astype(jnp.float32)
+    out = sam_mod.encode_image(
+        params["encoder"], img, v, dtype=jnp.bfloat16, impl="flash", interpret=True
+    ).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05, rtol=0.05)

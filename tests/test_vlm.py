@@ -110,3 +110,23 @@ def test_generative_vlm_backend(models):
     assert backend.choose_frame([img, img], "a chair") in (0, 1)
     checks, best = backend.detect_and_select_best([img], "chair")
     assert len(checks) == 1 and best == 0
+
+
+def test_prefill_flash_matches_xla(models):
+    """prefill(impl='flash') logits and KV cache == the XLA path."""
+    vlm_p, clip_p = models
+    tok = SimpleTokenizer()
+    ids = np.asarray([tok.sot] + tok.encode("where is the red chair"), np.int32)
+    emb, n = vlm_mod.build_prompt_embeddings(
+        vlm_p, clip_p, ids, None, TV, max_len=32, dtype=jnp.float32
+    )
+    cache0 = vlm_mod.init_cache(TV, 1, jnp.float32)
+    lx, cx = vlm_mod.prefill(
+        vlm_p, emb[None], jnp.asarray([n]), cache0, TV, dtype=jnp.float32
+    )
+    lf, cf = vlm_mod.prefill(
+        vlm_p, emb[None], jnp.asarray([n]), cache0, TV, dtype=jnp.float32,
+        impl="flash", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lx), atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(cf.k), np.asarray(cx.k), atol=2e-3, rtol=2e-3)
