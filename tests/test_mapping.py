@@ -70,3 +70,42 @@ def test_keyframes_recorded(mapped):
     ms, ds = mapped
     assert len(ms.keyframes) == 2  # 8 frames, skip 4
     assert ms.keyframe_feats.shape[0] == 2
+
+
+def test_fused_frame_step_matches_staged(mapped):
+    """pipeline.fused_frame_step=True (ONE XLA program per frame) produces the
+    same scene/instances as the staged default."""
+    ms_staged, ds = mapped
+    cfg = from_dict(
+        {
+            "main": {"depth_cut": 20.0},
+            "models": {
+                "clip": {"type": "test-tiny", "dtype": "float32"},
+                "sam": {
+                    "type": "test-tiny",
+                    "points_per_side": 4,
+                    "pred_iou_thresh": -10.0,
+                    "stability_score_thresh": 0.0,
+                    "min_mask_region_area": 20,
+                    "max_masks": 8,
+                },
+            },
+            "pipeline": {
+                "voxel_size": 0.1,
+                "skip_frames": 4,
+                "point_capacity": 1 << 15,
+                "mask_point_capacity": 512,
+                "instance_capacity": 64,
+                "fused_frame_step": True,
+            },
+        }
+    )
+    clip_p = clip_mod.init_clip(jax.random.key(0), clip_mod.VARIANTS["test-tiny"])
+    sam_p = sam_mod.init_sam(jax.random.key(1), sam_mod.VARIANTS["test-tiny"])
+    ms = Mapper(cfg, clip_p, sam_p).run(ds)
+    n1, n2 = int(ms_staged.scene.num), int(ms.scene.num)
+    assert n1 == n2
+    pts1 = np.sort(np.asarray(ms_staged.scene.points())[:n1], axis=0)
+    pts2 = np.sort(np.asarray(ms.scene.points())[:n2], axis=0)
+    np.testing.assert_allclose(pts1, pts2, atol=1e-4)
+    assert int(ms.instances.num()) == int(ms_staged.instances.num())
