@@ -113,7 +113,7 @@ def frame_step(
     m = ff.masks.shape[0]
     masks_flat = ff.masks.reshape(m, -1)
     scene = fuse_pixel_features.__wrapped__(
-        scene, pix_rows, masks_flat, ff.valid, ff.f_masks, chunk=32768
+        scene, pix_rows, masks_flat, ff.valid, ff.f_masks
     )
     finst = inst_mod.frame_instances.__wrapped__(
         masks_flat, ff.valid, ff.f_masks, pix_rows, pts, min_rows=3,

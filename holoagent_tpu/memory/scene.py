@@ -147,16 +147,37 @@ def fuse_pixel_features(
     masks: jnp.ndarray,  # (M, P) bool flattened mask coverage
     mask_valid: jnp.ndarray,  # (M,)
     f_masks: jnp.ndarray,  # (M, D) fused per-mask features
-    chunk: int = 32768,
+    chunk: int = 1 << 20,  # >= P -> single-shot (faster; measured on v5e)
 ) -> SceneState:
     """Scatter per-pixel ConceptFusion features into the scene
     (reference graph.py:404-415 semantics: per-pixel feature = normalized sum
     of covering masks' features; per scene point sum/count then mean).
-    Computed in pixel chunks so the (P, D) tensor never materializes."""
+
+    chunk >= P runs single-shot: the transient (P, D) tensor (~1 GB f32 at
+    VGA x 768) fits HBM comfortably and one einsum + one scatter beats the
+    chunked scan; smaller chunks bound the transient for larger frames."""
     p = pix_rows.shape[0]
     d = f_masks.shape[1]
     c = scene.capacity
     fm = jnp.where(mask_valid[:, None], f_masks, 0.0)
+    if chunk >= p:
+        f = jnp.einsum(
+            "mp,md->pd", masks.astype(jnp.float32), fm,
+            preferred_element_type=jnp.float32,
+        )
+        norm = jnp.linalg.norm(f, axis=-1, keepdims=True)
+        covered = norm[:, 0] > 1e-9
+        f = jnp.where(covered[:, None], f / jnp.maximum(norm, 1e-9), 0.0)
+        tgt = jnp.where((pix_rows >= 0) & covered, pix_rows, c)
+        sum_feat = (
+            jnp.concatenate([scene.sum_feat, jnp.zeros((1, d))]).at[tgt].add(f)[:c]
+        )
+        feat_count = (
+            jnp.concatenate([scene.feat_count, jnp.zeros((1,))])
+            .at[tgt]
+            .add(covered.astype(jnp.float32))[:c]
+        )
+        return scene._replace(sum_feat=sum_feat, feat_count=feat_count)
     n_chunks = (p + chunk - 1) // chunk
     pad = n_chunks * chunk - p
     rows_p = jnp.concatenate([pix_rows, jnp.full((pad,), -1, jnp.int32)])
