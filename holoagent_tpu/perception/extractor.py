@@ -130,3 +130,66 @@ def per_pixel_features(ff: FrameFeatures, dtype=jnp.float16) -> jnp.ndarray:
     acc = jnp.einsum("mp,md->pd", mk, ff.f_masks, preferred_element_type=jnp.float32)
     acc = _l2(acc)
     return acc.reshape(h, w, -1).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel frame batch (DP over frames, SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "clip_variant", "sam_variant", "points_per_side", "max_masks",
+        "dtype", "impl",
+    ),
+)
+def _extract_batch(
+    clip_params, sam_params, images01, clip_variant, sam_variant,
+    points_per_side, pred_iou_thresh, stability_thresh, min_area, max_masks,
+    masked_weight, bbox_margin, dtype, impl,
+):
+    def one(img):
+        return extract_frame_features.__wrapped__(
+            clip_params, sam_params, img, clip_variant, sam_variant,
+            points_per_side=points_per_side, pred_iou_thresh=pred_iou_thresh,
+            stability_thresh=stability_thresh, min_area=min_area,
+            max_masks=max_masks, masked_weight=masked_weight,
+            bbox_margin=bbox_margin, dtype=dtype, impl=impl,
+        )
+
+    return jax.vmap(one)(images01)
+
+
+def extract_frames_dp(
+    clip_params,
+    sam_params,
+    images01: jnp.ndarray,  # (F, H, W, 3), F divisible by the mesh data axis
+    clip_variant,
+    sam_variant,
+    mesh,
+    points_per_side: int = 12,
+    pred_iou_thresh: float = 0.88,
+    stability_thresh: float = 0.95,
+    min_area: float = 100.0,
+    max_masks: int = 64,
+    masked_weight: float = 0.4418,
+    bbox_margin: float = 50.0,
+    dtype=jnp.bfloat16,
+    impl: str = "xla",
+) -> FrameFeatures:
+    """Data-parallel ConceptFusion extraction: frames shard over the mesh's
+    data axis, tower weights replicate, and XLA partitions the per-frame
+    program across chips (the DP-over-frames obligation of SURVEY.md §2.4 —
+    this is how a v5e-8 slice multiplies the per-chip mapping rate).
+    Returns batched FrameFeatures (leading frame axis)."""
+    from ..parallel.sharding import data_sharding, replicated
+
+    images01 = jax.device_put(images01, data_sharding(mesh, rank=4))
+    cp = jax.device_put(clip_params, replicated(mesh))
+    sp = jax.device_put(sam_params, replicated(mesh))
+    return _extract_batch(
+        cp, sp, images01, clip_variant, sam_variant, points_per_side,
+        pred_iou_thresh, stability_thresh, min_area, max_masks,
+        masked_weight, bbox_margin, dtype, impl,
+    )

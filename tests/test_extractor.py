@@ -63,3 +63,39 @@ def test_per_pixel_features(models):
     if cov.any():
         np.testing.assert_allclose(norms[cov], 1.0, atol=1e-2)
     assert (norms[~cov] < 1e-6).all()
+
+
+def test_extract_frames_dp_over_mesh(rng):
+    """DP over frames on the 8-device mesh == per-frame extraction."""
+    import jax
+    import jax.numpy as jnp
+
+    from holoagent_tpu.config import MeshConfig
+    from holoagent_tpu.models import clip as clip_mod, sam as sam_mod
+    from holoagent_tpu.parallel import make_mesh
+    from holoagent_tpu.perception.extractor import (
+        extract_frame_features,
+        extract_frames_dp,
+    )
+
+    mesh = make_mesh(MeshConfig(data=-1, model=1))
+    cv = clip_mod.VARIANTS["test-tiny"]
+    sv = sam_mod.VARIANTS["test-tiny"]
+    cp = clip_mod.init_clip(jax.random.key(0), cv)
+    sp = sam_mod.init_sam(jax.random.key(1), sv)
+    f = mesh.shape["data"]
+    imgs = jnp.asarray(rng.uniform(0, 1, (f, 32, 48, 3)), jnp.float32)
+    kw = dict(
+        points_per_side=3, pred_iou_thresh=-10.0, stability_thresh=0.0,
+        min_area=5.0, max_masks=4, dtype=jnp.float32,
+    )
+    batched = extract_frames_dp(cp, sp, imgs, cv, sv, mesh, **kw)
+    single = extract_frame_features(cp, sp, imgs[0], cv, sv, **kw)
+    assert batched.f_masks.shape == (f, 4, cv.embed_dim)
+    np.testing.assert_allclose(
+        np.asarray(batched.f_masks[0]), np.asarray(single.f_masks),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batched.masks[0]), np.asarray(single.masks)
+    )
