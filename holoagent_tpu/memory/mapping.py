@@ -151,6 +151,7 @@ class Mapper:
         self.instances = inst_mod.empty_instances(p.instance_capacity, k_cap, d)
         self.keyframes: List[RGBDFrame] = []
         self._kf_feats: List[np.ndarray] = []
+        self._pending_instances: List[inst_mod.InstanceSet] = []  # hierarchical
         self._dtype = jnp.bfloat16 if cfg.models.clip.dtype == "bfloat16" else jnp.float32
 
     # -- per-frame ----------------------------------------------------------
@@ -166,7 +167,9 @@ class Mapper:
         """Integrate one frame (fused single program or staged programs per
         cfg.pipeline.fused_frame_step)."""
         p = self.cfg.pipeline
-        if p.fused_frame_step:
+        # the fused single-program step folds instances sequentially inside
+        # the program; hierarchical merging needs the staged path
+        if p.fused_frame_step and p.merge_type != "hierarchical":
             self.scene, self.instances, f_g = frame_step(
                 self.scene,
                 self.instances,
@@ -227,6 +230,12 @@ class Mapper:
             min_rows=3, k_cap=p.mask_point_capacity,
             stride=self._pixel_stride(frame),
         )
+        if p.merge_type == "hierarchical":
+            # defer: frames fold pairwise in a binary tree at finalize
+            # (reference graph_utils.py:989-1012 hierarchical_merge — order-
+            # insensitive, fewer early spurious merges than the running fold)
+            self._pending_instances.append(finst)
+            return scene, self.instances, ff.f_global
         instances = inst_mod.seq_merge_step(
             self.instances, finst, p.init_overlap_thresh, p.iou_thresh
         )
@@ -242,6 +251,27 @@ class Mapper:
 
     def finalize(self) -> MappedScene:
         p = self.cfg.pipeline
+        if self._pending_instances:
+            # hierarchical merge: pairwise tree fold of the per-frame sets
+            out_cap = self.instances.rows.shape[0]
+            level = self._pending_instances
+            self._pending_instances = []
+            while len(level) > 1:
+                nxt = []
+                for a, b in zip(level[::2], level[1::2]):
+                    cat = inst_mod.concat(a, b)
+                    nxt.append(
+                        inst_mod.merge_round(
+                            cat, p.init_overlap_thresh, p.iou_thresh,
+                            min(out_cap, cat.rows.shape[0]),
+                        )
+                    )
+                if len(level) % 2:
+                    nxt.append(level[-1])
+                level = nxt
+            self.instances = inst_mod.seq_merge_step(
+                self.instances, level[0], p.init_overlap_thresh, p.iou_thresh
+            )
         # final merge pass (reference seq_merge's trailing merge)
         self.instances = inst_mod.merge_round(
             self.instances,

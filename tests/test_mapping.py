@@ -109,3 +109,43 @@ def test_fused_frame_step_matches_staged(mapped):
     pts2 = np.sort(np.asarray(ms.scene.points())[:n2], axis=0)
     np.testing.assert_allclose(pts1, pts2, atol=1e-4)
     assert int(ms.instances.num()) == int(ms_staged.instances.num())
+
+
+def test_hierarchical_merge_matches_scene(mapped):
+    """merge_type=hierarchical (pairwise tree fold) produces a valid instance
+    set over the same scene, with comparable instance counts."""
+    ms_seq, ds = mapped
+    cfg = from_dict(
+        {
+            "main": {"depth_cut": 20.0},
+            "models": {
+                "clip": {"type": "test-tiny", "dtype": "float32"},
+                "sam": {
+                    "type": "test-tiny",
+                    "points_per_side": 4,
+                    "pred_iou_thresh": -10.0,
+                    "stability_score_thresh": 0.0,
+                    "min_mask_region_area": 20,
+                    "max_masks": 8,
+                },
+            },
+            "pipeline": {
+                "voxel_size": 0.1,
+                "skip_frames": 4,
+                "point_capacity": 1 << 15,
+                "mask_point_capacity": 512,
+                "instance_capacity": 64,
+                "merge_type": "hierarchical",
+            },
+        }
+    )
+    clip_p = clip_mod.init_clip(jax.random.key(0), clip_mod.VARIANTS["test-tiny"])
+    sam_p = sam_mod.init_sam(jax.random.key(1), sam_mod.VARIANTS["test-tiny"])
+    ms = Mapper(cfg, clip_p, sam_p).run(ds)
+    n_seq = int(ms_seq.instances.num())
+    n_hier = int(ms.instances.num())
+    assert n_hier > 0
+    # same scene, same thresholds: counts in the same ballpark
+    assert 0.3 * n_seq <= n_hier <= 3 * n_seq + 2, (n_seq, n_hier)
+    # scene fusion identical regardless of merge schedule
+    assert int(ms.scene.num) == int(ms_seq.scene.num)
