@@ -256,21 +256,28 @@ class Mapper:
             out_cap = self.instances.rows.shape[0]
             level = self._pending_instances
             self._pending_instances = []
+            th = p.init_overlap_thresh
             while len(level) > 1:
                 nxt = []
                 for a, b in zip(level[::2], level[1::2]):
                     cat = inst_mod.concat(a, b)
                     nxt.append(
                         inst_mod.merge_round(
-                            cat, p.init_overlap_thresh, p.iou_thresh,
+                            cat, th, p.iou_thresh,
                             min(out_cap, cat.rows.shape[0]),
                         )
                     )
                 if len(level) % 2:
                     nxt.append(level[-1])
                 level = nxt
+                if len(level) > 1:
+                    # per-level threshold decay (reference
+                    # graph_utils.py:1002-1003)
+                    th -= p.overlap_thresh_factor * (len(level) - 2) / max(
+                        1, len(level) - 1
+                    )
             self.instances = inst_mod.seq_merge_step(
-                self.instances, level[0], p.init_overlap_thresh, p.iou_thresh
+                self.instances, level[0], th, p.iou_thresh
             )
         # final merge pass (reference seq_merge's trailing merge)
         self.instances = inst_mod.merge_round(
