@@ -50,6 +50,54 @@ RASTER_PAD = 10  # border padding cells (reference graph.py:1001-1003)
 # ---------------------------------------------------------------------------
 
 
+def _save_floor_histogram_debug(debug_dir, z_coords: np.ndarray, bounds) -> None:
+    """Floor z-histogram + detected slab boundaries (reference's debug plot
+    at graph.py:530-568): png when matplotlib is available, npy always."""
+    hist, edges = np.histogram(z_coords, bins=max(int(np.ptp(z_coords) / 0.01), 8))
+    np.save(debug_dir / "floor_z_histogram.npy", np.stack([edges[:-1], hist]))
+    (debug_dir / "floor_bounds.json").write_text(
+        json.dumps([[float(lo), float(hi)] for lo, hi in bounds])
+    )
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 3))
+        ax.plot(edges[:-1], hist, lw=0.8)
+        for lo, hi in bounds:
+            ax.axvline(lo, color="g", ls="--", lw=0.8)
+            ax.axvline(hi, color="r", ls="--", lw=0.8)
+        ax.set_xlabel("z (m)")
+        ax.set_ylabel("points")
+        fig.tight_layout()
+        fig.savefig(debug_dir / "floor_z_histogram.png", dpi=100)
+        plt.close(fig)
+    except Exception:
+        pass  # png is best-effort; the npy artifact is the contract
+
+
+def _save_room_raster_debug(debug_dir, floor_id: str, labels: np.ndarray) -> None:
+    """Per-floor room-segmentation raster (reference's room map images at
+    graph.py:975-1066)."""
+    np.save(debug_dir / f"room_labels_floor{floor_id}.npy", labels)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(4, 4))
+        ax.imshow(labels, interpolation="nearest", cmap="tab20")
+        ax.set_title(f"floor {floor_id} rooms")
+        fig.tight_layout()
+        fig.savefig(debug_dir / f"room_labels_floor{floor_id}.png", dpi=100)
+        plt.close(fig)
+    except Exception:
+        pass
+
+
 def detect_floor_boundaries(
     up_coords: np.ndarray,
     resolution: float = 0.01,
@@ -230,9 +278,20 @@ class HMSGraph:
         n = int(scene.num)
         pts = np.asarray(scene.points())[:n]
         cols = np.asarray(scene.colors())[:n]
+        debug_dir = None
+        if cfg.pipeline.save_intermediate_results:
+            # debug artifact set (reference §5.5: floor z-histograms
+            # graph.py:530-568, room maps :975-1066 — they document the
+            # algorithm's intermediate contracts)
+            from pathlib import Path as _P
+
+            debug_dir = _P(cfg.main.save_path) / cfg.main.scene_id / "debug"
+            debug_dir.mkdir(parents=True, exist_ok=True)
 
         # ---- floors
         bounds = detect_floor_boundaries(pts[:, 2])
+        if debug_dir is not None:
+            _save_floor_histogram_debug(debug_dir, pts[:, 2], bounds)
         for fi, (lo, hi) in enumerate(bounds):
             sel = (pts[:, 2] >= lo) & (pts[:, 2] < hi)
             if sel.sum() < 50 and len(bounds) > 1:
@@ -265,6 +324,8 @@ class HMSGraph:
                 resolution=cfg.pipeline.grid_resolution,
             )
             room_ids = raster.room_of_points(fl.pcd_points[:, :2])
+            if debug_dir is not None:
+                _save_room_raster_debug(debug_dir, fl.floor_id, raster.labels)
             n_rooms = int(raster.labels.max()) + 1
             if n_rooms <= 0:
                 n_rooms = 1

@@ -178,3 +178,26 @@ def test_generate_room_names_llm_with_fallback(built_graph_fixtureless=None):
     assert g.rooms[0].name == "kitchen"
     assert g.rooms[1].name == "bedroom"
     assert len(calls) == 2
+
+
+def test_save_intermediate_results_artifacts(tmp_path):
+    """pipeline.save_intermediate_results writes the debug artifact set
+    (floor z-histogram + bounds, per-floor room rasters)."""
+    import json as _json
+
+    from holoagent_tpu import config as cfgmod
+    from holoagent_tpu.apps import build_map
+
+    cfg = cfgmod.load(
+        "config/synthetic.yaml",
+        [f"main.save_path={tmp_path}", "pipeline.save_intermediate_results=true"],
+    )
+    build_map.run(cfg)
+    dbg = tmp_path / cfg.main.scene_id / "debug"
+    assert (dbg / "floor_z_histogram.npy").exists()
+    bounds = _json.loads((dbg / "floor_bounds.json").read_text())
+    assert len(bounds) >= 1 and bounds[0][0] < bounds[0][1]
+    rasters = list(dbg.glob("room_labels_floor*.npy"))
+    assert rasters, "no room raster artifacts"
+    lab = np.load(rasters[0])
+    assert lab.ndim == 2
