@@ -21,6 +21,36 @@ import numpy as np
 from ..memory.hmsg import HMSGraph
 
 
+def render_pcd_on_image(
+    points: np.ndarray,  # (N, 3) world points
+    colors: np.ndarray,  # (N, 3) in [0, 1]
+    pose: np.ndarray,  # (4, 4) camera-to-world
+    k: np.ndarray,  # (3, 3) intrinsics
+    hw: tuple,
+    background: np.ndarray | None = None,  # (H, W, 3) frame to draw over
+) -> np.ndarray:
+    """Project scene points into a keyframe view (the debug overlay of
+    reference utils/graph_utils.py:25-92 `visualize_pcd_on_image`): returns
+    an (H, W, 3) float image — painter's order by depth, optional underlay."""
+    h, w = hw
+    img = (
+        np.asarray(background, np.float32).copy()
+        if background is not None
+        else np.zeros((h, w, 3), np.float32)
+    )
+    t_wc = np.linalg.inv(np.asarray(pose, np.float64))
+    pc = (t_wc[:3, :3] @ np.asarray(points, np.float64).T).T + t_wc[:3, 3]
+    z = pc[:, 2]
+    ok = z > 1e-3
+    u = np.round(k[0, 0] * pc[:, 0] / np.maximum(z, 1e-9) + k[0, 2]).astype(int)
+    v = np.round(k[1, 1] * pc[:, 1] / np.maximum(z, 1e-9) + k[1, 2]).astype(int)
+    ok &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    order = np.argsort(-z[ok])  # far first; near points overwrite
+    uu, vv = u[ok][order], v[ok][order]
+    img[vv, uu] = np.asarray(colors, np.float32)[ok][order]
+    return np.clip(img, 0.0, 1.0)
+
+
 def render_top_down(graph: HMSGraph, out_path: str | Path, nav_graph=None) -> None:
     fig, ax = plt.subplots(figsize=(10, 8))
     cmap = plt.get_cmap("tab20")

@@ -66,3 +66,20 @@ def test_batch_map_two_scenes(tmp_path):
     for st in summary.values():
         assert st["frames"] > 0
         assert Path(st["graph_dir"]).exists()
+
+
+def test_render_pcd_on_image():
+    """Known geometry projects to the expected pixel with correct occlusion."""
+    import numpy as np
+
+    from holoagent_tpu.apps.visualize_graph import render_pcd_on_image
+
+    k = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+    pose = np.eye(4)  # camera at origin looking +z
+    # two points on the optical axis: near red should occlude far blue
+    pts = np.array([[0.0, 0.0, 2.0], [0.0, 0.0, 1.0], [0.5, 0.0, 1.0]])
+    cols = np.array([[0, 0, 1.0], [1.0, 0, 0], [0, 1.0, 0]])
+    img = render_pcd_on_image(pts, cols, pose, k, (48, 64))
+    np.testing.assert_allclose(img[24, 32], [1.0, 0, 0])  # near wins
+    # x=0.5 at z=1 -> u = 100*0.5 + 32 = 82 -> out of 64-wide image: clipped
+    assert img.sum() == 1.0  # only the one visible pixel painted
