@@ -48,7 +48,9 @@ class RuleParser:
         self.spec = set(spec)
 
     def __call__(self, instruction: str) -> ParsedQuery:
-        text = instruction.strip().rstrip(".?!")
+        text = instruction.strip().rstrip(".?!。？！")
+        if _ZH_HINT.search(text):
+            return self._parse_zh(text)
         # strip leading imperatives
         text = re.sub(
             r"^(?:please\s+)?(?:find|go to|bring me|navigate to|take me to|locate|look for)\s+(?:the\s+|a\s+|an\s+)?",
@@ -79,6 +81,41 @@ class RuleParser:
         if "floor" not in self.spec:
             floor = None
         return ParsedQuery(floor=floor, room=room, object=obj)
+
+    def _parse_zh(self, text: str) -> ParsedQuery:
+        """Chinese query shapes (the zh prompt variant of reference
+        llm_utils.py:310-466): 「去N楼的R找O」 / 「在R里找O」 / 「带我去O」."""
+        floor = room = None
+        # leading imperatives
+        text = re.sub(r"^(?:请)?(?:帮我)?(?:去|找|寻找|带我去|导航到|到)", "", text)
+        m = re.search(r"([一二三四五六七八九十\d]+)\s*(?:楼|层)(?:的)?", text)
+        if m and "floor" in self.spec:
+            floor = _ZH_NUMS.get(m.group(1), m.group(1))
+            text = text.replace(m.group(0), "", 1)
+        text = re.sub(r"^的", "", text)
+        # "R里找O" / "R找O": the room chunk precedes 找
+        m = re.match(r"(?:在)?([\w一-鿿]+?)(?:里|内|中)?(?:的)?找(.+)$", text)
+        if m and "room" in self.spec and m.group(1):
+            room = m.group(1)
+            text = m.group(2)
+        else:
+            m = re.search(r"(?:在)?([\w一-鿿]+?)(?:里|内|中)(?:的)?", text)
+            if m and "room" in self.spec and m.group(1):
+                room = m.group(1)
+                text = text.replace(m.group(0), "", 1)
+        obj = re.sub(r"^(?:找|的|去)", "", text).strip(" ，,。") or None
+        if "room" not in self.spec:
+            room = None
+        if "floor" not in self.spec:
+            floor = None
+        return ParsedQuery(floor=floor, room=room, object=obj)
+
+
+_ZH_HINT = re.compile(r"[一-鿿]")
+_ZH_NUMS = {
+    "一": "1", "二": "2", "三": "3", "四": "4", "五": "5",
+    "六": "6", "七": "7", "八": "8", "九": "9", "十": "10",
+}
 
 
 class LLMParser:

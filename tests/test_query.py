@@ -254,3 +254,14 @@ def test_slow_path_refinement_persists_objects_update(synthetic_graph, tmp_path)
     upd = tmp_path / "objects_update"
     oid = res["refined_object_id"]
     assert (upd / f"{oid}.ply").exists() and (upd / f"{oid}.json").exists()
+
+
+def test_rule_parser_chinese():
+    """zh query shapes (the reference's zh prompt variants,
+    llm_utils.py:310-466)."""
+    p = RuleParser()
+    assert p("去二楼的厨房找椅子").astuple() == ("2", "厨房", "椅子")
+    assert p("在卧室里找台灯").astuple() == (None, "卧室", "台灯")
+    assert p("带我去沙发").astuple() == (None, None, "沙发")
+    assert p("请帮我去三楼的会议室找投影仪").astuple() == ("3", "会议室", "投影仪")
+    assert p("在客厅里的电视。").astuple() == (None, "客厅", "电视")
