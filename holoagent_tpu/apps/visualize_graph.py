@@ -32,6 +32,8 @@ def render_pcd_on_image(
     """Project scene points into a keyframe view (the debug overlay of
     reference utils/graph_utils.py:25-92 `visualize_pcd_on_image`): returns
     an (H, W, 3) float image — painter's order by depth, optional underlay."""
+    from ..utils.camera import Pinhole, project
+
     h, w = hw
     img = (
         np.asarray(background, np.float32).copy()
@@ -41,9 +43,12 @@ def render_pcd_on_image(
     t_wc = np.linalg.inv(np.asarray(pose, np.float64))
     pc = (t_wc[:3, :3] @ np.asarray(points, np.float64).T).T + t_wc[:3, 3]
     z = pc[:, 2]
-    ok = z > 1e-3
-    u = np.round(k[0, 0] * pc[:, 0] / np.maximum(z, 1e-9) + k[0, 2]).astype(int)
-    v = np.round(k[1, 1] * pc[:, 1] / np.maximum(z, 1e-9) + k[1, 2]).astype(int)
+    # one projection convention for the whole framework (utils.camera.project)
+    uv, depth = project(pc.astype(np.float32), Pinhole.from_matrix(k))
+    uv = np.asarray(uv)
+    ok = np.asarray(depth) > 1e-3
+    u = np.round(uv[:, 0]).astype(int)
+    v = np.round(uv[:, 1]).astype(int)
     ok &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
     order = np.argsort(-z[ok])  # far first; near points overwrite
     uu, vv = u[ok][order], v[ok][order]

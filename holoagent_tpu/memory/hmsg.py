@@ -283,9 +283,7 @@ class HMSGraph:
             # debug artifact set (reference §5.5: floor z-histograms
             # graph.py:530-568, room maps :975-1066 — they document the
             # algorithm's intermediate contracts)
-            from pathlib import Path as _P
-
-            debug_dir = _P(cfg.main.save_path) / cfg.main.scene_id / "debug"
+            debug_dir = Path(cfg.main.save_path) / cfg.main.scene_id / "debug"
             debug_dir.mkdir(parents=True, exist_ok=True)
 
         # ---- floors

@@ -151,7 +151,8 @@ class Mapper:
         self.instances = inst_mod.empty_instances(p.instance_capacity, k_cap, d)
         self.keyframes: List[RGBDFrame] = []
         self._kf_feats: List[np.ndarray] = []
-        self._pending_instances: List[inst_mod.InstanceSet] = []  # hierarchical
+        # hierarchical merge: binary counter of per-height partial merges
+        self._hier_slots: Dict[int, inst_mod.InstanceSet] = {}
         self._dtype = jnp.bfloat16 if cfg.models.clip.dtype == "bfloat16" else jnp.float32
 
     # -- per-frame ----------------------------------------------------------
@@ -231,10 +232,11 @@ class Mapper:
             stride=self._pixel_stride(frame),
         )
         if p.merge_type == "hierarchical":
-            # defer: frames fold pairwise in a binary tree at finalize
-            # (reference graph_utils.py:989-1012 hierarchical_merge — order-
-            # insensitive, fewer early spurious merges than the running fold)
-            self._pending_instances.append(finst)
+            # binary-counter streaming fold (reference graph_utils.py:989-1012
+            # hierarchical_merge semantics — pairwise tree merges — but with
+            # only O(log F) sets resident in HBM: whenever two sets of the
+            # same tree height meet, they merge and carry to the next height)
+            self._hier_push(finst, height=0)
             return scene, self.instances, ff.f_global
         instances = inst_mod.seq_merge_step(
             self.instances, finst, p.init_overlap_thresh, p.iou_thresh
@@ -249,35 +251,47 @@ class Mapper:
 
     # -- finalize ------------------------------------------------------------
 
+    def _hier_th(self, height: int) -> float:
+        """Per-height overlap threshold: decays with tree height (the role of
+        the reference's per-level decay, graph_utils.py:1002-1003)."""
+        p = self.cfg.pipeline
+        return p.init_overlap_thresh - p.overlap_thresh_factor * height
+
+    def _hier_push(self, inst: inst_mod.InstanceSet, height: int) -> None:
+        """Binary-counter carry: merge equal-height partials upward."""
+        p = self.cfg.pipeline
+        out_cap = self.instances.rows.shape[0]
+        while height in self._hier_slots:
+            other = self._hier_slots.pop(height)
+            cat = inst_mod.concat(other, inst)
+            inst = inst_mod.merge_round(
+                cat, self._hier_th(height), p.iou_thresh,
+                min(out_cap, cat.rows.shape[0]),
+            )
+            height += 1
+        self._hier_slots[height] = inst
+
     def finalize(self) -> MappedScene:
         p = self.cfg.pipeline
-        if self._pending_instances:
-            # hierarchical merge: pairwise tree fold of the per-frame sets
+        if self._hier_slots:
+            # drain the counter: fold remaining partials lowest-height first
             out_cap = self.instances.rows.shape[0]
-            level = self._pending_instances
-            self._pending_instances = []
-            th = p.init_overlap_thresh
-            while len(level) > 1:
-                nxt = []
-                for a, b in zip(level[::2], level[1::2]):
-                    cat = inst_mod.concat(a, b)
-                    nxt.append(
-                        inst_mod.merge_round(
-                            cat, th, p.iou_thresh,
-                            min(out_cap, cat.rows.shape[0]),
-                        )
+            acc = None
+            h_max = 0
+            for h in sorted(self._hier_slots):
+                s = self._hier_slots[h]
+                h_max = max(h_max, h)
+                if acc is None:
+                    acc = s
+                else:
+                    cat = inst_mod.concat(acc, s)
+                    acc = inst_mod.merge_round(
+                        cat, self._hier_th(h), p.iou_thresh,
+                        min(out_cap, cat.rows.shape[0]),
                     )
-                if len(level) % 2:
-                    nxt.append(level[-1])
-                level = nxt
-                if len(level) > 1:
-                    # per-level threshold decay (reference
-                    # graph_utils.py:1002-1003)
-                    th -= p.overlap_thresh_factor * (len(level) - 2) / max(
-                        1, len(level) - 1
-                    )
+            self._hier_slots = {}
             self.instances = inst_mod.seq_merge_step(
-                self.instances, level[0], th, p.iou_thresh
+                self.instances, acc, self._hier_th(h_max), p.iou_thresh
             )
         # final merge pass (reference seq_merge's trailing merge)
         self.instances = inst_mod.merge_round(

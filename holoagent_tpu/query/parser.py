@@ -86,11 +86,12 @@ class RuleParser:
         """Chinese query shapes (the zh prompt variant of reference
         llm_utils.py:310-466): 「去N楼的R找O」 / 「在R里找O」 / 「带我去O」."""
         floor = room = None
-        # leading imperatives
-        text = re.sub(r"^(?:请)?(?:帮我)?(?:去|找|寻找|带我去|导航到|到)", "", text)
+        # leading politeness + imperatives (politeness strips even without a
+        # following verb: 「请在卧室里找台灯」)
+        text = re.sub(r"^(?:请)?(?:帮我)?(?:去|寻找|带我去|导航到|到|找)?", "", text, count=1)
         m = re.search(r"([一二三四五六七八九十\d]+)\s*(?:楼|层)(?:的)?", text)
         if m and "floor" in self.spec:
-            floor = _ZH_NUMS.get(m.group(1), m.group(1))
+            floor = _zh_numeral(m.group(1))
             text = text.replace(m.group(0), "", 1)
         text = re.sub(r"^的", "", text)
         # "R里找O" / "R找O": the room chunk precedes 找
@@ -112,10 +113,25 @@ class RuleParser:
 
 
 _ZH_HINT = re.compile(r"[一-鿿]")
-_ZH_NUMS = {
-    "一": "1", "二": "2", "三": "3", "四": "4", "五": "5",
-    "六": "6", "七": "7", "八": "8", "九": "9", "十": "10",
+_ZH_DIGITS = {
+    "一": 1, "二": 2, "三": 3, "四": 4, "五": 5,
+    "六": 6, "七": 7, "八": 8, "九": 9,
 }
+
+
+def _zh_numeral(s: str) -> str:
+    """Chinese numeral (incl. compounds 十二 / 二十 / 二十三) -> digit string;
+    plain digits pass through."""
+    if s.isdigit():
+        return s
+    if "十" in s:
+        tens_s, _, ones_s = s.partition("十")
+        tens = _ZH_DIGITS.get(tens_s, 1) if tens_s else 1
+        ones = _ZH_DIGITS.get(ones_s, 0) if ones_s else 0
+        return str(tens * 10 + ones)
+    if s in _ZH_DIGITS:
+        return str(_ZH_DIGITS[s])
+    return s
 
 
 class LLMParser:

@@ -1,8 +1,9 @@
 #!/bin/bash
-# One-command repo verification: hermetic test suite (8-device virtual CPU
-# mesh), the multi-chip sharded dry run, the native sanitizer harness, and a
-# CPU smoke of the CLI apps.  Everything runs without TPU hardware; run
-# `python bench.py` separately on a real chip for the headline number.
+# One-command repo verification: the native sanitizer harness, the hermetic
+# test suite (8-device virtual CPU mesh — this includes the end-to-end CLI
+# app tests, tests/test_apps.py), and the multi-chip sharded dry run.
+# Everything runs without TPU hardware; run `python bench.py` separately on a
+# real chip for the headline number.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 

@@ -10,9 +10,17 @@ from holoagent_tpu.models import clip as clip_mod
 from holoagent_tpu.models import sam as sam_mod
 
 
-@pytest.fixture(scope="module")
-def mapped():
-    cfg = from_dict(
+def _tiny_cfg(**pipeline_overrides):
+    """Shared tiny-model operating point for the mapper tests."""
+    pipeline = {
+        "voxel_size": 0.1,
+        "skip_frames": 4,
+        "point_capacity": 1 << 15,
+        "mask_point_capacity": 512,
+        "instance_capacity": 64,
+    }
+    pipeline.update(pipeline_overrides)
+    return from_dict(
         {
             "main": {"depth_cut": 20.0},
             "models": {
@@ -26,15 +34,14 @@ def mapped():
                     "max_masks": 8,
                 },
             },
-            "pipeline": {
-                "voxel_size": 0.1,
-                "skip_frames": 4,
-                "point_capacity": 1 << 15,
-                "mask_point_capacity": 512,
-                "instance_capacity": 64,
-            },
+            "pipeline": pipeline,
         }
     )
+
+
+@pytest.fixture(scope="module")
+def mapped():
+    cfg = _tiny_cfg()
     ds = SyntheticDataset(num_frames=8, hw=(48, 64))
     clip_p = clip_mod.init_clip(jax.random.key(0), clip_mod.VARIANTS["test-tiny"])
     sam_p = sam_mod.init_sam(jax.random.key(1), sam_mod.VARIANTS["test-tiny"])
@@ -76,30 +83,7 @@ def test_fused_frame_step_matches_staged(mapped):
     """pipeline.fused_frame_step=True (ONE XLA program per frame) produces the
     same scene/instances as the staged default."""
     ms_staged, ds = mapped
-    cfg = from_dict(
-        {
-            "main": {"depth_cut": 20.0},
-            "models": {
-                "clip": {"type": "test-tiny", "dtype": "float32"},
-                "sam": {
-                    "type": "test-tiny",
-                    "points_per_side": 4,
-                    "pred_iou_thresh": -10.0,
-                    "stability_score_thresh": 0.0,
-                    "min_mask_region_area": 20,
-                    "max_masks": 8,
-                },
-            },
-            "pipeline": {
-                "voxel_size": 0.1,
-                "skip_frames": 4,
-                "point_capacity": 1 << 15,
-                "mask_point_capacity": 512,
-                "instance_capacity": 64,
-                "fused_frame_step": True,
-            },
-        }
-    )
+    cfg = _tiny_cfg(fused_frame_step=True)
     clip_p = clip_mod.init_clip(jax.random.key(0), clip_mod.VARIANTS["test-tiny"])
     sam_p = sam_mod.init_sam(jax.random.key(1), sam_mod.VARIANTS["test-tiny"])
     ms = Mapper(cfg, clip_p, sam_p).run(ds)
@@ -115,30 +99,7 @@ def test_hierarchical_merge_matches_scene(mapped):
     """merge_type=hierarchical (pairwise tree fold) produces a valid instance
     set over the same scene, with comparable instance counts."""
     ms_seq, ds = mapped
-    cfg = from_dict(
-        {
-            "main": {"depth_cut": 20.0},
-            "models": {
-                "clip": {"type": "test-tiny", "dtype": "float32"},
-                "sam": {
-                    "type": "test-tiny",
-                    "points_per_side": 4,
-                    "pred_iou_thresh": -10.0,
-                    "stability_score_thresh": 0.0,
-                    "min_mask_region_area": 20,
-                    "max_masks": 8,
-                },
-            },
-            "pipeline": {
-                "voxel_size": 0.1,
-                "skip_frames": 4,
-                "point_capacity": 1 << 15,
-                "mask_point_capacity": 512,
-                "instance_capacity": 64,
-                "merge_type": "hierarchical",
-            },
-        }
-    )
+    cfg = _tiny_cfg(merge_type="hierarchical")
     clip_p = clip_mod.init_clip(jax.random.key(0), clip_mod.VARIANTS["test-tiny"])
     sam_p = sam_mod.init_sam(jax.random.key(1), sam_mod.VARIANTS["test-tiny"])
     ms = Mapper(cfg, clip_p, sam_p).run(ds)

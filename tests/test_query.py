@@ -265,3 +265,8 @@ def test_rule_parser_chinese():
     assert p("带我去沙发").astuple() == (None, None, "沙发")
     assert p("请帮我去三楼的会议室找投影仪").astuple() == ("3", "会议室", "投影仪")
     assert p("在客厅里的电视。").astuple() == (None, "客厅", "电视")
+    # politeness prefixes and compound numerals
+    assert p("请在卧室里找台灯").astuple() == (None, "卧室", "台灯")
+    assert p("帮我在厨房找勺子").astuple() == (None, "厨房", "勺子")
+    assert p("去十二楼找椅子").astuple() == ("12", None, "椅子")
+    assert p("去二十三层的办公室找打印机").astuple() == ("23", "办公室", "打印机")
