@@ -29,6 +29,7 @@ that even on GPU), so vs_baseline == measured FPS.
 
 import json
 import statistics
+import sys
 import time
 
 import numpy as np
@@ -130,6 +131,38 @@ def main():
         + ", ".join(f"{k}={v*1e3:.1f}" for k, v in stage_s.items())
         + f"; total {total*1e3:.1f} ms on {dev}",
         flush=True,
+        file=sys.stderr,
+    )
+
+    # reference operating point: SAM ViT-H (semantic_scene_reconstruction_ic4f
+    # .yaml:11).  Measure the extract stage at vit_h and derive the vit_h FPS
+    # by swapping that one stage (the rest of the pipeline is backbone-
+    # independent).
+    svh = sam_mod.VARIANTS["vit_h"]
+    sam_h = sam_mod.init_sam(jax.random.key(2), svh, dtype=jnp.bfloat16)
+    _sync(
+        extract_frame_features(
+            clip_params, sam_h, rgb, cv, svh,
+            points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash",
+        ).f_masks
+    )
+    extract_h = max(
+        _time_dispatch(
+            lambda: extract_frame_features(
+                clip_params, sam_h, rgb, cv, svh,
+                points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash",
+            ).f_masks
+        )
+        - rtt,
+        1e-4,
+    )
+    total_h = total - stage_s["extract"] + extract_h
+    fps_h = 1.0 / total_h
+    print(
+        f"# vit_h extract {extract_h*1e3:.1f} ms -> {fps_h:.2f} FPS at the "
+        "reference backbone",
+        flush=True,
+        file=sys.stderr,
     )
     print(
         json.dumps(
@@ -138,6 +171,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s (640x480 RGB-D -> fused scene graph, SAM vit_b + CLIP ViT-L/14)",
                 "vs_baseline": round(fps / 1.0, 2),
+                "vit_h_fps": round(fps_h, 2),
+                "stage_ms": {k: round(v * 1e3, 1) for k, v in stage_s.items()},
             }
         )
     )

@@ -27,28 +27,45 @@ def _bbox_iou_3d(c1, d1, c2, d2) -> float:
     return float(inter / max(v1 + v2 - inter, 1e-12))
 
 
+_KEY_BITS = 21
+_KEY_BIAS = 1 << (_KEY_BITS - 1)
+
+
+def _pack_cells(cells: np.ndarray) -> np.ndarray:
+    """Pack integer grid coords (N, 2|3) into int64 keys (21 bits/axis)."""
+    c = cells.astype(np.int64) + _KEY_BIAS
+    key = c[..., 0]
+    for d in range(1, cells.shape[-1]):
+        key = (key << _KEY_BITS) | c[..., d]
+    return key
+
+
+def _neighbor_hit_frac(a: np.ndarray, b: np.ndarray, radius: float) -> float:
+    """Fraction of `a` points whose grid cell has a `b` point in the adjacent
+    3^dim cell block — vectorized over packed int64 voxel keys (np.isin)
+    instead of per-point Python dict probes."""
+    dim = a.shape[1]
+    ca = np.floor(a / radius).astype(np.int64)
+    b_keys = np.unique(_pack_cells(np.floor(b / radius).astype(np.int64)))
+    rng = (-1, 0, 1)
+    if dim == 3:
+        offs = np.array([(i, j, k) for i in rng for j in rng for k in rng], np.int64)
+    else:
+        offs = np.array([(i, j) for i in rng for j in rng], np.int64)
+    keys = _pack_cells(ca[:, None, :] + offs[None])  # (N, 3^dim)
+    hits = np.isin(keys, b_keys).any(axis=1)
+    return float(hits.mean())
+
+
 def _overlap_ratio(p1: np.ndarray, p2: np.ndarray, radius: float) -> float:
     """max-direction fraction of points with a neighbor within radius
     (reference graph_utils.py:620-664 semantics), computed by grid rounding."""
     if len(p1) == 0 or len(p2) == 0:
         return 0.0
-
-    def frac(a, b):
-        cell_b = {tuple(c) for c in np.floor(b / radius).astype(np.int64)}
-        cells_a = np.floor(a / radius).astype(np.int64)
-        hits = 0
-        offs = np.array(
-            [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)]
-        ) if a.shape[1] == 3 else np.array([(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)])
-        for c in cells_a:
-            if any(tuple(c + o) in cell_b for o in offs):
-                hits += 1
-        return hits / len(a)
-
     # subsample for tractability
     a = p1[:: max(len(p1) // 4000, 1)]
     b = p2[:: max(len(p2) // 4000, 1)]
-    return max(frac(a, b), frac(b, a))
+    return max(_neighbor_hit_frac(a, b, radius), _neighbor_hit_frac(b, a, radius))
 
 
 class HMSGEvaluator:
@@ -189,8 +206,4 @@ def _share(ref: np.ndarray, query: np.ndarray, radius: float) -> float:
     """Fraction of `query` 2-D points within `radius` of some `ref` point."""
     if len(query) == 0 or len(ref) == 0:
         return 0.0
-    cells = {tuple(c) for c in np.floor(ref / radius).astype(np.int64)}
-    q = np.floor(query / radius).astype(np.int64)
-    offs = [(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)]
-    hits = sum(1 for c in q if any((c[0] + i, c[1] + j) in cells for i, j in offs))
-    return hits / len(query)
+    return _neighbor_hit_frac(query, ref, radius)

@@ -276,8 +276,18 @@ class HMSGraph:
         g = HMSGraph()
         scene = mapped.scene
         n = int(scene.num)
-        pts = np.asarray(scene.points())[:n]
-        cols = np.asarray(scene.colors())[:n]
+        pts_all = np.asarray(scene.points())[:n]  # row-indexed by instances
+        cols_all = np.asarray(scene.colors())[:n]
+        pts, cols = pts_all, cols_all
+        if mapped.density_keep is not None:
+            # prune low-density outliers before floor/room segmentation
+            # (reference graph.py:348-358 radius_outlier_removal on the full
+            # pcd); without this, stray blobs leak into floor slabs, room
+            # rasters, and the nav graph.  Instance rows keep indexing the
+            # unfiltered scene buffer (pts_all).
+            keep = np.asarray(mapped.density_keep)[:n]
+            if keep.any():
+                pts, cols = pts_all[keep], cols_all[keep]
         debug_dir = None
         if cfg.pipeline.save_intermediate_results:
             # debug artifact set (reference §5.5: floor z-histograms
@@ -430,8 +440,8 @@ class HMSGraph:
             r = r[r != int(I32_MAX)]
             if len(r) < 10:
                 continue
-            opts = pts[r[r < n]]
-            ocols = cols[r[r < n]]
+            opts = pts_all[r[r < n]]
+            ocols = cols_all[r[r < n]]
             if len(opts) < 10:
                 continue
             zmin, zmax = opts[:, 2].min(), opts[:, 2].max()

@@ -86,9 +86,7 @@ def build_floor_raster(
             image2d.morph_close(jnp.asarray(obstacles > 0), dilation, 1)
         ) | (obstacles > 0)
         # dilate obstacles by `dilation` cells
-        obs = jnp.asarray((obstacles > 0).astype(np.float32))
-        obs = image2d._window(obs, __import__("jax").lax.max, dilation, -1e9)
-        obstacles = np.asarray(obs > 0.5)
+        obstacles = np.asarray(image2d.dilate(jnp.asarray(obstacles), dilation, 1))
     region = np.asarray(image2d.fill_holes(jnp.asarray(region > 0)))
     free = region & ~obstacles
     sdf = np.asarray(image2d.distance_transform(jnp.asarray(obstacles))) * cell_size
@@ -109,12 +107,7 @@ def voronoi_graph(raster: FloorRaster, floor_id: int, min_clearance: float = 0.1
     free space."""
     free = raster.free
     eroded = np.asarray(image2d.morph_open(jnp.asarray(free), 3, 1)) & free
-    boundary = free & ~np.asarray(
-        image2d._window(
-            jnp.asarray(free.astype(np.float32)), __import__("jax").lax.min, 3, 1e9
-        )
-        > 0.5
-    )
+    boundary = free & ~np.asarray(image2d.erode(jnp.asarray(free), 3, 1))
     pts = np.argwhere(boundary)
     g = nx.Graph()
     if len(pts) < 4:

@@ -152,6 +152,54 @@ def _load() -> C.CDLL:
     lib.pg_get_pose.argtypes = [C.c_void_p, C.c_int, C.c_void_p]
     lib.pg_num_nodes.restype = C.c_size_t
     lib.pg_num_nodes.argtypes = [C.c_void_p]
+    lib.lio_filter_state.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p]
+    # esikf
+    lib.esikf_create.restype = C.c_void_p
+    lib.esikf_create.argtypes = [
+        C.c_double, C.c_double, C.c_double, C.c_double, C.c_double, C.c_double,
+        C.c_double, C.c_int,
+    ]
+    lib.esikf_destroy.argtypes = [C.c_void_p]
+    lib.esikf_reset.argtypes = [C.c_void_p, C.c_void_p]
+    lib.esikf_propagate.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p, C.c_double]
+    lib.esikf_update_lidar.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t, C.c_void_p,
+    ]
+    lib.esikf_get_state.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p]
+    # measurement sync
+    lib.msync_create.restype = C.c_void_p
+    lib.msync_create.argtypes = [C.c_size_t]
+    lib.msync_destroy.argtypes = [C.c_void_p]
+    lib.msync_push_imu.argtypes = [C.c_void_p, C.c_double, C.c_void_p, C.c_void_p]
+    lib.msync_push_sweep.argtypes = [
+        C.c_void_p, C.c_double, C.c_double, C.c_void_p, C.c_void_p, C.c_size_t,
+    ]
+    lib.msync_push_image.argtypes = [C.c_void_p, C.c_double, C.c_int64]
+    lib.msync_pop.restype = C.c_size_t
+    lib.msync_pop.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+    ]
+    lib.msync_bundle_points.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p]
+    lib.msync_bundle_imu.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
+    lib.msync_bundle_images.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p]
+    lib.msync_dropped.restype = C.c_size_t
+    lib.msync_dropped.argtypes = [C.c_void_p]
+    # lidar decoding
+    lib.decode_livox_packet.restype = C.c_size_t
+    lib.decode_livox_packet.argtypes = [
+        C.c_void_p, C.c_size_t, C.c_double, C.c_double, C.c_int, C.c_int,
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+    ]
+    lib.decode_spinning_sweep.restype = C.c_size_t
+    lib.decode_spinning_sweep.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t,
+        C.c_double, C.c_double, C.c_int, C.c_int, C.c_double,
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+    ]
+    lib.classify_line_features.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t, C.c_int, C.c_int,
+        C.c_double, C.c_double, C.c_void_p,
+    ]
     return lib
 
 
@@ -570,3 +618,213 @@ class VelocityBridge:
     def close(self):
         self._l.velbridge_close(self._rfd)
         self._l.velbridge_close(self._wfd)
+
+
+class Esikf:
+    """Error-state iterated Kalman filter over the plane-covariance voxel map
+    (native).  The reference's VoxelMapManager::StateEstimation + ImuProcess
+    core (reference nav_agent/.../include/voxel_map.h:234-246,
+    include/IMU_Processing.h:27-71, common_lib.h:180-260 StatesGroup):
+    18-dim error state {dtheta, dp, dv, dbg, dba, dg} with full covariance,
+    IMU propagation, and an iterated MAP point-to-plane update with per-point
+    (range/bearing) and per-plane parameter covariances."""
+
+    def __init__(
+        self, gyr_noise: float = 1e-3, acc_noise: float = 1e-2,
+        gyr_bias_rw: float = 1e-5, acc_bias_rw: float = 1e-4,
+        range_noise: float = 0.02, bearing_noise: float = 0.0008,
+        sigma_gate: float = 3.0, max_iterations: int = 4,
+    ):
+        self._l = lib()
+        self._h = self._l.esikf_create(
+            gyr_noise, acc_noise, gyr_bias_rw, acc_bias_rw,
+            range_noise, bearing_noise, sigma_gate, max_iterations,
+        )
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._l.esikf_destroy(self._h)
+
+    def reset(
+        self, pos=(0, 0, 0), vel=(0, 0, 0), quat_wxyz=(1, 0, 0, 0),
+        bg=(0, 0, 0), ba=(0, 0, 0), gravity=(0, 0, -9.81),
+    ) -> None:
+        s = np.concatenate([
+            np.asarray(pos, np.float64), np.asarray(vel, np.float64),
+            np.asarray(quat_wxyz, np.float64), np.asarray(bg, np.float64),
+            np.asarray(ba, np.float64), np.asarray(gravity, np.float64),
+        ])
+        self._l.esikf_reset(self._h, _ptr(s))
+
+    def propagate(self, gyro, accel, dt: float) -> None:
+        g = np.ascontiguousarray(gyro, np.float64)
+        a = np.ascontiguousarray(accel, np.float64)
+        self._l.esikf_propagate(self._h, _ptr(g), _ptr(a), dt)
+
+    def update_lidar(self, plane_map: "VoxelPlaneMap", pts_body: np.ndarray):
+        """Iterated update; pts_body (N, 3) in the body frame at sweep end.
+        Returns dict(used, iterations, rms, ok)."""
+        p = np.ascontiguousarray(pts_body, np.float64)
+        out = np.zeros(4, np.float64)
+        self._l.esikf_update_lidar(self._h, plane_map._h, _ptr(p), len(p), _ptr(out))
+        return {
+            "used": int(out[0]), "iterations": int(out[1]),
+            "rms": float(out[2]), "ok": bool(out[3]),
+        }
+
+    @property
+    def state(self):
+        """dict with pos, vel, quat_wxyz, bg, ba, gravity, cov (18x18)."""
+        s = np.zeros(19, np.float64)
+        cov = np.zeros((18, 18), np.float64)
+        self._l.esikf_get_state(self._h, _ptr(s), _ptr(cov))
+        return {
+            "pos": s[0:3], "vel": s[3:6], "quat_wxyz": s[6:10],
+            "bg": s[10:13], "ba": s[13:16], "gravity": s[16:19], "cov": cov,
+        }
+
+
+class MeasurementSync:
+    """Interleaved LiDAR/IMU/image packet alignment (native) — the
+    sync_packages role (reference nav_agent/.../src/LIVMapper.cpp:1889-1909):
+    a sweep is released only once IMU coverage extends past its end, with the
+    spanning IMU samples and in-window camera frames attached."""
+
+    def __init__(self, max_queue: int = 2000):
+        self._l = lib()
+        self._h = self._l.msync_create(max_queue)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._l.msync_destroy(self._h)
+
+    def push_imu(self, t: float, gyro, accel) -> None:
+        g = np.ascontiguousarray(gyro, np.float64)
+        a = np.ascontiguousarray(accel, np.float64)
+        self._l.msync_push_imu(self._h, t, _ptr(g), _ptr(a))
+
+    def push_sweep(self, t_begin: float, duration: float, xyz, t_offset=None):
+        p = np.ascontiguousarray(xyz, np.float32)
+        to = (
+            np.ascontiguousarray(t_offset, np.float32)
+            if t_offset is not None else None
+        )
+        self._l.msync_push_sweep(
+            self._h, t_begin, duration, _ptr(p),
+            _ptr(to) if to is not None else None, len(p),
+        )
+
+    def push_image(self, t: float, image_id: int) -> None:
+        self._l.msync_push_image(self._h, t, image_id)
+
+    def pop(self):
+        """Next complete bundle or None: dict(t_begin, duration, xyz, t_offset,
+        imu_t, gyro, accel, image_t, image_ids)."""
+        import ctypes as C
+
+        tb = C.c_double()
+        du = C.c_double()
+        ni = C.c_size_t()
+        nim = C.c_size_t()
+        n = self._l.msync_pop(
+            self._h, C.byref(tb), C.byref(du), C.byref(ni), C.byref(nim)
+        )
+        if n == 0:
+            return None
+        xyz = np.zeros((n, 3), np.float32)
+        toff = np.zeros(n, np.float32)
+        self._l.msync_bundle_points(self._h, _ptr(xyz), _ptr(toff))
+        it = np.zeros(ni.value, np.float64)
+        g = np.zeros((ni.value, 3), np.float64)
+        a = np.zeros((ni.value, 3), np.float64)
+        self._l.msync_bundle_imu(self._h, _ptr(it), _ptr(g), _ptr(a))
+        imt = np.zeros(nim.value, np.float64)
+        ids = np.zeros(nim.value, np.int64)
+        self._l.msync_bundle_images(self._h, _ptr(imt), _ptr(ids))
+        return {
+            "t_begin": tb.value, "duration": du.value,
+            "xyz": xyz, "t_offset": toff,
+            "imu_t": it, "gyro": g, "accel": a,
+            "image_t": imt, "image_ids": ids,
+        }
+
+    @property
+    def dropped(self) -> int:
+        return int(self._l.msync_dropped(self._h))
+
+
+# Livox CustomMsg point wire layout (livox_ros_driver2 CustomPoint): packed
+# [offset_time u32 ns, x f32, y f32, z f32, reflectivity u8, tag u8, line u8].
+LIVOX_POINT_DTYPE = np.dtype(
+    [
+        ("offset_time", "<u4"), ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+        ("reflectivity", "u1"), ("tag", "u1"), ("line", "u1"),
+    ],
+    align=False,
+)
+
+
+def decode_livox(raw: np.ndarray, blind_radius: float = 0.5,
+                 max_radius: float = 100.0, point_stride: int = 1,
+                 n_scans: int = 6):
+    """Decode a Livox CustomMsg point block (reference src/preprocess.cpp
+    avia_handler: keep (tag & 0x30) == 0x10 returns on lines < n_scans, drop
+    blind/far/duplicate points).  `raw` is a structured array with
+    LIVOX_POINT_DTYPE (or raw bytes of it).  Returns (xyz, intensity,
+    t_offset_s, line)."""
+    if raw.dtype != LIVOX_POINT_DTYPE:
+        raw = np.frombuffer(np.ascontiguousarray(raw).tobytes(), LIVOX_POINT_DTYPE)
+    raw = np.ascontiguousarray(raw)
+    n = len(raw)
+    xyz = np.zeros((n, 3), np.float32)
+    inten = np.zeros(n, np.float32)
+    t = np.zeros(n, np.float32)
+    line = np.zeros(n, np.uint8)
+    m = lib().decode_livox_packet(
+        _ptr(raw), n, blind_radius, max_radius, point_stride, n_scans,
+        _ptr(xyz), _ptr(inten), _ptr(t), _ptr(line),
+    )
+    return xyz[:m], inten[:m], t[:m], line[:m]
+
+
+def decode_spinning(xyz: np.ndarray, intensity=None, ring=None, t=None,
+                    blind_radius: float = 0.5, max_radius: float = 100.0,
+                    point_stride: int = 1, n_scans: int = 64,
+                    spin_hz: float = 10.0):
+    """Decode a spinning-LiDAR sweep (reference velodyne/ouster handlers):
+    ring filter + per-point time; when `t` is None the offset is recovered
+    from azimuth under a constant spin rate.  Returns (xyz, intensity,
+    t_offset_s, line)."""
+    p = np.ascontiguousarray(xyz, np.float32)
+    n = len(p)
+    inten = np.ascontiguousarray(intensity, np.float32) if intensity is not None else None
+    rg = np.ascontiguousarray(ring, np.uint16) if ring is not None else None
+    tt = np.ascontiguousarray(t, np.float32) if t is not None else None
+    oxyz = np.zeros((n, 3), np.float32)
+    oi = np.zeros(n, np.float32)
+    ot = np.zeros(n, np.float32)
+    ol = np.zeros(n, np.uint8)
+    m = lib().decode_spinning_sweep(
+        _ptr(p), _ptr(inten) if inten is not None else None,
+        _ptr(rg) if rg is not None else None,
+        _ptr(tt) if tt is not None else None, n,
+        blind_radius, max_radius, point_stride, n_scans, spin_hz,
+        _ptr(oxyz), _ptr(oi), _ptr(ot), _ptr(ol),
+    )
+    return oxyz[:m], oi[:m], ot[:m], ol[:m]
+
+
+def classify_line_features(xyz: np.ndarray, t: np.ndarray, line: np.ndarray,
+                           n_scans: int = 6, feature_window: int = 4,
+                           edge_thresh: float = 0.12, surf_thresh: float = 0.02):
+    """Per-line LOAM feature tags (reference give_feature): 0 none,
+    1 surface, 2 edge."""
+    p = np.ascontiguousarray(xyz, np.float32)
+    tt = np.ascontiguousarray(t, np.float32)
+    ln = np.ascontiguousarray(line, np.uint8)
+    tag = np.zeros(len(p), np.uint8)
+    lib().classify_line_features(
+        _ptr(p), _ptr(tt), _ptr(ln), len(p), n_scans, feature_window,
+        edge_thresh, surf_thresh, _ptr(tag),
+    )
+    return tag

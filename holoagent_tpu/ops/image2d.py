@@ -48,6 +48,25 @@ def _window(img, op, size, init):
 
 
 @partial(jax.jit, static_argnames=("size", "iterations"))
+def dilate(mask: jnp.ndarray, size: int = 3, iterations: int = 1) -> jnp.ndarray:
+    """Binary dilation with a size x size box (cv2.dilate role,
+    reference navigation_graph.py obstacle inflation)."""
+    m = mask.astype(jnp.float32)
+    for _ in range(iterations):
+        m = _window(m, jax.lax.max, size, -1e9)
+    return m > 0.5
+
+
+@partial(jax.jit, static_argnames=("size", "iterations"))
+def erode(mask: jnp.ndarray, size: int = 3, iterations: int = 1) -> jnp.ndarray:
+    """Binary erosion with a size x size box (cv2.erode role)."""
+    m = mask.astype(jnp.float32)
+    for _ in range(iterations):
+        m = _window(m, jax.lax.min, size, 1e9)
+    return m > 0.5
+
+
+@partial(jax.jit, static_argnames=("size", "iterations"))
 def morph_close(mask: jnp.ndarray, size: int = 3, iterations: int = 1) -> jnp.ndarray:
     """Binary closing (dilate then erode) with a size x size box."""
     m = mask.astype(jnp.float32)

@@ -25,6 +25,11 @@ import jax.numpy as jnp
 from ..utils.camera import Pinhole, project
 from ..utils.geometry import exp_se3, invert_pose, log_se3, transform_points
 
+# Normal equations are numerics-sensitive and the environment's default matmul
+# precision is LOW even on CPU — pin every J^T J / J^T r product (repo
+# convention, cf. utils/geometry.py).
+_HI = jax.lax.Precision.HIGHEST
+
 
 # ---------------------------------------------------------------------------
 # PnP
@@ -33,7 +38,7 @@ from ..utils.geometry import exp_se3, invert_pose, log_se3, transform_points
 
 def _reproj_residual(xi, pose_wc, points_w, pixels, cam):
     """Residual of pose_wc . exp(xi) applied to world points, vs pixels."""
-    t = pose_wc @ exp_se3(xi)
+    t = jnp.matmul(pose_wc, exp_se3(xi), precision=_HI)
     pc = transform_points(t, points_w)
     uv, z = project(pc, cam)
     return (uv - pixels), z
@@ -61,10 +66,10 @@ def pnp_gauss_newton(
         xi0 = jnp.zeros((6,), points_w.dtype)
         r = res_of(xi0)
         j = jax.jacfwd(res_of)(xi0)  # (2N, 6)
-        h = j.T @ j + damping * jnp.eye(6, dtype=r.dtype)
-        g = j.T @ r
+        h = jnp.matmul(j.T, j, precision=_HI) + damping * jnp.eye(6, dtype=r.dtype)
+        g = jnp.matmul(j.T, r, precision=_HI)
         dx = -jnp.linalg.solve(h, g)
-        return pose @ exp_se3(dx), None
+        return jnp.matmul(pose, exp_se3(dx), precision=_HI), None
 
     pose, _ = jax.lax.scan(step, pose_wc_init, None, length=iters)
     r, z = _reproj_residual(jnp.zeros(6, points_w.dtype), pose, points_w, pixels, cam)
@@ -100,13 +105,13 @@ def pose_graph_gauss_newton(
     m = poses_init.shape[0]
 
     def residuals(xis, poses):
-        x = jnp.einsum("mij,mjk->mik", poses, exp_se3(xis))
+        x = jnp.einsum("mij,mjk->mik", poses, exp_se3(xis), precision=_HI)
         xi_p = x[edges[:, 0]]
         xj = x[edges[:, 1]]
-        pred = invert_pose(xi_p) @ xj
-        r = log_se3(invert_pose(rel) @ pred)  # (E, 6)
+        pred = jnp.matmul(invert_pose(xi_p), xj, precision=_HI)
+        r = log_se3(jnp.matmul(invert_pose(rel), pred, precision=_HI))  # (E, 6)
         r = r * edge_valid[:, None]
-        anchor = log_se3(invert_pose(poses_init[0:1]) @ x[0:1]) * anchor_weight
+        anchor = log_se3(jnp.matmul(invert_pose(poses_init[0:1]), x[0:1], precision=_HI)) * anchor_weight
         return jnp.concatenate([r.reshape(-1), anchor.reshape(-1)])
 
     def step(poses, _):
@@ -114,10 +119,10 @@ def pose_graph_gauss_newton(
         r = residuals(xi0, poses)
         j = jax.jacfwd(lambda xis: residuals(xis, poses))(xi0)
         j = j.reshape(r.shape[0], m * 6)
-        h = j.T @ j + damping * jnp.eye(m * 6, dtype=r.dtype)
-        g = j.T @ r
+        h = jnp.matmul(j.T, j, precision=_HI) + damping * jnp.eye(m * 6, dtype=r.dtype)
+        g = jnp.matmul(j.T, r, precision=_HI)
         dx = -jnp.linalg.solve(h, g).reshape(m, 6)
-        return jnp.einsum("mij,mjk->mik", poses, exp_se3(dx)), None
+        return jnp.einsum("mij,mjk->mik", poses, exp_se3(dx), precision=_HI), None
 
     poses, _ = jax.lax.scan(step, poses_init, None, length=iters)
     final = residuals(jnp.zeros((m, 6), poses.dtype), poses)
@@ -159,16 +164,16 @@ def icp_point2point(
         q = dst_points[jnp.clip(idx, 0)]
 
         def res_of(xi):
-            t = pose @ exp_se3(xi)
+            t = jnp.matmul(pose, exp_se3(xi), precision=_HI)
             r = transform_points(t, src_points) - q
             return (r * w[:, None]).reshape(-1)
 
         xi0 = jnp.zeros((6,), src_points.dtype)
         r = res_of(xi0)
         j = jax.jacfwd(res_of)(xi0)
-        h = j.T @ j + damping * jnp.eye(6, dtype=r.dtype)
-        dx = -jnp.linalg.solve(h, j.T @ r)
-        return pose @ exp_se3(dx), None
+        h = jnp.matmul(j.T, j, precision=_HI) + damping * jnp.eye(6, dtype=r.dtype)
+        dx = -jnp.linalg.solve(h, jnp.matmul(j.T, r, precision=_HI))
+        return jnp.matmul(pose, exp_se3(dx), precision=_HI), None
 
     pose, _ = jax.lax.scan(step, pose_init, None, length=iters)
     p = transform_points(pose, src_points)

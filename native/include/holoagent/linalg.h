@@ -151,4 +151,51 @@ inline bool solve_spd6(double h[36], const double g[6], double out[6]) {
   return true;
 }
 
+// In-place Cholesky lower factor of a symmetric positive-definite n x n
+// matrix (row-major). Returns false when not SPD.
+inline bool cholesky_n(double* a, int n) {
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j <= i; ++j) {
+      double s = a[i * n + j];
+      for (int k = 0; k < j; ++k) s -= a[i * n + k] * a[j * n + k];
+      if (i == j) {
+        if (s <= 0) return false;
+        a[i * n + i] = std::sqrt(s);
+      } else {
+        a[i * n + j] = s / a[j * n + j];
+      }
+    }
+    for (int j = i + 1; j < n; ++j) a[i * n + j] = 0;
+  }
+  return true;
+}
+
+// Solve L L^T x = b given the Cholesky lower factor L (from cholesky_n).
+inline void cholesky_solve(const double* l, const double* b, double* x, int n) {
+  for (int i = 0; i < n; ++i) {
+    double s = b[i];
+    for (int k = 0; k < i; ++k) s -= l[i * n + k] * x[k];
+    x[i] = s / l[i * n + i];
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    double s = x[i];
+    for (int k = i + 1; k < n; ++k) s -= l[k * n + i] * x[k];
+    x[i] = s / l[i * n + i];
+  }
+}
+
+// Invert a symmetric positive-definite n x n matrix via Cholesky; `a` is
+// destroyed (becomes the factor). Returns false when not SPD.
+inline bool invert_spd_n(double* a, double* inv, int n) {
+  if (!cholesky_n(a, n)) return false;
+  for (int c = 0; c < n; ++c) {
+    double e[64] = {0};  // n <= 64 in this runtime
+    e[c] = 1.0;
+    double col[64];
+    cholesky_solve(a, e, col, n);
+    for (int r = 0; r < n; ++r) inv[r * n + c] = col[r];
+  }
+  return true;
+}
+
 }  // namespace holoagent

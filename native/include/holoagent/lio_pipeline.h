@@ -4,8 +4,9 @@
 // (nav_agent/.../lio_mapping_loc/src/LIVMapper.cpp:1889-1909 run():
 // sync_packages -> processImu -> stateEstimationAndMapping, keyframe +
 // loop-closure factors :837-895) composed from this runtime's own modules:
-// sweep preprocessing, IMU propagation + undistortion, point-to-plane
-// registration against the voxel plane map, map insertion, distance-gated
+// sweep preprocessing, ESIKF IMU propagation + undistortion, iterated
+// point-to-plane ESIKF update against the plane-covariance voxel map
+// (reference voxel_map.h:234-246 StateEstimation), map insertion, distance-gated
 // keyframes with ScanContext loop detection, and pose-graph optimization on
 // loop closure.  (The reference's VIO branch lives in VioManager; fusing it
 // here is the caller's choice.)
@@ -14,6 +15,7 @@
 #include <cstddef>
 #include <vector>
 
+#include "holoagent/esikf.h"
 #include "holoagent/imu.h"
 #include "holoagent/linalg.h"
 #include "holoagent/pose_graph.h"
@@ -25,6 +27,7 @@ namespace holoagent {
 
 struct LioParams {
   PreprocessParams preprocess;
+  EsikfParams esikf;
   double map_voxel = 0.5;
   int map_min_points = 6;
   double map_planarity = 0.1;
@@ -62,11 +65,12 @@ class LioPipeline {
 
   size_t num_keyframes() const { return kf_poses_.size(); }
   void keyframe_pose(int i, double* pose16_out) const;
-  const ImuState& state() const { return state_; }
+  const ImuState& state() const { return esikf_.state(); }
+  const Esikf& filter() const { return esikf_; }
 
  private:
   LioParams p_;
-  ImuState state_;
+  Esikf esikf_;
   VoxelPlaneMap map_;
   ScanContext sc_;
   PoseGraph pg_;

@@ -3,8 +3,10 @@
 #include <cstring>
 #include <vector>
 
+#include "holoagent/esikf.h"
 #include "holoagent/imu.h"
 #include "holoagent/lio_pipeline.h"
+#include "holoagent/sync.h"
 #include "holoagent/pose_graph.h"
 #include "holoagent/preprocess.h"
 #include "holoagent/registration.h"
@@ -293,6 +295,200 @@ size_t lio_num_keyframes(void* h) {
 
 void lio_keyframe_pose(void* h, int i, double* pose16_out) {
   static_cast<holoagent::LioPipeline*>(h)->keyframe_pose(i, pose16_out);
+}
+
+// expose the filter covariance (18x18) + nominal state (pos3 vel3 quat4 bg3
+// ba3 g3 = 19 doubles) for introspection/tests
+void lio_filter_state(void* h, double* state19, double* cov324) {
+  const auto& f = static_cast<holoagent::LioPipeline*>(h)->filter();
+  const ImuState& s = f.state();
+  state19[0] = s.pos.x; state19[1] = s.pos.y; state19[2] = s.pos.z;
+  state19[3] = s.vel.x; state19[4] = s.vel.y; state19[5] = s.vel.z;
+  state19[6] = s.rot.w; state19[7] = s.rot.x; state19[8] = s.rot.y;
+  state19[9] = s.rot.z;
+  state19[10] = s.bg.x; state19[11] = s.bg.y; state19[12] = s.bg.z;
+  state19[13] = s.ba.x; state19[14] = s.ba.y; state19[15] = s.ba.z;
+  state19[16] = s.gravity.x; state19[17] = s.gravity.y; state19[18] = s.gravity.z;
+  std::memcpy(cov324, f.covariance(), 18 * 18 * sizeof(double));
+}
+
+// ---------------------------------------------------------------------- ESIKF
+
+void* esikf_create(double gyr_noise, double acc_noise, double gyr_bias_rw,
+                   double acc_bias_rw, double range_noise, double bearing_noise,
+                   double sigma_gate, int max_iterations) {
+  holoagent::EsikfParams p;
+  p.gyr_noise = gyr_noise;
+  p.acc_noise = acc_noise;
+  p.gyr_bias_rw = gyr_bias_rw;
+  p.acc_bias_rw = acc_bias_rw;
+  p.range_noise = range_noise;
+  p.bearing_noise = bearing_noise;
+  p.sigma_gate = sigma_gate;
+  p.max_iterations = max_iterations;
+  return new holoagent::Esikf(p);
+}
+void esikf_destroy(void* h) { delete static_cast<holoagent::Esikf*>(h); }
+
+void esikf_reset(void* h, const double* state19) {
+  ImuState s;
+  s.pos = {state19[0], state19[1], state19[2]};
+  s.vel = {state19[3], state19[4], state19[5]};
+  s.rot = {state19[6], state19[7], state19[8], state19[9]};
+  s.bg = {state19[10], state19[11], state19[12]};
+  s.ba = {state19[13], state19[14], state19[15]};
+  s.gravity = {state19[16], state19[17], state19[18]};
+  static_cast<holoagent::Esikf*>(h)->reset(s);
+}
+
+void esikf_propagate(void* h, const double* gyro, const double* accel,
+                     double dt) {
+  static_cast<holoagent::Esikf*>(h)->propagate(
+      {gyro[0], gyro[1], gyro[2]}, {accel[0], accel[1], accel[2]}, dt);
+}
+
+// out4: used, iterations, rms, ok
+void esikf_update_lidar(void* h, void* map_h, const double* pts_body, size_t n,
+                        double* out4) {
+  auto st = static_cast<holoagent::Esikf*>(h)->update_lidar(
+      *static_cast<VoxelPlaneMap*>(map_h), pts_body, n);
+  out4[0] = st.used;
+  out4[1] = st.iterations;
+  out4[2] = st.rms;
+  out4[3] = st.ok ? 1.0 : 0.0;
+}
+
+void esikf_get_state(void* h, double* state19, double* cov324) {
+  const auto* f = static_cast<holoagent::Esikf*>(h);
+  const ImuState& s = f->state();
+  state19[0] = s.pos.x; state19[1] = s.pos.y; state19[2] = s.pos.z;
+  state19[3] = s.vel.x; state19[4] = s.vel.y; state19[5] = s.vel.z;
+  state19[6] = s.rot.w; state19[7] = s.rot.x; state19[8] = s.rot.y;
+  state19[9] = s.rot.z;
+  state19[10] = s.bg.x; state19[11] = s.bg.y; state19[12] = s.bg.z;
+  state19[13] = s.ba.x; state19[14] = s.ba.y; state19[15] = s.ba.z;
+  state19[16] = s.gravity.x; state19[17] = s.gravity.y; state19[18] = s.gravity.z;
+  if (cov324) std::memcpy(cov324, f->covariance(), 18 * 18 * sizeof(double));
+}
+
+// ------------------------------------------------------------ measurement sync
+
+void* msync_create(size_t max_queue) {
+  return new holoagent::MeasurementSync(max_queue);
+}
+void msync_destroy(void* h) { delete static_cast<holoagent::MeasurementSync*>(h); }
+
+void msync_push_imu(void* h, double t, const double* gyro, const double* accel) {
+  static_cast<holoagent::MeasurementSync*>(h)->push_imu(
+      t, {gyro[0], gyro[1], gyro[2]}, {accel[0], accel[1], accel[2]});
+}
+
+void msync_push_sweep(void* h, double t_begin, double duration,
+                      const float* xyz, const float* t_offset, size_t n) {
+  holoagent::LidarSweep sw;
+  sw.t_begin = t_begin;
+  sw.duration = duration;
+  sw.xyz.assign(xyz, xyz + 3 * n);
+  if (t_offset) sw.t_offset.assign(t_offset, t_offset + n);
+  else sw.t_offset.assign(n, 0.0f);
+  static_cast<holoagent::MeasurementSync*>(h)->push_sweep(std::move(sw));
+}
+
+void msync_push_image(void* h, double t, int64_t id) {
+  static_cast<holoagent::MeasurementSync*>(h)->push_image(t, id);
+}
+
+// Query-only pop: returns n_points (0 = nothing ready). Caller then fetches
+// the staged bundle pieces with the msync_bundle_* calls.
+static thread_local holoagent::MeasureBundle g_bundle;
+
+size_t msync_pop(void* h, double* t_begin, double* duration, size_t* n_imu,
+                 size_t* n_images) {
+  g_bundle = static_cast<holoagent::MeasurementSync*>(h)->pop();
+  if (!g_bundle.valid) return 0;
+  *t_begin = g_bundle.sweep.t_begin;
+  *duration = g_bundle.sweep.duration;
+  *n_imu = g_bundle.imu.size();
+  *n_images = g_bundle.images.size();
+  return g_bundle.sweep.xyz.size() / 3;
+}
+
+void msync_bundle_points(void* h, float* xyz, float* t_offset) {
+  (void)h;
+  std::memcpy(xyz, g_bundle.sweep.xyz.data(),
+              g_bundle.sweep.xyz.size() * sizeof(float));
+  std::memcpy(t_offset, g_bundle.sweep.t_offset.data(),
+              g_bundle.sweep.t_offset.size() * sizeof(float));
+}
+
+void msync_bundle_imu(void* h, double* t, double* gyro, double* accel) {
+  (void)h;
+  for (size_t i = 0; i < g_bundle.imu.size(); ++i) {
+    t[i] = g_bundle.imu[i].t;
+    gyro[3 * i] = g_bundle.imu[i].gyro.x;
+    gyro[3 * i + 1] = g_bundle.imu[i].gyro.y;
+    gyro[3 * i + 2] = g_bundle.imu[i].gyro.z;
+    accel[3 * i] = g_bundle.imu[i].accel.x;
+    accel[3 * i + 1] = g_bundle.imu[i].accel.y;
+    accel[3 * i + 2] = g_bundle.imu[i].accel.z;
+  }
+}
+
+void msync_bundle_images(void* h, double* t, int64_t* ids) {
+  (void)h;
+  for (size_t i = 0; i < g_bundle.images.size(); ++i) {
+    t[i] = g_bundle.images[i].t;
+    ids[i] = g_bundle.images[i].id;
+  }
+}
+
+size_t msync_dropped(void* h) {
+  return static_cast<holoagent::MeasurementSync*>(h)->dropped();
+}
+
+// -------------------------------------------------------------- LiDAR decoding
+
+size_t decode_livox_packet(const uint8_t* raw, size_t n_points,
+                           double blind_radius, double max_radius,
+                           int point_stride, int n_scans, float* out_xyz,
+                           float* out_intensity, float* out_t,
+                           uint8_t* out_line) {
+  PreprocessParams p;
+  p.blind_radius = blind_radius;
+  p.max_radius = max_radius;
+  p.point_stride = point_stride;
+  p.n_scans = n_scans;
+  return holoagent::decode_livox(
+      reinterpret_cast<const holoagent::LivoxRawPoint*>(raw), n_points, p,
+      out_xyz, out_intensity, out_t, out_line);
+}
+
+size_t decode_spinning_sweep(const float* xyz, const float* intensity,
+                             const uint16_t* ring, const float* t, size_t n,
+                             double blind_radius, double max_radius,
+                             int point_stride, int n_scans, double spin_hz,
+                             float* out_xyz, float* out_intensity, float* out_t,
+                             uint8_t* out_line) {
+  PreprocessParams p;
+  p.blind_radius = blind_radius;
+  p.max_radius = max_radius;
+  p.point_stride = point_stride;
+  p.n_scans = n_scans;
+  p.spin_hz = spin_hz;
+  return holoagent::decode_spinning(xyz, intensity, ring, t, n, p, out_xyz,
+                                    out_intensity, out_t, out_line);
+}
+
+void classify_line_features(const float* xyz, const float* t,
+                            const uint8_t* line, size_t n, int n_scans,
+                            int feature_window, double edge_thresh,
+                            double surf_thresh, uint8_t* out_tag) {
+  PreprocessParams p;
+  p.n_scans = n_scans;
+  p.feature_window = feature_window;
+  p.edge_thresh = edge_thresh;
+  p.surf_thresh = surf_thresh;
+  holoagent::classify_features_per_line(xyz, t, line, n, p, out_tag);
 }
 
 }  // extern "C"

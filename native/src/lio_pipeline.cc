@@ -51,14 +51,19 @@ Quat mat_to_quat(const Mat3& r) {
 
 LioPipeline::LioPipeline(const LioParams& p)
     : p_(p),
+      esikf_(p.esikf),
       map_(p.map_voxel, p.map_min_points, p.map_planarity),
       sc_(20, 60, 80.0) {
-  state_.gravity = {0, 0, p.gravity_z};
+  ImuState s;
+  s.gravity = {0, 0, p.gravity_z};
+  esikf_.reset(s);
 }
 
 void LioPipeline::init_static(const double* gyro, const double* accel, size_t n) {
-  imu_init(gyro, accel, n, &state_);
-  state_.gravity = {0, 0, p_.gravity_z};
+  ImuState s;
+  imu_init(gyro, accel, n, &s);
+  s.gravity = {0, 0, p_.gravity_z};
+  esikf_.reset(s);
   initialized_ = true;
 }
 
@@ -75,8 +80,8 @@ LioStepResult LioPipeline::process_sweep(const float* xyz, const float* t_offset
   res.points_used = m;
 
   // 2. IMU: undistort the sweep into its end frame from the pre-propagation
-  // state, then propagate the state across the sweep
-  ImuState start = state_;
+  // state, then ESIKF-propagate nominal state + covariance across the sweep
+  ImuState start = esikf_.state();
   std::vector<double> pts(3 * m);
   std::vector<double> tp(m);
   for (size_t i = 0; i < m; ++i) {
@@ -88,26 +93,38 @@ LioStepResult LioPipeline::process_sweep(const float* xyz, const float* t_offset
   if (n_imu > 0) {
     undistort_sweep(start, gyro, accel, dts, n_imu, pts.data(), tp.data(), m,
                     sweep_dt);
-    imu_propagate(state_, gyro, accel, dts, n_imu, nullptr);
+    for (size_t i = 0; i < n_imu; ++i)
+      esikf_.propagate(Vec3(gyro[3 * i], gyro[3 * i + 1], gyro[3 * i + 2]),
+                       Vec3(accel[3 * i], accel[3 * i + 1], accel[3 * i + 2]),
+                       dts[i]);
   }
 
-  // 3. transform points to world with the predicted pose, register
-  Mat3 rot_pred = state_.rot.to_matrix();
-  Vec3 pos_pred = state_.pos;
+  // 3. iterated ESIKF point-to-plane update against the plane map
+  // (the reference's VoxelMapManager::StateEstimation role)
+  bool filt_ok = false;
+  if (map_.num_planes() > 0 && m >= 20) {
+    auto st = esikf_.update_lidar(map_, pts.data(), m);
+    res.reg_rms = st.ok ? st.rms : -1.0;
+    filt_ok = st.ok && st.used >= (int)(0.2 * (double)m);
+  }
+  Mat3 rot_pred = esikf_.state().rot.to_matrix();
+  Vec3 pos_pred = esikf_.state().pos;
   std::vector<double> world(3 * m);
   for (size_t i = 0; i < m; ++i) {
     Vec3 p{pts[3 * i], pts[3 * i + 1], pts[3 * i + 2]};
     Vec3 w = rot_pred * p + pos_pred;
     world[3 * i] = w.x; world[3 * i + 1] = w.y; world[3 * i + 2] = w.z;
   }
-  if (map_.num_planes() > 0 && m >= 20) {
+  if (map_.num_planes() > 0 && m >= 20 && !filt_ok) {
+    // filter update rejected the scan (innovation gate) — recover with the
+    // robust GN re-registration, the same role the reference's online
+    // relocalizer plays when the ESIKF loses track (pose_estimator.cpp).
     double corr[16];
     pose_to16(Mat3::identity(), Vec3{0, 0, 0}, corr);
     res.reg_rms = map_.register_scan(world.data(), m, corr, p_.reg_iters,
                                      p_.reg_max_residual);
     Mat3 dr; Vec3 dt;
     pose_from16(corr, &dr, &dt);
-    // correction maps predicted-world -> map frame
     rot_pred = dr * rot_pred;
     pos_pred = dr * pos_pred + dt;
     for (size_t i = 0; i < m; ++i) {
@@ -115,11 +132,10 @@ LioStepResult LioPipeline::process_sweep(const float* xyz, const float* t_offset
       Vec3 w = rot_pred * p + pos_pred;
       world[3 * i] = w.x; world[3 * i + 1] = w.y; world[3 * i + 2] = w.z;
     }
-    // feed the correction back into the filter state (the ESIKF-update role);
-    // velocity rotates with the correction too
-    state_.rot = mat_to_quat(rot_pred);
-    state_.pos = pos_pred;
-    state_.vel = dr * state_.vel;
+    ImuState& st = esikf_.mutable_state();
+    st.rot = mat_to_quat(rot_pred);
+    st.pos = pos_pred;
+    st.vel = dr * st.vel;
   }
   map_.insert(world.data(), m);
   res.rot = rot_pred;
@@ -184,9 +200,10 @@ LioStepResult LioPipeline::process_sweep(const float* xyz, const float* t_offset
       Mat3 ro; Vec3 to;
       pose_from16(opt, &ro, &to);
       Mat3 dr = ro * rot_pred.transpose();
-      state_.pos = to;
-      state_.vel = dr * state_.vel;
-      state_.rot = mat_to_quat(ro);
+      ImuState& st = esikf_.mutable_state();
+      st.pos = to;
+      st.vel = dr * st.vel;
+      st.rot = mat_to_quat(ro);
       res.pos = to;
       res.rot = ro;
       rot_pred = ro;

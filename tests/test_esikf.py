@@ -1,0 +1,213 @@
+"""ESIKF + measurement sync + LiDAR decoding (native).
+
+Covers VERDICT round-1 item 7: error-state iterated KF convergence on a
+synthetic trajectory with noisy IMU against a plane-covariance voxel map
+(reference voxel_map.h:131-261 + IMU_Processing.h:27-71 roles), a
+sync_packages-equivalent test with interleaved packet arrival
+(reference LIVMapper.cpp:1889-1909), and Livox/spinning packet decoding
+(reference src/preprocess.cpp)."""
+
+import numpy as np
+import pytest
+
+from holoagent_tpu.native import (
+    Esikf,
+    LIVOX_POINT_DTYPE,
+    MeasurementSync,
+    VoxelPlaneMap,
+    classify_line_features,
+    decode_livox,
+    decode_spinning,
+)
+
+
+def _box_room(rng, n_per_face=4000, half=4.0, zmax=2.5):
+    """Dense axis-aligned room surfaces (floor + 4 walls), world frame."""
+    faces = []
+    u = rng.uniform(-half, half, (n_per_face, 2))
+    faces.append(np.stack([u[:, 0], u[:, 1], np.zeros(n_per_face)], -1))
+    v = rng.uniform(0, zmax, n_per_face)
+    for sign in (-1, 1):
+        faces.append(np.stack([np.full(n_per_face, sign * half), u[:, 0], v], -1))
+        faces.append(np.stack([u[:, 0], np.full(n_per_face, sign * half), v], -1))
+    pts = np.concatenate(faces)
+    return pts + rng.normal(0, 0.005, pts.shape)
+
+
+def test_esikf_propagation_covariance_grows(rng):
+    e = Esikf()
+    e.reset()
+    c0 = np.diag(e.state["cov"]).copy()
+    for _ in range(100):
+        e.propagate([0, 0, 0], [0, 0, 9.81], 0.01)
+    c1 = np.diag(e.state["cov"])
+    # position/velocity uncertainty must grow without measurements
+    assert c1[3] > c0[3] and c1[6] > c0[6]
+    # and stay symmetric positive
+    cov = e.state["cov"]
+    assert np.allclose(cov, cov.T, atol=1e-9)
+    assert (np.linalg.eigvalsh(cov) > -1e-12).all()
+
+
+def test_esikf_converges_on_noisy_imu_trajectory(rng):
+    """Constant-velocity trajectory, IMU measures gravity + noise (so the
+    propagated position drifts); the iterated plane update must keep the
+    estimate on track and learn the velocity."""
+    world = _box_room(rng)
+    m = VoxelPlaneMap(voxel_size=0.6, min_points=8, planarity=0.12)
+    m.insert(world)
+    assert m.num_planes > 20
+
+    e = Esikf(acc_noise=0.05, sigma_gate=5.0)
+    e.reset(pos=(0, 0, 1.0), gravity=(0, 0, -9.81))
+
+    vel = np.array([0.8, 0.3, 0.0])
+    dt = 0.01
+    t = 0.0
+    errs = []
+    for k in range(12):
+        # 10 IMU samples per sweep: gravity + noise only (constant velocity)
+        for _ in range(10):
+            gyro = rng.normal(0, 1e-3, 3)
+            accel = np.array([0, 0, 9.81]) + rng.normal(0, 0.05, 3)
+            e.propagate(gyro, accel, dt)
+            t += dt
+        pos_gt = np.array([0, 0, 1.0]) + vel * t
+        # body-frame scan of the room from the GT pose (identity attitude)
+        sel = rng.choice(len(world), 3000, replace=False)
+        scan_body = world[sel] - pos_gt
+        st = e.update_lidar(m, scan_body)
+        assert st["ok"] and st["used"] > 500
+        errs.append(np.linalg.norm(e.state["pos"] - pos_gt))
+    # after a few sweeps the filter locks on; late errors stay small
+    assert max(errs[3:]) < 0.08, errs
+    # velocity is learned from the position corrections via the cross terms
+    assert np.linalg.norm(e.state["vel"][:2] - vel[:2]) < 0.4
+
+
+def test_esikf_gates_outlier_scan(rng):
+    world = _box_room(rng)
+    m = VoxelPlaneMap(voxel_size=0.6, min_points=8, planarity=0.12)
+    m.insert(world)
+    e = Esikf()
+    e.reset(pos=(0, 0, 1.0))
+    # a garbage scan far from any plane must be (mostly) gated, not absorbed
+    garbage = rng.uniform(50, 60, (500, 3))
+    st = e.update_lidar(m, garbage)
+    assert st["used"] < 50
+    assert np.linalg.norm(e.state["pos"] - [0, 0, 1.0]) < 0.05
+
+
+# --------------------------------------------------------------------- sync
+
+
+def test_sync_interleaved_packets(rng):
+    ms = MeasurementSync()
+    # sweeps arrive BEFORE their IMU coverage, images interleave, and IMU
+    # packets arrive out of order
+    ms.push_sweep(0.0, 0.1, rng.random((50, 3)).astype(np.float32))
+    ms.push_sweep(0.1, 0.1, rng.random((60, 3)).astype(np.float32))
+    assert ms.pop() is None  # no IMU yet
+    times = list(np.arange(0.0, 0.25, 0.01))
+    rng.shuffle(times)
+    for t in times:
+        ms.push_imu(float(t), [0, 0, 0], [0, 0, 9.81])
+    ms.push_image(0.05, 7)
+    ms.push_image(0.15, 8)
+
+    b1 = ms.pop()
+    assert b1 is not None and len(b1["xyz"]) == 50
+    assert b1["t_begin"] == 0.0
+    assert (np.diff(b1["imu_t"]) > 0).all()  # re-ordered
+    assert b1["imu_t"][0] <= 0.0 + 1e-9 and b1["imu_t"][-1] <= 0.1 + 1e-9
+    assert list(b1["image_ids"]) == [7]
+
+    b2 = ms.pop()
+    assert b2 is not None and len(b2["xyz"]) == 60
+    assert list(b2["image_ids"]) == [8]
+    # lead-in sample at/before the window start travels with the bundle
+    assert b2["imu_t"][0] <= 0.1 + 1e-9
+
+    assert ms.pop() is None  # nothing further is covered
+
+
+def test_sync_drops_stale_images(rng):
+    ms = MeasurementSync()
+    ms.push_image(0.0, 1)  # before any sweep window
+    ms.push_sweep(1.0, 0.1, rng.random((10, 3)).astype(np.float32))
+    for t in np.arange(0.95, 1.2, 0.01):
+        ms.push_imu(float(t), [0, 0, 0], [0, 0, 9.81])
+    b = ms.pop()
+    assert b is not None and len(b["image_ids"]) == 0
+    assert ms.dropped >= 1
+
+
+# ------------------------------------------------------------------- decode
+
+
+def test_decode_livox_filters_tags_lines_blind(rng):
+    n = 1000
+    raw = np.zeros(n, LIVOX_POINT_DTYPE)
+    raw["x"] = rng.uniform(1, 20, n).astype(np.float32)
+    raw["y"] = rng.uniform(-5, 5, n).astype(np.float32)
+    raw["z"] = rng.uniform(-1, 1, n).astype(np.float32)
+    raw["offset_time"] = (np.arange(n) * 1000).astype(np.uint32)
+    raw["tag"] = 0x10
+    raw["line"] = rng.integers(0, 8, n).astype(np.uint8)
+    raw["reflectivity"] = 128
+    # poison some points
+    raw["tag"][:100] = 0x20       # bad return quality
+    raw["x"][100:150] = 0.05      # blind zone
+    raw["line"][150:200] = 7      # out-of-range line when n_scans=6
+
+    xyz, inten, t, line = decode_livox(raw, blind_radius=0.5, n_scans=6)
+    assert len(xyz) <= n - 200 + 50  # all three filters engaged
+    assert (line < 6).all()
+    assert (np.linalg.norm(xyz, axis=1) > 0.5).all()
+    assert np.isclose(inten[0], 128 / 255.0, atol=1e-6)
+    # ns -> seconds
+    assert t.max() < 1e-3
+
+
+def test_decode_livox_from_raw_bytes(rng):
+    raw = np.zeros(5, LIVOX_POINT_DTYPE)
+    raw["x"] = 2.0
+    raw["tag"] = 0x10
+    blob = np.frombuffer(raw.tobytes(), np.uint8)
+    xyz, _, _, _ = decode_livox(blob)
+    assert len(xyz) == 1  # duplicates collapse to one
+
+
+def test_decode_spinning_azimuth_time_recovery():
+    # one full clockwise revolution at 10 Hz: t recovered from azimuth
+    n = 360
+    az = -np.linspace(0, 2 * np.pi * (n - 1) / n, n)  # clockwise
+    xyz = np.stack([5 * np.cos(az), 5 * np.sin(az), np.zeros(n)], -1)
+    ring = np.zeros(n, np.uint16)
+    oxyz, _, t, _ = decode_spinning(xyz.astype(np.float32), ring=ring, n_scans=4)
+    assert len(oxyz) == n
+    assert t[0] == 0.0
+    assert np.isclose(t[-1], 0.1 * (n - 1) / n, atol=1e-3)
+    assert (np.diff(t) > 0).all()
+
+
+def test_classify_line_features_flags_corner(rng):
+    # one line along a wall with a sharp corner: corner point tags as edge,
+    # mid-wall points as surface
+    n = 101
+    t = np.linspace(0, 0.1, n).astype(np.float32)
+    xs = np.linspace(-1, 1, n)
+    pts = np.zeros((n, 3), np.float32)
+    # walk along x wall then turn to y wall (corner at origin, 3 m out)
+    for i, x in enumerate(xs):
+        if x < 0:
+            pts[i] = [3.0, 1.0 + x, 0.0]
+        else:
+            pts[i] = [3.0 - x, 1.0, 0.0]
+    line = np.zeros(n, np.uint8)
+    tag = classify_line_features(pts, t, line, n_scans=1, feature_window=5,
+                                 edge_thresh=0.004, surf_thresh=0.001)
+    corner = n // 2
+    assert tag[corner] == 2
+    mid_wall = 20
+    assert tag[mid_wall] == 1
