@@ -14,11 +14,14 @@ supported and measured (encode 240 ms, full extract 496 ms on v5e — a
 benchmarked operating point.
 
 Timing method: this sandbox reaches its chip through an RPC tunnel with ~30 ms
-round-trip that `block_until_ready` does not observe, and a remote compiler
-that cannot hold scan-wrapped mega-programs.  So the benchmark times the exact
-programs the production Mapper dispatches (per-stage), syncing each iteration
-with a host scalar fetch, and subtracts the independently measured tunnel
-round-trip from every dispatch.  mapping FPS = 1 / sum(per-stage device time).
+round-trip that `block_until_ready` does not observe.  Small stages are timed
+with utils.benchtime.time_device_fn: K iterations chained inside ONE jitted
+program with a forced serial dependency, synced by a host scalar fetch — pure
+on-device time, no tunnel artifacts.  The big SAM x CLIP extract program is
+timed per-dispatch minus the measured tunnel round-trip instead (the remote
+compiler cannot hold a scan-wrapped copy of that mega-program; at ~350 ms per
+dispatch the RTT correction is small).  mapping FPS = 1 / sum(per-stage
+device time).
 
 `vs_baseline`: the reference is single-GPU torch/CUDA and publishes no numbers
 (BASELINE.md); the driver target is ">5x reference CPU throughput".  We
@@ -105,24 +108,42 @@ def main():
     )
     _sync(inst_mod.seq_merge_step(instances, finst, 0.75, 0.05).count)
 
-    stages = {
-        "backproject": lambda: backproject(depth, rgb, cam, pose, 1e-3, 10.0)[0],
-        "insert": lambda: scene_mod.insert_points(scene, pts, cols, valid)[0].count,
-        "extract": lambda: extract_frame_features(
-            clip_params, sam_params, rgb, cv, sv,
-            points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash",
-        ).f_masks,
-        "fuse": lambda: scene_mod.fuse_pixel_features(
-            scene1, rows, masks_flat, ff.valid, ff.f_masks
-        ).feat_count,
-        "instances": lambda: inst_mod.frame_instances(
-            masks_flat, ff.valid, ff.f_masks, rows, pts, k_cap=2048, stride=stride
-        ).count,
-        "merge": lambda: inst_mod.seq_merge_step(instances, finst, 0.75, 0.05).count,
+    from holoagent_tpu.utils.benchtime import time_device_fn
+
+    device_stages = {
+        "backproject": (
+            lambda d: backproject(d, rgb, cam, pose, 1e-3, 10.0)[0], [depth]),
+        "insert": (
+            lambda p: scene_mod.insert_points(scene, p, cols, valid)[0].count,
+            [pts]),
+        "fuse": (
+            lambda r: scene_mod.fuse_pixel_features(
+                scene1, r, masks_flat, ff.valid, ff.f_masks
+            ).feat_count,
+            [rows]),
+        "instances": (
+            lambda mf: inst_mod.frame_instances(
+                mf, ff.valid, ff.f_masks, rows, pts, k_cap=2048, stride=stride
+            ).count,
+            [masks_flat]),
+        "merge": (
+            lambda i: inst_mod.seq_merge_step(i, finst, 0.75, 0.05).count,
+            [instances]),
     }
     stage_s = {}
-    for name, fn in stages.items():
-        stage_s[name] = max(_time_dispatch(fn) - rtt, 1e-4)
+    for name, (fn, args) in device_stages.items():
+        stage_s[name] = max(time_device_fn(fn, args, iters=10), 1e-4)
+    stage_s["extract"] = max(
+        _time_dispatch(
+            lambda: extract_frame_features(
+                clip_params, sam_params, rgb, cv, sv,
+                points_per_side=12, max_masks=64, dtype=jnp.bfloat16,
+                impl="flash",
+            ).f_masks
+        )
+        - rtt,
+        1e-4,
+    )
 
     total = sum(stage_s.values())
     fps = 1.0 / total

@@ -84,9 +84,16 @@ def insert_points(
     stable row id, -1 for invalid/overflow)."""
     c = scene.capacity
     keys = voxel.keys_of(points, valid, scene.grid)
-    # unique frame keys + per-pixel segment (one sort over the frame)
+    # unique frame keys + per-pixel segment (one sort over the frame).
+    # Frame-voxel capacity is capped well below the pixel count: a 640x480
+    # frame touches a few thousand 5 cm voxels (pixel footprint < voxel size
+    # at indoor ranges), and the downstream `lookup` is a scalar-bound binary
+    # search whose cost scales with the padded query count (measured on v5e:
+    # 307k queries = 49 ms, 64k = ~10 ms).  Overflow voxels drop to the trash
+    # row for that frame only.
+    fcap = min(points.shape[0], 1 << 16)
     down = voxel.voxel_downsample(
-        points, colors, valid, scene.grid, capacity=points.shape[0], return_segments=True
+        points, colors, valid, scene.grid, capacity=fcap, return_segments=True
     )
     fkeys, fnum = down["key"], down["num"]
     fvalid = down["valid"]

@@ -88,6 +88,11 @@ def _load() -> C.CDLL:
         C.c_void_p, C.c_void_p, C.c_size_t, C.c_int, C.c_int, C.c_double,
         C.c_int, C.c_void_p, C.POINTER(C.c_double),
     ]
+    lib.reg_register_refmode.restype = C.c_double
+    lib.reg_register_refmode.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_size_t, C.c_int, C.c_int, C.c_double,
+        C.c_void_p, C.POINTER(C.c_double),
+    ]
     # preprocess
     lib.pp_sweep.restype = C.c_size_t
     lib.pp_sweep.argtypes = [
@@ -339,9 +344,13 @@ class Registration:
     FRICP.h, ICP.h, AndersonAcceleration.h and the regMode selector in
     online-relo/pose_estimator.cpp:28-39): modes 0 point-to-point,
     1 point-to-plane, 2 robust (Welsch) point-to-point, 3 robust
-    point-to-plane; optional Anderson acceleration (AA-ICP)."""
+    point-to-plane, 4 sparse (Lp IRLS) point-to-point, 5 sparse
+    point-to-plane; optional Anderson acceleration (AA-ICP).
+    register_refmode takes the reference 0-8 Method indices directly
+    (ICP, AA_ICP, FICP, RICP, FR_ICP, PPL, RPPL, SparseICP, SICPPPL)."""
 
-    P2P, P2PLANE, ROBUST_P2P, ROBUST_P2PLANE = 0, 1, 2, 3
+    P2P, P2PLANE, ROBUST_P2P, ROBUST_P2PLANE, SPARSE_P2P, SPARSE_P2PLANE = (
+        0, 1, 2, 3, 4, 5)
 
     def __init__(self, target: np.ndarray, cell: float = 0.5):
         self._l = lib()
@@ -371,6 +380,27 @@ class Registration:
         rmse = self._l.reg_register(
             self._h, _ptr(src), len(src), mode, max_iters, max_corr,
             int(anderson), _ptr(pose), C.byref(frac),
+        )
+        return pose.reshape(4, 4), float(rmse), float(frac.value)
+
+    def register_refmode(
+        self,
+        source: np.ndarray,
+        ref_mode: int = 4,
+        pose_init: Optional[np.ndarray] = None,
+        max_iters: int = 30,
+        max_corr: float = 1.0,
+    ) -> Tuple[np.ndarray, float, float]:
+        """Register with the reference regMode 0-8 selector (reference
+        config/mid360_online_reloc.yaml:12 defaults to 4 = FR_ICP)."""
+        src = np.ascontiguousarray(source, np.float64)
+        pose = (
+            np.eye(4) if pose_init is None else np.asarray(pose_init, np.float64)
+        ).reshape(16).copy()
+        frac = C.c_double()
+        rmse = self._l.reg_register_refmode(
+            self._h, _ptr(src), len(src), ref_mode, max_iters, max_corr,
+            _ptr(pose), C.byref(frac),
         )
         return pose.reshape(4, 4), float(rmse), float(frac.value)
 

@@ -13,3 +13,15 @@ glue instead).
 from .costmap import Costmap
 from .planner import astar_plan
 from .controller import DWAController
+from .behaviors import (
+    BTNavigator,
+    BackupRecovery,
+    CollisionMonitor,
+    Fallback,
+    Retry,
+    Sequence,
+    SpinRecovery,
+    Status,
+    VelocitySmoother,
+    WaitRecovery,
+)

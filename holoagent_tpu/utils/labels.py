@@ -111,14 +111,56 @@ _BUILTIN: Dict[str, Tuple[str, ...]] = {
     "ROOM_TYPES": DEFAULT_ROOM_TYPES,
 }
 
+# Full vocabularies shipped as a data asset (vocab_data.json) — the label
+# lists of the reference's utils/constants.py + labels/ data files
+# (label_constants.py MATTERPORT_LABELS_80/160, COCO_STUFF_CLASSES,
+# HM3D_CountsOfObjectTypes.csv, final_label.csv, imagenet21k.csv,
+# MATTERPORT/HM3DSEM room categories).  Loaded lazily; names mirror the
+# reference's get_label_feats selector (utils/label_feats.py:37-126).
+_DATA_VOCABS = {
+    "HM3DSEM": "HM3D_FULL",          # full 1,624-type HM3D semantic vocab
+    "HM3D_FULL": "HM3D_FULL",
+    "FINALLABEL": "FINALLABEL",
+    "IMAGENET21K": "IMAGENET21K",
+    "MATTERPORT80": "MATTERPORT80",
+    "MATTERPORT160": "MATTERPORT160",
+    "MATTERPORT21": "MATTERPORT21",
+    "COCO_STUFF": "COCO_STUFF",
+    "MATTERPORT_GT": "MATTERPORT_GT",
+    "MATTERPORT_ROOMS": "MATTERPORT_ROOMS",
+    "HM3DSEM_ROOMS": "HM3DSEM_ROOMS",
+    "HM3DSEM_FREQUENT": "HM3DSEM_FREQUENT",
+}
+_vocab_data_cache: Dict[str, tuple] = {}
+
+
+def _load_data_vocab(key: str) -> Tuple[str, ...]:
+    if key not in _vocab_data_cache:
+        p = Path(__file__).with_name("vocab_data.json")
+        data = json.loads(p.read_text())
+        for k, v in data.items():
+            if isinstance(v, dict):  # OPENVOCAB mapping: flatten keys+values
+                flat = []
+                for kk, vv in v.items():
+                    flat.append(kk)
+                    flat.extend(vv)
+                v = sorted(set(flat))
+            _vocab_data_cache[k] = tuple(v)
+    return _vocab_data_cache[key]
+
 
 def load_vocabulary(
     name: str, labels_dir: Optional[str | Path] = None
 ) -> Tuple[str, ...]:
-    """Resolve a vocabulary by name: built-ins first, else `<labels_dir>/
-    <name>.txt|.json|.csv` (one label per line / json list / csv first col)."""
+    """Resolve a vocabulary by name: built-ins first, then the shipped data
+    asset, else `<labels_dir>/<name>.txt|.json|.csv` (one label per line /
+    json list / csv first col)."""
     if name.upper() in _BUILTIN:
         return _BUILTIN[name.upper()]
+    if name.upper() in _DATA_VOCABS:
+        return _load_data_vocab(_DATA_VOCABS[name.upper()])
+    if name.upper() == "OPENVOCAB_MATTERPORT":
+        return _load_data_vocab("OPENVOCAB_MATTERPORT")
     if labels_dir is None:
         raise KeyError(
             f"unknown vocabulary {name!r}; built-ins: {sorted(_BUILTIN)}; "

@@ -25,7 +25,29 @@ enum class RegMode : int {
   kPointToPlane = 1,
   kRobustPointToPoint = 2,  // Welsch-weighted
   kRobustPointToPlane = 3,
+  kSparsePointToPoint = 4,  // Lp-norm IRLS (p = 0.4), the SparseICP role
+  kSparsePointToPlane = 5,  // the SICPPPL role
 };
+
+// Map the reference's 9-way regMode selector (reference FRICP-toolkit/
+// registeration.h Method{ICP, AA_ICP, FICP, RICP, FR_ICP, PPL, RPPL,
+// SparseICP, SICPPPL}; configured via config/mid360_online_reloc.yaml:12)
+// onto (RegMode, use_anderson).
+inline void reg_mode_from_reference(int ref_mode, RegMode* mode,
+                                    bool* use_anderson) {
+  switch (ref_mode) {
+    case 0: *mode = RegMode::kPointToPoint; *use_anderson = false; break;
+    case 1: *mode = RegMode::kPointToPoint; *use_anderson = true; break;   // AA_ICP
+    case 2: *mode = RegMode::kRobustPointToPoint; *use_anderson = true; break;  // FICP
+    case 3: *mode = RegMode::kRobustPointToPoint; *use_anderson = false; break; // RICP
+    case 4: *mode = RegMode::kRobustPointToPoint; *use_anderson = true; break;  // FR_ICP
+    case 5: *mode = RegMode::kPointToPlane; *use_anderson = false; break;  // PPL
+    case 6: *mode = RegMode::kRobustPointToPlane; *use_anderson = false; break; // RPPL
+    case 7: *mode = RegMode::kSparsePointToPoint; *use_anderson = false; break;
+    case 8: *mode = RegMode::kSparsePointToPlane; *use_anderson = false; break;
+    default: *mode = RegMode::kRobustPointToPoint; *use_anderson = true; break;
+  }
+}
 
 struct RegResult {
   Mat3 rot = Mat3::identity();

@@ -162,6 +162,18 @@ double reg_register(void* index_h, const double* src, size_t n_src, int mode,
   return res.rmse;
 }
 
+// Register with the reference's 0-8 regMode indices (reference
+// registeration.h Method enum; mid360_online_reloc.yaml:12 defaults to 4).
+double reg_register_refmode(void* index_h, const double* src, size_t n_src,
+                            int ref_mode, int max_iters, double max_corr,
+                            double* pose16, double* inlier_frac_out) {
+  RegMode mode;
+  bool aa;
+  holoagent::reg_mode_from_reference(ref_mode, &mode, &aa);
+  return reg_register(index_h, src, n_src, (int)mode, max_iters, max_corr,
+                      aa ? 1 : 0, pose16, inlier_frac_out);
+}
+
 // ------------------------------------------------------------------ Preprocess
 
 size_t pp_sweep(const float* xyz, const float* intensity, const float* t_offset,

