@@ -12,9 +12,14 @@ prefill uses the same stacked-scan transformer core; decode runs on a static
 KV cache so the serving layer (holoagent_tpu.serving) can continuously batch
 requests slot-per-slot.
 
-No public checkpoint is assumed: the architecture is generic
-(`convert_hf_llama`-style loaders can be added per checkpoint family), and
-the query layer only depends on the `generate` contract.
+Weight loading: `convert_hf_llava` maps a HuggingFace LLaVA-family checkpoint
+(LlavaForConditionalGeneration or a bare LlamaForCausalLM state_dict — the
+public small-VLM families: LLaVA / TinyLLaVA / TinyLlama backbones) into the
+``arch="llama"`` parameter tree below; tests verify logits match
+`transformers`' reference implementation exactly on a locally-instantiated
+model, so any real checkpoint file drops in.  The random-init ``arch="gpt"``
+variants remain for shape/throughput work, and the query layer only depends
+on the `generate` contract.
 """
 
 from __future__ import annotations
@@ -43,13 +48,38 @@ class VLMVariant:
     max_seq: int = 4096
     image_tokens: int = 16  # pooled vision tokens per image
     clip_variant: str = "ViT-B-32"
+    arch: str = "gpt"  # "gpt" (learned pos, LN, gelu) | "llama" (RoPE, RMS, SwiGLU)
+    kv_heads: int = 0  # grouped-query attention; 0 -> = heads
+    mlp_hidden: int = 0  # 0 -> 4*width (gpt) / llama intermediate size
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+
+    @property
+    def n_kv(self) -> int:
+        return self.kv_heads or self.heads
+
+    @property
+    def hidden(self) -> int:
+        return self.mlp_hidden or 4 * self.width
 
 
 VARIANTS = {
     "vlm-base": VLMVariant("vlm-base", width=1024, layers=16, heads=16),
     "vlm-small": VLMVariant("vlm-small", width=512, layers=8, heads=8),
+    # TinyLlama-1.1B geometry: the smallest public LLaVA-family backbone
+    # (convert_hf_llava loads its checkpoints directly)
+    "llava-tinyllama": VLMVariant(
+        "llava-tinyllama", vocab=32000, width=2048, layers=22, heads=32,
+        kv_heads=4, mlp_hidden=5632, max_seq=2048, arch="llama",
+        clip_variant="ViT-L-14",
+    ),
     "test-tiny": VLMVariant(
         "test-tiny", width=64, layers=2, heads=2, max_seq=256, image_tokens=4,
+        clip_variant="test-tiny",
+    ),
+    "test-tiny-llama": VLMVariant(
+        "test-tiny-llama", vocab=256, width=64, layers=2, heads=4, kv_heads=2,
+        mlp_hidden=128, max_seq=128, image_tokens=4, arch="llama",
         clip_variant="test-tiny",
     ),
 }
@@ -58,6 +88,32 @@ VARIANTS = {
 def init_vlm(key: jax.Array, v: VLMVariant, dtype=jnp.float32) -> Params:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     cv = clip_mod.VARIANTS[v.clip_variant]
+    if v.arch == "llama":
+        dh = v.width // v.heads
+        ks = jax.random.split(k3, 5)
+        std = v.width**-0.5
+        blocks = {
+            "ln1_g": jnp.ones((v.layers, v.width), dtype),
+            "wq": tfm._normal(ks[0], (v.layers, v.width, v.heads * dh), std, dtype),
+            "wk": tfm._normal(ks[1], (v.layers, v.width, v.n_kv * dh), std, dtype),
+            "wv": tfm._normal(ks[1], (v.layers, v.width, v.n_kv * dh), std, dtype),
+            "wo": tfm._normal(ks[2], (v.layers, v.heads * dh, v.width), std, dtype),
+            "ln2_g": jnp.ones((v.layers, v.width), dtype),
+            "w_gate": tfm._normal(ks[3], (v.layers, v.width, v.hidden), std, dtype),
+            "w_up": tfm._normal(ks[3], (v.layers, v.width, v.hidden), std, dtype),
+            "w_down": tfm._normal(ks[4], (v.layers, v.hidden, v.width), std, dtype),
+        }
+        return {
+            "tok_emb": tfm._normal(k1, (v.vocab, v.width), 0.02, dtype),
+            # no learned positions (RoPE); the image-block ramp stays zero so
+            # converted checkpoints see exactly their own embedding space
+            "pos": jnp.zeros((v.max_seq, v.width), dtype),
+            "blocks": blocks,
+            "ln_f_g": jnp.ones((v.width,), dtype),
+            "lm_head": tfm._normal(k2, (v.vocab, v.width), 0.02, dtype),
+            "proj_w": tfm._normal(k4, (cv.embed_dim, v.width), cv.embed_dim**-0.5, dtype),
+            "proj_b": jnp.zeros((v.width,), dtype),
+        }
     return {
         "tok_emb": tfm._normal(k1, (v.vocab, v.width), 0.02, dtype),
         "pos": tfm._normal(k2, (v.max_seq, v.width), 0.01, dtype),
@@ -68,6 +124,34 @@ def init_vlm(key: jax.Array, v: VLMVariant, dtype=jnp.float32) -> Params:
         "proj_w": tfm._normal(k4, (cv.embed_dim, v.width), cv.embed_dim**-0.5, dtype),
         "proj_b": jnp.zeros((v.width,), dtype),
     }
+
+
+# ---------------------------------------------------------------------------
+# Llama-family core (RoPE / RMSNorm / SwiGLU, HF-exact semantics)
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm(x: jnp.ndarray, g: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (y * g.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope_cos_sin(pos: jnp.ndarray, dh: int, theta: float):
+    """HF llama convention: inv_freq over even dims, emb = cat(freqs, freqs).
+    pos: (...,) int32 -> cos/sin (..., dh) f32."""
+    inv = 1.0 / (theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    freqs = pos[..., None].astype(jnp.float32) * inv  # (..., dh/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """x: (..., dh); rotate_half as in HF."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -97,7 +181,18 @@ def encode_images(
             preferred_element_type=jnp.float32,
         )
         + vlm_params["proj_b"].astype(jnp.float32)
-    ).astype(dtype)  # (N, W)
+    )  # (N, W)
+    if "proj2_w" in vlm_params:
+        # LLaVA-style 2-layer projector: linear_1 -> gelu -> linear_2
+        proj = (
+            jnp.einsum(
+                "nw,wc->nc", jax.nn.gelu(proj).astype(dtype),
+                vlm_params["proj2_w"].astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + vlm_params["proj2_b"].astype(jnp.float32)
+        )
+    proj = proj.astype(dtype)
     ramp = vlm_params["pos"][: v.image_tokens].astype(dtype)  # (T_img, W)
     return proj[:, None, :] + ramp[None, :, :]
 
@@ -115,7 +210,7 @@ class KVCache(NamedTuple):
 
 def init_cache(v: VLMVariant, batch: int, dtype=jnp.bfloat16) -> KVCache:
     dh = v.width // v.heads
-    shape = (v.layers, batch, v.max_seq, v.heads, dh)
+    shape = (v.layers, batch, v.max_seq, v.n_kv, dh)
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
@@ -183,6 +278,8 @@ def prefill(
     impl="flash" routes the prefill attention through the Pallas causal
     kernel — the multi-image gallery prompts (24 x vision tokens, SURVEY.md
     §5.7) are long enough that the (T, T) score tensor dominates HBM."""
+    if v.arch == "llama":
+        return _prefill_llama(params, embeddings, valid_len, cache, v, dtype)
     b, t, w = embeddings.shape
     x = embeddings.astype(dtype) + params["pos"][:t].astype(dtype)
     causal = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)
@@ -250,6 +347,104 @@ def prefill(
     return logits, KVCache(k=cache_k, v=cache_v, length=valid_len.astype(jnp.int32))
 
 
+def _prefill_llama(params, embeddings, valid_len, cache, v, dtype):
+    b, t, w = embeddings.shape
+    dh = w // v.heads
+    groups = v.heads // v.n_kv
+    x = embeddings.astype(dtype)
+    causal = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)
+    cos, sin = _rope_cos_sin(jnp.arange(t), dh, v.rope_theta)  # (t, dh)
+    blocks = jax.tree.map(lambda a: a.astype(dtype), params["blocks"])
+
+    def body(h, p):
+        xn = _rms_norm(h, p["ln1_g"], v.norm_eps)
+        q = jnp.einsum("btw,wc->btc", xn, p["wq"], preferred_element_type=jnp.float32)
+        k = jnp.einsum("btw,wc->btc", xn, p["wk"], preferred_element_type=jnp.float32)
+        val = jnp.einsum("btw,wc->btc", xn, p["wv"], preferred_element_type=jnp.float32)
+        qh = q.reshape(b, t, v.heads, dh)
+        kh = k.reshape(b, t, v.n_kv, dh)
+        vh = val.reshape(b, t, v.n_kv, dh).astype(h.dtype)
+        qh = _apply_rope(qh, cos[None, :, None, :], sin[None, :, None, :])
+        kh = _apply_rope(kh, cos[None, :, None, :], sin[None, :, None, :])
+        kg = jnp.repeat(kh, groups, axis=2)
+        vg = jnp.repeat(vh, groups, axis=2)
+        s = jnp.einsum(
+            "bthd,bshd->bhts", qh, kg, preferred_element_type=jnp.float32
+        ) * (dh**-0.5) + causal
+        pr = jax.nn.softmax(s, axis=-1).astype(h.dtype)
+        att = jnp.einsum(
+            "bhts,bshd->bthd", pr, vg, preferred_element_type=jnp.float32
+        ).astype(h.dtype).reshape(b, t, w)
+        att = jnp.einsum(
+            "btw,wc->btc", att, p["wo"], preferred_element_type=jnp.float32
+        ).astype(h.dtype)
+        h = h + att
+        xn = _rms_norm(h, p["ln2_g"], v.norm_eps)
+        gate = jnp.einsum("btw,wc->btc", xn, p["w_gate"], preferred_element_type=jnp.float32)
+        up = jnp.einsum("btw,wc->btc", xn, p["w_up"], preferred_element_type=jnp.float32)
+        mid = (jax.nn.silu(gate) * up).astype(h.dtype)
+        h = h + jnp.einsum(
+            "btc,cw->btw", mid, p["w_down"], preferred_element_type=jnp.float32
+        ).astype(h.dtype)
+        return h, (kh, vh)
+
+    x, (ks, vs) = jax.lax.scan(body, x, blocks)
+    cache_k = cache.k.at[:, :, :t].set(ks.astype(cache.k.dtype))
+    cache_v = cache.v.at[:, :, :t].set(vs.astype(cache.v.dtype))
+    x = _rms_norm(x, params["ln_f_g"], v.norm_eps)
+    last = jnp.take_along_axis(
+        x, (valid_len - 1)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    logits = jnp.einsum(
+        "bw,vw->bv", last, params["lm_head"].astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return logits, KVCache(k=cache_k, v=cache_v, length=valid_len.astype(jnp.int32))
+
+
+def _llama_block_with_cache(x, p, ki, vi, pos, v):
+    """One llama decode block over cached K/V. x: (B, 1, W)."""
+    b, _, w = x.shape
+    dh = w // v.heads
+    groups = v.heads // v.n_kv
+    xn = _rms_norm(x, p["ln1_g"], v.norm_eps)
+    q = jnp.einsum("btw,wc->btc", xn, p["wq"], preferred_element_type=jnp.float32)
+    k_new = jnp.einsum("btw,wc->btc", xn, p["wk"], preferred_element_type=jnp.float32)
+    v_new = jnp.einsum("btw,wc->btc", xn, p["wv"], preferred_element_type=jnp.float32)
+    qh = q.reshape(b, v.heads, dh)
+    kh = k_new.reshape(b, v.n_kv, dh)
+    vh = v_new.reshape(b, v.n_kv, dh).astype(x.dtype)
+    cos, sin = _rope_cos_sin(pos, dh, v.rope_theta)  # (b, dh)
+    qh = _apply_rope(qh, cos[:, None, :], sin[:, None, :])
+    kh = _apply_rope(kh, cos[:, None, :], sin[:, None, :])
+    ki = ki.at[jnp.arange(b), pos].set(kh)
+    vi = vi.at[jnp.arange(b), pos].set(vh)
+    tmax = ki.shape[1]
+    mask = jax.lax.broadcasted_iota(jnp.int32, (b, tmax), 1) <= pos[:, None]
+    kg = jnp.repeat(ki, groups, axis=2)  # (b, tmax, heads, dh)
+    vg = jnp.repeat(vi, groups, axis=2)
+    scores = jnp.einsum(
+        "bhd,bthd->bht", qh, kg, preferred_element_type=jnp.float32
+    ) * (dh**-0.5)
+    scores = jnp.where(mask[:, None, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    att = jnp.einsum(
+        "bht,bthd->bhd", probs, vg, preferred_element_type=jnp.float32
+    ).astype(x.dtype).reshape(b, 1, w)
+    att = jnp.einsum(
+        "btw,wc->btc", att, p["wo"], preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    x = x + att
+    xn = _rms_norm(x, p["ln2_g"], v.norm_eps)
+    gate = jnp.einsum("btw,wc->btc", xn, p["w_gate"], preferred_element_type=jnp.float32)
+    up = jnp.einsum("btw,wc->btc", xn, p["w_up"], preferred_element_type=jnp.float32)
+    mid = (jax.nn.silu(gate) * up).astype(x.dtype)
+    x = x + jnp.einsum(
+        "btc,cw->btw", mid, p["w_down"], preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return x, ki, vi
+
+
 @partial(jax.jit, static_argnames=("v", "dtype"))
 def decode_step(
     params: Params,
@@ -264,19 +459,30 @@ def decode_step(
     b = tokens.shape[0]
     pos = cache.length
     x = params["tok_emb"][tokens].astype(dtype)[:, None, :]
-    x = x + params["pos"][jnp.clip(pos, 0, v.max_seq - 1)].astype(dtype)[:, None, :]
+    if v.arch != "llama":
+        x = x + params["pos"][jnp.clip(pos, 0, v.max_seq - 1)].astype(dtype)[:, None, :]
     blocks = params["blocks"]
     new_k, new_v = [], []
     for li in range(v.layers):
         lp = jax.tree.map(lambda a: a[li].astype(dtype), blocks)
-        x, ki, vi = _block_with_cache(
-            x, lp, cache.k[li].astype(dtype), cache.v[li].astype(dtype), pos, cache.length, v.heads
-        )
+        if v.arch == "llama":
+            x, ki, vi = _llama_block_with_cache(
+                x, lp, cache.k[li].astype(dtype), cache.v[li].astype(dtype), pos, v
+            )
+        else:
+            x, ki, vi = _block_with_cache(
+                x, lp, cache.k[li].astype(dtype), cache.v[li].astype(dtype), pos, cache.length, v.heads
+            )
         new_k.append(ki)
         new_v.append(vi)
-    x = tfm.layer_norm(x[:, 0], params["ln_f_g"], params["ln_f_b"])
+    if v.arch == "llama":
+        x = _rms_norm(x[:, 0], params["ln_f_g"], v.norm_eps)
+        head = params["lm_head"]
+    else:
+        x = tfm.layer_norm(x[:, 0], params["ln_f_g"], params["ln_f_b"])
+        head = params["tok_emb"]
     logits = jnp.einsum(
-        "bw,vw->bv", x, params["tok_emb"].astype(dtype), preferred_element_type=jnp.float32
+        "bw,vw->bv", x, head.astype(dtype), preferred_element_type=jnp.float32
     )
     k_st = jnp.stack(new_k).astype(cache.k.dtype)
     v_st = jnp.stack(new_v).astype(cache.v.dtype)
@@ -287,6 +493,101 @@ def decode_step(
         length=jnp.where(active, cache.length + 1, cache.length),
     )
     return logits, cache
+
+
+def convert_hf_llava(state_dict, v: VLMVariant, dtype=jnp.float32) -> Params:
+    """Convert a HuggingFace LLaVA-family checkpoint into ``arch="llama"``
+    params.
+
+    Accepts the state_dict of a ``LlavaForConditionalGeneration`` (any
+    transformers version: ``language_model.model.layers...`` or the newer
+    ``model.language_model.layers...`` key layout) or a bare
+    ``LlamaForCausalLM`` (``model.layers...``).  HF ``nn.Linear`` weights are
+    (out, in) and are transposed to our (in, out) einsum layout; grouped-query
+    K/V and the rotate-half RoPE storage convention carry over unchanged, so
+    logits match transformers' reference implementation exactly (see
+    tests/test_vlm.py::test_convert_hf_llama_matches_transformers).
+
+    The multi-modal projector (``multi_modal_projector.linear_{1,2}``) loads
+    into proj/proj2 when present; its input dim must match the vision features
+    fed to `encode_images` (LLaVA uses the CLIP tower's pre-projection patch
+    width).  Vision-tower weights are not converted here — use
+    models.clip.convert_open_clip for the tower.
+    """
+
+    def arr(t):
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().float().numpy()
+        return np.asarray(t, np.float32)
+
+    keys = list(state_dict.keys())
+
+    def find(suffix, required=True, exclude=("vision_tower",)):
+        hits = [
+            k for k in keys
+            if k.endswith(suffix) and not any(e in k for e in exclude)
+        ]
+        if not hits:
+            if required:
+                raise KeyError(f"no key ending in {suffix!r}")
+            return None
+        return arr(state_dict[hits[0]])
+
+    dh = v.width // v.heads
+    blocks = {k: [] for k in (
+        "ln1_g", "wq", "wk", "wv", "wo", "ln2_g", "w_gate", "w_up", "w_down"
+    )}
+    for i in range(v.layers):
+        p = f"layers.{i}."
+        blocks["ln1_g"].append(find(p + "input_layernorm.weight"))
+        blocks["wq"].append(find(p + "self_attn.q_proj.weight").T)
+        blocks["wk"].append(find(p + "self_attn.k_proj.weight").T)
+        blocks["wv"].append(find(p + "self_attn.v_proj.weight").T)
+        blocks["wo"].append(find(p + "self_attn.o_proj.weight").T)
+        blocks["ln2_g"].append(find(p + "post_attention_layernorm.weight"))
+        blocks["w_gate"].append(find(p + "mlp.gate_proj.weight").T)
+        blocks["w_up"].append(find(p + "mlp.up_proj.weight").T)
+        blocks["w_down"].append(find(p + "mlp.down_proj.weight").T)
+    blocks = {k: jnp.asarray(np.stack(vv), dtype) for k, vv in blocks.items()}
+    assert blocks["wq"].shape == (v.layers, v.width, v.heads * dh)
+    assert blocks["wk"].shape == (v.layers, v.width, v.n_kv * dh)
+
+    emb = find("embed_tokens.weight")
+    final_norm = None
+    for k in keys:
+        if k.endswith("norm.weight") and "layers." not in k and "vision" not in k:
+            final_norm = arr(state_dict[k])
+            break
+    if final_norm is None:
+        raise KeyError("final norm weight not found")
+    lm_head = find("lm_head.weight", required=False)
+    if lm_head is None:
+        lm_head = emb  # tied embeddings
+
+    params: Params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "pos": jnp.zeros((v.max_seq, v.width), dtype),
+        "blocks": blocks,
+        "ln_f_g": jnp.asarray(final_norm, dtype),
+        "lm_head": jnp.asarray(lm_head, dtype),
+    }
+    l1 = find("multi_modal_projector.linear_1.weight", required=False, exclude=())
+    if l1 is not None:
+        params["proj_w"] = jnp.asarray(l1.T, dtype)
+        params["proj_b"] = jnp.asarray(
+            find("multi_modal_projector.linear_1.bias", exclude=()), dtype
+        )
+        l2 = find("multi_modal_projector.linear_2.weight", required=False, exclude=())
+        if l2 is not None:
+            params["proj2_w"] = jnp.asarray(l2.T, dtype)
+            params["proj2_b"] = jnp.asarray(
+                find("multi_modal_projector.linear_2.bias", exclude=()), dtype
+            )
+    else:
+        # bare LM checkpoint: text-only until a projector is trained/loaded
+        params["proj_w"] = jnp.zeros((1, v.width), dtype)
+        params["proj_b"] = jnp.zeros((v.width,), dtype)
+    return params
 
 
 def build_prompt_embeddings(

@@ -130,3 +130,98 @@ def test_prefill_flash_matches_xla(models):
     )
     np.testing.assert_allclose(np.asarray(lf), np.asarray(lx), atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(cf.k), np.asarray(cx.k), atol=2e-3, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Llama-family arch + HF checkpoint converter (weight-loading contract)
+# ---------------------------------------------------------------------------
+
+TVL = vlm_mod.VARIANTS["test-tiny-llama"]
+
+
+def test_convert_hf_llama_matches_transformers(rng):
+    """convert_hf_llava on a transformers-built Llama must reproduce HF logits
+    exactly (prefill AND cached decode) — proves any real LLaVA-family
+    checkpoint file loads correctly."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=TVL.vocab, hidden_size=TVL.width,
+        intermediate_size=TVL.mlp_hidden, num_hidden_layers=TVL.layers,
+        num_attention_heads=TVL.heads, num_key_value_heads=TVL.kv_heads,
+        max_position_embeddings=TVL.max_seq, rope_theta=TVL.rope_theta,
+        rms_norm_eps=TVL.norm_eps, attention_bias=False, mlp_bias=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(cfg).eval()
+    params = vlm_mod.convert_hf_llava(model.state_dict(), TVL)
+
+    tokens = rng.integers(0, TVL.vocab, (2, 12))
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.numpy()
+
+    emb = np.asarray(params["tok_emb"])[tokens]
+    cache = vlm_mod.init_cache(TVL, 2, jnp.float32)
+    logits, cache = vlm_mod.prefill(
+        params, jnp.asarray(emb), jnp.full((2,), 12, jnp.int32), cache, TVL,
+        dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(logits), ref[:, -1], atol=3e-4, rtol=3e-4)
+
+    toks = tokens
+    cur = np.argmax(ref[:, -1], -1)
+    for _ in range(3):
+        logits2, cache = vlm_mod.decode_step(
+            params, jnp.asarray(cur, jnp.int32), cache, jnp.ones((2,), bool),
+            TVL, dtype=jnp.float32,
+        )
+        toks = np.concatenate([toks, cur[:, None]], 1)
+        with torch.no_grad():
+            ref2 = model(torch.tensor(toks)).logits.numpy()[:, -1]
+        np.testing.assert_allclose(np.asarray(logits2), ref2, atol=5e-4, rtol=5e-4)
+        cur = np.argmax(ref2, -1)
+
+
+def test_convert_hf_llava_projector_and_tied_embeddings():
+    """LLaVA projector keys load into proj/proj2; tied embeddings fall back to
+    tok_emb as lm_head; the converted model runs through encode_images."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=TVL.vocab, hidden_size=TVL.width,
+        intermediate_size=TVL.mlp_hidden, num_hidden_layers=TVL.layers,
+        num_attention_heads=TVL.heads, num_key_value_heads=TVL.kv_heads,
+        max_position_embeddings=TVL.max_seq, tie_word_embeddings=True,
+    )
+    torch.manual_seed(1)
+    model = LlamaForCausalLM(cfg).eval()
+    sd = {f"language_model.{k}": v for k, v in model.state_dict().items()}
+    dvis = clip_mod.VARIANTS[TVL.clip_variant].embed_dim
+    g = torch.Generator().manual_seed(2)
+    sd["multi_modal_projector.linear_1.weight"] = torch.randn(TVL.width, dvis, generator=g)
+    sd["multi_modal_projector.linear_1.bias"] = torch.zeros(TVL.width)
+    sd["multi_modal_projector.linear_2.weight"] = torch.randn(TVL.width, TVL.width, generator=g)
+    sd["multi_modal_projector.linear_2.bias"] = torch.zeros(TVL.width)
+    params = vlm_mod.convert_hf_llava(sd, TVL)
+    assert params["proj_w"].shape == (dvis, TVL.width)
+    assert params["proj2_w"].shape == (TVL.width, TVL.width)
+    np.testing.assert_allclose(
+        np.asarray(params["lm_head"]), np.asarray(params["tok_emb"])
+    )
+    clip_p = clip_mod.init_clip(jax.random.key(1), clip_mod.VARIANTS["test-tiny"])
+    imgs = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 32, 32, 3)), jnp.float32)
+    blocks = vlm_mod.encode_images(params, clip_p, imgs, TVL, dtype=jnp.float32)
+    assert blocks.shape == (2, TVL.image_tokens, TVL.width)
+    assert bool(jnp.isfinite(blocks).all())
+
+
+def test_llama_batcher_end_to_end():
+    """The continuous batcher serves the llama-arch model unchanged."""
+    vlm_p = vlm_mod.init_vlm(jax.random.key(3), TVL)
+    clip_p = clip_mod.init_clip(jax.random.key(1), clip_mod.VARIANTS["test-tiny"])
+    b = ContinuousBatcher(vlm_p, clip_p, TVL, max_batch=2, dtype=jnp.float32)
+    out = b.generate("hello", max_new_tokens=4)
+    assert isinstance(out, str)
