@@ -270,3 +270,119 @@ def test_rule_parser_chinese():
     assert p("帮我在厨房找勺子").astuple() == (None, "厨房", "勺子")
     assert p("去十二楼找椅子").astuple() == ("12", None, "椅子")
     assert p("去二十三层的办公室找打印机").astuple() == ("23", "办公室", "打印机")
+
+
+# ---------------------------------------------------------------------------
+# Slow-path quality benchmark with the GT-backed oracle VLM
+# (reference role fidelity for query_room_obj_slow_reasoning, graph.py:2578-3054)
+# ---------------------------------------------------------------------------
+
+
+def _confusable_graph():
+    """Scene where CLIP-confusable decoys break the fast path: the living room
+    holds a 'shiny cloth' whose embedding looks exactly like text 'towel' and
+    a 'green sculpture' that looks like 'plant'; the real towel/plant live in
+    the bathroom with weaker (0.8) text similarity."""
+    rng = np.random.default_rng(7)
+
+    def unit(i, d=32):
+        v = np.zeros(d, np.float32)
+        v[i] = 1.0
+        return v
+
+    def mix(i, j, wi=0.8):
+        v = wi * unit(i) + np.sqrt(1 - wi * wi) * unit(j)
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    g = HMSGraph()
+    fl = Floor("0", name="floor_0")
+    fl.floor_zero_level, fl.floor_height = 0.0, 2.5
+    fl.pcd_points = rng.uniform(0, 5, (100, 3)).astype(np.float64)
+    fl.pcd_colors = np.zeros((100, 3), np.float32)
+    fl.vertices = np.zeros((8, 3))
+    g.floors.append(fl)
+
+    spec = {
+        0: ("living room", 0, [("lamp", unit(0)), ("mug", unit(1)),
+                               ("shiny cloth", unit(3)), ("green sculpture", unit(2))],
+            unit(10)),
+        1: ("bathroom", 2, [("towel", mix(3, 9)), ("plant", mix(2, 9))],
+            (unit(3) + unit(2)) / np.sqrt(2)),
+    }
+    frame_contents = {}
+    for ri, (name, img, objs, memb) in spec.items():
+        r = Room(f"0_{ri}", "0", name=name)
+        r.pcd_points = rng.uniform(0, 2, (50, 3))
+        r.pcd_colors = np.zeros((50, 3))
+        r.vertices = r.pcd_points[:, :2]
+        r.room_zero_level, r.room_height = 0.0, 2.5
+        r.embeddings = [unit(10 + ri)]
+        r.sample_images = [img]
+        r.clip_embeddings = [memb.astype(np.float32)]
+        fl.add_room(r)
+        g.rooms.append(r)
+        view = View(f"0_{ri}_v", r.room_id, img_id=img)
+        r.views.append(view)
+        g.views.append(view)
+        frame_contents[img] = set()
+        for oi, (oname, emb) in enumerate(objs):
+            o = Object(f"0_{ri}_{oi}", r.room_id, name=oname)
+            o.pcd_points = rng.uniform(0, 2, (20, 3))
+            o.pcd_colors = np.zeros((20, 3))
+            o.vertices = o.pcd_points[:, :2]
+            o.embedding = emb
+            o.best_view_id = view.view_id
+            o.view_ids = [view.view_id]
+            view.object_ids.append(o.object_id)
+            r.add_object(o)
+            g.objects.append(o)
+            frame_contents[img].add(oname)
+    g._build_nx()
+    return g, frame_contents
+
+
+def test_slow_path_oracle_improves_retrieval():
+    """Retrieval accuracy benchmark: on CLIP-confusable queries the fast path
+    picks the decoy; the slow path (oracle VLM standing in for a loaded
+    checkpoint) must correct it without regressing clean queries."""
+    from holoagent_tpu.query import OracleVLM, tag_image
+
+    g, frame_contents = _confusable_graph()
+    oracle = OracleVLM(frame_contents)
+    variant = clip_mod.VARIANTS["test-tiny"]
+    provider = lambda i: tag_image(np.zeros((8, 8, 3), np.float32), i)
+    eng = FakeTextEngine(
+        g, clip_params=None, tokenizer=None, variant=variant,
+        image_provider=provider, vlm=oracle,
+    )
+    queries = [
+        ("find the towel", "towel"),     # decoy trap
+        ("find the plant", "plant"),     # decoy trap
+        ("find the mug", "mug"),         # clean
+    ]
+
+    def accuracy(use_slow):
+        hits = 0
+        for instr, want in queries:
+            _, _, objs, _ = eng.query_hierarchy(instr, use_slow=use_slow)
+            hits += bool(objs and objs[0].name == want)
+        return hits / len(queries)
+
+    acc_fast = accuracy(False)
+    acc_slow = accuracy(True)
+    assert acc_fast < 1.0            # the decoys really break the fast path
+    assert acc_slow > acc_fast       # FSR: slow reasoning corrects it
+    assert acc_slow == 1.0
+    # the oracle was actually consulted through all three call shapes
+    kinds = {k for k, _ in oracle.calls}
+    assert kinds == {"detect_object", "choose_frame", "detect_and_select_best"}
+
+
+def test_oracle_distill_pairs():
+    from holoagent_tpu.query import OracleVLM
+
+    oracle = OracleVLM({0: {"mug"}, 2: {"towel"}})
+    pairs = oracle.distill_pairs([0, 2], ["mug", "towel"])
+    ans = {(p[1][0], p[0].split(" a ")[1].split(" in")[0]): p[2] for p in pairs}
+    assert ans[(0, "mug")] == "yes" and ans[(0, "towel")] == "no"
+    assert ans[(2, "towel")] == "yes" and ans[(2, "mug")] == "no"
