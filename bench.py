@@ -106,7 +106,12 @@ def main():
     finst = inst_mod.frame_instances(
         masks_flat, ff.valid, ff.f_masks, rows, pts, k_cap=2048, stride=stride
     )
-    _sync(inst_mod.seq_merge_step(instances, finst, 0.75, 0.05).count)
+    _sync(
+        inst_mod.seq_merge_step(
+            instances, finst, 0.75, 0.05,
+            row_keys=scene1.key, bbox_pad=0.025,
+        ).count
+    )
 
     from holoagent_tpu.utils.benchtime import time_device_fn
 
@@ -127,7 +132,9 @@ def main():
             ).count,
             [masks_flat]),
         "merge": (
-            lambda i: inst_mod.seq_merge_step(i, finst, 0.75, 0.05).count,
+            lambda i: inst_mod.seq_merge_step(
+                i, finst, 0.75, 0.05, row_keys=scene1.key, bbox_pad=0.025
+            ).count,
             [instances]),
     }
     stage_s = {}

@@ -33,7 +33,11 @@ def load_dataset(cfg: Config):
     if name == "synthetic":
         from ..dataloader.synthetic import SyntheticDataset
 
-        return SyntheticDataset(seed=cfg.main.seed)
+        return SyntheticDataset(
+            seed=cfg.main.seed,
+            num_frames=cfg.main.num_frames,
+            hw=(cfg.main.frame_h, cfg.main.frame_w),
+        )
     if name == "horizon":
         from ..dataloader.horizon import HorizonDataset
 

@@ -1,0 +1,159 @@
+"""Accuracy parity protocol: build HMSGs over synthetic scenes through the
+production mapping pipeline and score them with the reference's metric suite.
+
+BASELINE.md's parity protocol: the reference checks in no accuracy numbers, so
+parity is established by running its evaluator logic (floor bounds, room
+precision/recall, object instance AUC@IoU with Hungarian matching, semantic
+top-k — reference fsr_vln/memory/hmsg/eval/hm3dsem_evaluator.py:193-589) over
+graphs both systems build.  Perception is the oracle mode
+(perception/oracle.py): GT masks + one-hot label embeddings, so the published
+numbers measure the pipeline itself — voxel fusion, instance merging,
+floor/room segmentation, object-room association — independent of checkpoint
+availability.  With checkpoints configured the same runner measures full
+open-vocabulary accuracy.
+
+Usage: python -m holoagent_tpu.apps.eval_protocol [--seeds 3] [--out EVAL.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def run_one(seed: int, cfg=None):
+    from .. import config as cfgmod
+    from ..dataloader.synthetic import SyntheticDataset, SyntheticScene
+    from ..eval import HMSGEvaluator, gt_from_synthetic
+    from ..memory.hmsg import HMSGraph
+    from ..memory.mapping import Mapper
+    from ..models import clip as clip_mod
+    from ..perception.oracle import onehot_label_feats, oracle_frame_features
+
+    if cfg is None:
+        cfg = cfgmod.Config()
+        cfg.main.dataset = "synthetic"
+        cfg.pipeline.voxel_size = 0.08
+        cfg.pipeline.grid_resolution = 0.08
+        cfg.pipeline.point_capacity = 1 << 15
+        # instance row capacity must exceed the largest object's voxel count
+        # (a 2 m bed at 0.08 m = ~3k surface voxels); truncation breaks the
+        # overlap signatures and fragments instances
+        cfg.pipeline.mask_point_capacity = 4096
+        cfg.pipeline.instance_capacity = 64
+        cfg.pipeline.skip_frames = 1
+
+    scene = SyntheticScene.two_room()
+    ds = SyntheticDataset(
+        scene=scene, num_frames=32, hw=(120, 160), seed=seed,
+        gaze_heights=(0.8, 2.2),  # sweep walls into view: full-scan coverage
+    )
+    gt = gt_from_synthetic(scene)
+    labels = scene.labels()
+    cv = clip_mod.VARIANTS["test-tiny"]
+    d = cv.embed_dim
+
+    mapper = Mapper(cfg, clip_params=None, sam_params=None, clip_variant=cv,
+                    sam_variant=None)
+    for i in range(0, len(ds), cfg.pipeline.skip_frames):
+        frame = ds[i]
+        inst_img, lab_img = ds.gt(i)
+        ff = oracle_frame_features(inst_img, lab_img, labels, d, max_masks=16)
+        mapper.process_frame(frame, ff=ff)
+    mapped = mapper.finalize()
+
+    label_feats = onehot_label_feats(labels, d)
+    graph = HMSGraph.build(mapped, cfg, label_feats, labels)
+    ev = HMSGEvaluator(gt)
+    m = ev.evaluate_all(graph, gt_text_feats=label_feats, gt_classes=labels)
+    return m
+
+
+def run(seeds: int = 3, out_md: str | None = "EVAL.md",
+        out_json: str | None = None) -> dict:
+    t0 = time.time()
+    all_m = [run_one(s) for s in range(seeds)]
+    wall = time.time() - t0
+
+    def agg(path):
+        vals = []
+        for m in all_m:
+            v = m
+            for k in path:
+                v = v[k]
+            vals.append(float(v))
+        return float(np.mean(vals)), float(np.std(vals))
+
+    rows = [
+        ("floor bound error (m)", ("floors", "mean_bound_error")),
+        ("room precision", ("rooms", "precision")),
+        ("room recall", ("rooms", "recall")),
+        ("object AUC (overlap sweep)", ("objects", "auc")),
+        ("object precision@50", ("objects", "prec_at_50")),
+        ("object recall@50", ("objects", "rec_at_50")),
+        ("semantic top-1", ("objects", "semantic_top_k", 1)),
+        ("semantic top-3", ("objects", "semantic_top_k", 3)),
+        ("semantic AUC", ("objects", "semantic_auc")),
+    ]
+    table = {name: agg(path) for name, path in rows}
+    summary = {
+        "seeds": seeds,
+        "wall_seconds": round(wall, 1),
+        "metrics": {k: {"mean": m, "std": s} for k, (m, s) in table.items()},
+        "per_seed": json.loads(json.dumps(all_m, default=float)),
+    }
+    if out_json:
+        Path(out_json).write_text(json.dumps(summary, indent=2, default=float))
+    if out_md:
+        lines = [
+            "# EVAL.md — HMSG accuracy protocol (synthetic scenes, oracle perception)",
+            "",
+            "Built by `python -m holoagent_tpu.apps.eval_protocol`: the production",
+            "mapping pipeline (voxel fusion → instance merge → floor/room",
+            "segmentation → object association) over procedural two-room scenes with",
+            "ground-truth masks and one-hot label embeddings standing in for",
+            "SAM/CLIP (no checkpoints are reachable in this sandbox — see",
+            "perception/oracle.py).  Scored with the reference's metric suite",
+            "(reference fsr_vln/memory/hmsg/eval/hm3dsem_evaluator.py:193-589):",
+            "floor bounds, room precision/recall at 0.5 BEV overlap, object",
+            "instance AUC over the overlap sweep with Hungarian matching, and",
+            "semantic top-k.",
+            "",
+            f"{seeds} trajectories (seeds 0..{seeds - 1}), 32 frames each, "
+            f"evaluated in {wall:.1f}s total (evaluator is the packed-voxel-key",
+            "vectorized path).",
+            "",
+            "| metric | mean | std |",
+            "|---|---|---|",
+        ]
+        for name, (mean, std) in table.items():
+            lines.append(f"| {name} | {mean:.3f} | {std:.3f} |")
+        lines += [
+            "",
+            "With real checkpoints (`models.clip.checkpoint` /",
+            "`models.sam.checkpoint`) the same runner measures full",
+            "open-vocabulary accuracy; these numbers isolate the geometry and",
+            "graph-construction fidelity of the framework itself.",
+            "",
+        ]
+        Path(out_md).write_text("\n".join(lines))
+    print(json.dumps({k: v for k, v in summary.items() if k != "per_seed"},
+                     indent=2))
+    return summary
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--out", default="EVAL.md")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args(argv)
+    run(args.seeds, args.out, args.json)
+
+
+if __name__ == "__main__":
+    main()

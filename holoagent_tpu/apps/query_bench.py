@@ -33,6 +33,31 @@ STAGES = (
 )
 
 
+def _make_vlm(kind: str, clip_params, tok, cv, cfg):
+    if kind == "clip":
+        return ClipVLM(clip_params, tok, cv)
+    if kind == "generative":
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import vlm as vlm_mod
+        from ..query.vlm_backend import GenerativeVLM
+        from ..serving import ContinuousBatcher
+
+        import dataclasses
+
+        vv = vlm_mod.VARIANTS[getattr(cfg.models.vlm, "type", "") or "vlm-small"]
+        # the VLM's vision tower is the app's CLIP tower (params shared)
+        vv = dataclasses.replace(vv, clip_variant=cfg.models.clip.type)
+        vlm_params = vlm_mod.init_vlm(jax.random.key(2), vv, dtype=jnp.bfloat16)
+        batcher = ContinuousBatcher(
+            vlm_params, clip_params, vv, tokenizer=tok,
+            max_batch=cfg.serving.max_batch,
+        )
+        return GenerativeVLM(batcher, max_new_tokens=8)
+    return None  # NullVLM default inside the engine
+
+
 def run(
     graph_dir: str,
     instructions: List[str],
@@ -40,6 +65,8 @@ def run(
     use_slow: bool = False,
     out_path: str | None = None,
     dataset=None,
+    vlm_kind: str = "clip",
+    warmup: bool = True,
 ):
     graph = HMSGraph.load(graph_dir)
     clip_params, _, cv, _ = load_models(cfg)
@@ -54,8 +81,12 @@ def run(
         tok,
         cv,
         image_provider=provider,
-        vlm=ClipVLM(clip_params, tok, cv) if use_slow else None,
+        vlm=_make_vlm(vlm_kind, clip_params, tok, cv, cfg) if use_slow else None,
     )
+    if warmup and instructions:
+        # compile/caches warm-up (text towers, gallery encodes); the reference
+        # benchmarks a long-lived warm process the same way
+        engine.query_hierarchy(instructions[0], top_k=5, use_slow=use_slow)
     results = []
     for q in instructions:
         floor, rooms, objs, res = engine.query_hierarchy(q, top_k=5, use_slow=use_slow)
@@ -71,12 +102,16 @@ def run(
                 "scores": [float(s) for s in res.get("scores", [])],
             }
         )
+    totals = [r["Total_Time"] for r in results]
     summary = {
         "num_queries": len(results),
         **{
             f"average_{k.lower()}": float(np.mean([r[k] for r in results])) if results else 0.0
             for k in STAGES
         },
+        # latency distribution (BASELINE.md target: < 1 s p50)
+        "p50_total_time": float(np.percentile(totals, 50)) if totals else 0.0,
+        "p95_total_time": float(np.percentile(totals, 95)) if totals else 0.0,
         "results": results,
     }
     # reference schema alias (visualize_query_graph_icra_ic4f.py:293-325)
@@ -93,12 +128,14 @@ def main(argv=None):
     ap.add_argument("--instructions", required=True, help="json list of strings")
     ap.add_argument("--config", default=None)
     ap.add_argument("--slow", action="store_true")
+    ap.add_argument("--vlm", default="clip", choices=("clip", "generative", "null"))
     ap.add_argument("--out", default=None)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
     cfg = cfgmod.load(args.config, args.overrides) if args.config else cfgmod.Config()
     instructions = json.loads(Path(args.instructions).read_text())
-    run(args.graph, instructions, cfg, use_slow=args.slow, out_path=args.out)
+    run(args.graph, instructions, cfg, use_slow=args.slow, out_path=args.out,
+        vlm_kind=args.vlm)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,10 @@ class MainConfig:
     depth_cut: float = 10.0
     save_path: str = "/tmp/holoagent_tpu/scene_graphs"
     seed: int = 0
+    # synthetic-dataset shape knobs (hermetic fixtures at any resolution)
+    frame_h: int = 120
+    frame_w: int = 160
+    num_frames: int = 24
 
 
 @dataclass
@@ -107,6 +111,9 @@ class PipelineConfig:
     # programs (much faster compile; the remote compiler chokes on the giant
     # fused graph). Default staged.
     fused_frame_step: bool = False
+    # attention impl for the extractor ("flash": Pallas rel-pos kernel on the
+    # SAM global layers — the benchmarked TPU operating point)
+    extract_impl: str = "xla"
     # pixel decimation for instance-set extraction (0 = auto: ~32k pixels)
     instance_pixel_stride: int = 0
     # fixed-capacity budgets (TPU-native: padded buffers, no dynamic shapes)

@@ -201,6 +201,7 @@ class SyntheticDataset:
         num_frames: int = 24,
         hw: Tuple[int, int] = (120, 160),
         seed: int = 0,
+        gaze_heights: Tuple[float, ...] = (0.8,),
     ):
         self.scene = scene or SyntheticScene.two_room(seed)
         self.hw = hw
@@ -209,14 +210,17 @@ class SyntheticDataset:
         self.k = np.array([[f, 0, W / 2 - 0.5], [0, f, H / 2 - 0.5], [0, 0, 1]], np.float32)
         w, h = self.scene.extent
         self.poses = []
-        # two loops, one per room, looking inward from near the walls
+        # two loops, one per room, looking inward from near the walls.
+        # gaze_heights cycles the target z per frame ((0.8, 2.0) sweeps the
+        # upper walls into view — full-scan coverage like the reference's
+        # Habitat walks); seed phase-shifts the orbit so trajectories differ.
         centers = [(w * 0.25, h * 0.5), (w * 0.75, h * 0.5)]
         per = num_frames // len(centers)
         for cx0, cy0 in centers:
             for i in range(per):
-                a = 2 * np.pi * i / per
+                a = 2 * np.pi * i / per + 0.37 * seed
                 eye = (cx0 + 1.3 * np.cos(a), cy0 + 1.3 * np.sin(a), 1.5)
-                target = (cx0, cy0, 0.8)
+                target = (cx0, cy0, gaze_heights[i % len(gaze_heights)])
                 self.poses.append(look_at(eye, target))
         self._cache: dict = {}
 

@@ -502,6 +502,29 @@ class HMSGraph:
                     view.text_discription.append(obj.name)
                     if mean_depth < best_depth:
                         best_depth, best_view = mean_depth, view.view_id
+            if best_view is None:
+                # fallback: highest-visibility view anywhere on the floor
+                # (an object sampled away from its room's chosen views must
+                # still anchor the slow path's object-in-image check)
+                best_ratio = 0.0
+                for room2 in floor.rooms:
+                    for view in room2.views:
+                        gi = view.img_id // skip if view.img_id is not None else None
+                        if gi is None or gi >= len(kf):
+                            continue
+                        frame = kf[gi]
+                        vis, _ = check_object_in_view(
+                            frame.rgb.shape[1], frame.rgb.shape[0], frame.k,
+                            np.linalg.inv(frame.pose), opts,
+                            min_visible_ratio=1e-6,
+                        )
+                        if vis:
+                            ratio = _visible_ratio(
+                                frame.rgb.shape[1], frame.rgb.shape[0],
+                                frame.k, np.linalg.inv(frame.pose), opts,
+                            )
+                            if ratio > best_ratio:
+                                best_ratio, best_view = ratio, view.view_id
             obj.best_view_id = best_view
             parent.add_object(obj)
             g.objects.append(obj)
@@ -659,6 +682,25 @@ class HMSGraph:
                 room_by_id[room_id].views.append(view)
         g._build_nx()
         return g
+
+
+def _visible_ratio(
+    img_w: int, img_h: int, camera_matrix: np.ndarray,
+    cam_pose_inv: np.ndarray, obj_points: np.ndarray,
+) -> float:
+    """Fraction of object points projecting inside the image."""
+    if obj_points.shape[0] == 0:
+        return 0.0
+    cam = obj_points @ cam_pose_inv[:3, :3].T + cam_pose_inv[:3, 3]
+    front = cam[cam[:, 2] > 0]
+    if front.shape[0] == 0:
+        return 0.0
+    pix = front @ camera_matrix.T
+    pix = pix[:, :2] / pix[:, 2:3]
+    inside = (
+        (pix[:, 0] >= 0) & (pix[:, 0] < img_w) & (pix[:, 1] >= 0) & (pix[:, 1] < img_h)
+    )
+    return float(inside.sum() / obj_points.shape[0])
 
 
 def check_object_in_view(

@@ -132,14 +132,34 @@ def _signatures(rows: jnp.ndarray, valid_rows: jnp.ndarray) -> jnp.ndarray:
     return sig[:, :SIG_BUCKETS]
 
 
-def _bbox_iou(bmin, bmax) -> jnp.ndarray:
-    """(I,3)x2 -> (I,I) 3-D bbox IoU (reference graph_utils.py:880-916)."""
+def _bbox_iou(bmin, bmax, pad: float = 0.0) -> jnp.ndarray:
+    """(I,3)x2 -> (I,I) 3-D bbox IoU (reference graph_utils.py:880-916).
+
+    ``pad`` inflates every box by half a voxel per side: a one-voxel-thin
+    mask (a table top seen face-on) has zero bbox volume and would otherwise
+    never pass the IoU gate against its parent object."""
+    bmin = bmin - pad
+    bmax = bmax + pad
     lo = jnp.maximum(bmin[:, None], bmin[None, :])
     hi = jnp.minimum(bmax[:, None], bmax[None, :])
     inter = jnp.prod(jnp.maximum(hi - lo, 0.0), axis=-1)
     vol = jnp.prod(jnp.maximum(bmax - bmin, 0.0), axis=-1)
     union = vol[:, None] + vol[None, :] - inter
     return inter / jnp.maximum(union, 1e-10)
+
+
+def _coarse_keys(rows: jnp.ndarray, valid_rows: jnp.ndarray, row_keys: jnp.ndarray):
+    """Map instance scene rows to 2x-coarse voxel keys (one bit stripped per
+    axis).  Overlap on coarse cells reproduces the reference's radius-tolerant
+    FAISS overlap (neighbors within 1.5 x voxel count as shared,
+    graph_utils.py:620-664) — exact same-voxel intersection is strictly
+    tighter and fragments objects whose views see different faces."""
+    from ..ops import voxel as vox
+
+    key = row_keys[jnp.clip(rows, 0, row_keys.shape[0] - 1)]
+    c = vox.unpack(key) >> 1
+    ck = vox.pack(c)
+    return jnp.where(valid_rows, ck, I32_MAX)
 
 
 def _connected_components(adj: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
@@ -163,17 +183,28 @@ def merge_round(
     overlap_thresh: float,
     iou_thresh: float,
     out_cap: int,
+    row_keys: jnp.ndarray | None = None,  # scene.key: row -> voxel key
+    bbox_pad: float = 0.0,  # half-voxel box inflation (see _bbox_iou)
 ) -> InstanceSet:
     """One full merge pass (reference merge_3d_masks over the whole set):
     gate by bbox IoU, estimate overlap via signature matmul, merge connected
-    components, compact the survivors (largest first) into `out_cap` lanes."""
+    components, compact the survivors (largest first) into `out_cap` lanes.
+
+    With ``row_keys`` the overlap ratio is the max of the exact same-voxel
+    ratio and the 2x-coarse-cell ratio (radius-tolerant, reference
+    graph_utils.py:620-664 semantics); without it, exact rows only."""
     i_cap, k_cap = inst.rows.shape
     vrows = inst.rows != I32_MAX
     sig = _signatures(inst.rows, vrows)
     inter = jnp.einsum("ib,jb->ij", sig, sig, preferred_element_type=jnp.float32)
     cnt = jnp.maximum(sig.sum(-1), 1.0)
     ratio = inter / jnp.minimum(cnt[:, None], cnt[None, :])
-    iou = _bbox_iou(inst.bbox_min, inst.bbox_max)
+    if row_keys is not None:
+        csig = _signatures(_coarse_keys(inst.rows, vrows, row_keys), vrows)
+        cinter = jnp.einsum("ib,jb->ij", csig, csig, preferred_element_type=jnp.float32)
+        ccnt = jnp.maximum(csig.sum(-1), 1.0)
+        ratio = jnp.maximum(ratio, cinter / jnp.minimum(ccnt[:, None], ccnt[None, :]))
+    iou = _bbox_iou(inst.bbox_min, inst.bbox_max, pad=bbox_pad)
     vv = inst.valid[:, None] & inst.valid[None, :]
     adj = vv & (iou > iou_thresh) & (ratio > overlap_thresh)
     adj = adj | (jnp.eye(i_cap, dtype=bool) & inst.valid[:, None])
@@ -219,8 +250,13 @@ def seq_merge_step(
     frame_inst: InstanceSet,
     overlap_thresh: float,
     iou_thresh: float,
+    row_keys: jnp.ndarray | None = None,
+    bbox_pad: float = 0.0,
 ) -> InstanceSet:
     """Fold one frame into the global set (reference graph_utils.py:1015-1038
     `seq_merge` inner step)."""
     out_cap = global_inst.rows.shape[0]
-    return merge_round(concat(global_inst, frame_inst), overlap_thresh, iou_thresh, out_cap)
+    return merge_round(
+        concat(global_inst, frame_inst), overlap_thresh, iou_thresh, out_cap,
+        row_keys=row_keys, bbox_pad=bbox_pad,
+    )

@@ -121,7 +121,8 @@ def frame_step(
     )
     out_cap = instances.rows.shape[0]
     instances = inst_mod.merge_round.__wrapped__(
-        inst_mod.concat(instances, finst), overlap_thresh, iou_thresh, out_cap
+        inst_mod.concat(instances, finst), overlap_thresh, iou_thresh, out_cap,
+        row_keys=scene.key, bbox_pad=0.5 * scene.grid.voxel_size,
     )
     return scene, instances, ff.f_global
 
@@ -164,13 +165,17 @@ class Mapper:
         n_pix = frame.rgb.shape[0] * frame.rgb.shape[1]
         return max(1, n_pix // 32768)
 
-    def process_frame(self, frame: RGBDFrame) -> None:
+    def process_frame(self, frame: RGBDFrame, ff=None) -> None:
         """Integrate one frame (fused single program or staged programs per
-        cfg.pipeline.fused_frame_step)."""
+        cfg.pipeline.fused_frame_step).
+
+        ff: optional precomputed FrameFeatures (oracle perception for the
+        eval protocol, or features extracted elsewhere, e.g. extract_frames_dp
+        batches); forces the staged path."""
         p = self.cfg.pipeline
         # the fused single-program step folds instances sequentially inside
         # the program; hierarchical merging needs the staged path
-        if p.fused_frame_step and p.merge_type != "hierarchical":
+        if ff is None and p.fused_frame_step and p.merge_type != "hierarchical":
             self.scene, self.instances, f_g = frame_step(
                 self.scene,
                 self.instances,
@@ -197,11 +202,11 @@ class Mapper:
                 dtype=self._dtype,
             )
         else:
-            self.scene, self.instances, f_g = self._staged_step(frame)
+            self.scene, self.instances, f_g = self._staged_step(frame, ff)
         self.keyframes.append(frame)
         self._kf_feats.append(np.asarray(f_g, np.float32))
 
-    def _staged_step(self, frame: RGBDFrame):
+    def _staged_step(self, frame: RGBDFrame, ff=None):
         p = self.cfg.pipeline
         cam = Pinhole.from_matrix(frame.k)
         rgb = jnp.asarray(frame.rgb)
@@ -210,7 +215,7 @@ class Mapper:
             1e-3, self.cfg.main.depth_cut,
         )
         scene, pix_rows = scene_mod.insert_points(self.scene, pts, cols, valid)
-        ff = extract_frame_features(
+        ff = ff if ff is not None else extract_frame_features(
             self.clip_params, self.sam_params, rgb,
             self.clip_variant, self.sam_variant,
             points_per_side=self.cfg.models.sam.points_per_side,
@@ -221,6 +226,7 @@ class Mapper:
             masked_weight=p.clip_masked_weight,
             bbox_margin=float(p.clip_bbox_margin),
             dtype=self._dtype,
+            impl=p.extract_impl,
         )
         masks_flat = ff.masks.reshape(ff.masks.shape[0], -1)
         scene = scene_mod.fuse_pixel_features(
@@ -239,7 +245,8 @@ class Mapper:
             self._hier_push(finst, height=0)
             return scene, self.instances, ff.f_global
         instances = inst_mod.seq_merge_step(
-            self.instances, finst, p.init_overlap_thresh, p.iou_thresh
+            self.instances, finst, p.init_overlap_thresh, p.iou_thresh,
+            row_keys=scene.key, bbox_pad=0.5 * p.voxel_size,
         )
         return scene, instances, ff.f_global
 
@@ -267,6 +274,7 @@ class Mapper:
             inst = inst_mod.merge_round(
                 cat, self._hier_th(height), p.iou_thresh,
                 min(out_cap, cat.rows.shape[0]),
+                row_keys=self.scene.key, bbox_pad=0.5 * p.voxel_size,
             )
             height += 1
         self._hier_slots[height] = inst
@@ -288,10 +296,12 @@ class Mapper:
                     acc = inst_mod.merge_round(
                         cat, self._hier_th(h), p.iou_thresh,
                         min(out_cap, cat.rows.shape[0]),
+                        row_keys=self.scene.key, bbox_pad=0.5 * p.voxel_size,
                     )
             self._hier_slots = {}
             self.instances = inst_mod.seq_merge_step(
-                self.instances, acc, self._hier_th(h_max), p.iou_thresh
+                self.instances, acc, self._hier_th(h_max), p.iou_thresh,
+                row_keys=self.scene.key, bbox_pad=0.5 * p.voxel_size,
             )
         # final merge pass (reference seq_merge's trailing merge)
         self.instances = inst_mod.merge_round(
@@ -299,6 +309,8 @@ class Mapper:
             p.init_overlap_thresh,
             p.iou_thresh,
             out_cap=self.instances.rows.shape[0],
+            row_keys=self.scene.key,
+            bbox_pad=0.5 * p.voxel_size,
         )
         # drop tiny instances (reference graph.py:442-446, <10 points)
         keep = self.instances.count >= max(10, 1)

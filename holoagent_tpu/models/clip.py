@@ -263,6 +263,17 @@ EXTENDED_TEMPLATES = (
 )
 
 
+_encode_text_jit = jax.jit(encode_text, static_argnames=("variant", "dtype", "normalize"))
+
+# Jitted tower entry points for callers OUTSIDE a jit context (query engine,
+# VLM backends, serving).  Eager tower calls dispatch op-by-op — through the
+# sandbox's RPC tunnel that is ~30 ms per op across hundreds of ops.
+encode_image_jit = jax.jit(
+    encode_image, static_argnames=("variant", "dtype", "normalize", "remat", "impl")
+)
+encode_text_jit = _encode_text_jit
+
+
 def text_features_multi_template(
     params: Params,
     tokenizer,
@@ -279,7 +290,10 @@ def text_features_multi_template(
     prompts = [t.format(lb) for lb in labels for t in templates]
     tokens = tokenizer(prompts)
     feats = []
-    enc = jax.jit(partial(encode_text, variant=variant, dtype=dtype))
+    # module-level jit: a fresh jax.jit(partial(...)) per call would retrace
+    # and recompile on EVERY query label (measured 3.2 s/label through the
+    # remote-compile tunnel vs ~40 ms cached)
+    enc = partial(_encode_text_jit, variant=variant, dtype=dtype)
     for i in range(0, len(prompts), batch_size):
         chunk = tokens[i : i + batch_size]
         pad = batch_size - chunk.shape[0]

@@ -197,6 +197,11 @@ def encode_images(
     return proj[:, None, :] + ramp[None, :, :]
 
 
+# jitted entry for callers outside a jit context (serving admit path): eager
+# tower calls dispatch op-by-op, ~30 ms/op through the sandbox's RPC tunnel
+encode_images_jit = jax.jit(encode_images, static_argnames=("v", "dtype"))
+
+
 # ---------------------------------------------------------------------------
 # Prefill / decode with KV cache
 # ---------------------------------------------------------------------------
@@ -603,7 +608,7 @@ def build_prompt_embeddings(
     valid length."""
     parts = []
     if images is not None and images.shape[0] > 0:
-        blocks = encode_images(vlm_params, clip_params, images, v, dtype=dtype)
+        blocks = encode_images_jit(vlm_params, clip_params, images, v, dtype=dtype)
         parts.append(blocks.reshape(-1, blocks.shape[-1]))
     txt = vlm_params["tok_emb"][jnp.asarray(token_ids)].astype(dtype)
     parts.append(txt)

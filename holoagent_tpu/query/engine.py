@@ -286,17 +286,21 @@ class FSRQueryEngine:
 
         best_object = self.g.objects[object_ids[0]]
         best_view = self._view_by_id.get(best_object.best_view_id)
-        if best_view is None or self.image_provider is None:
+        if self.image_provider is None:
             res["Total_Time"] = res["FastMatching"]
             return res, object_ids, obj_room_ids
 
         label = object_query if object_query not in negative_prompt else object_query
-        t_check = time.time()
-        in_view = self.vlm.detect_object(self.image_provider(best_view.img_id), label)
-        res["ObjectInImageCheck"] = time.time() - t_check
-        if in_view:
-            res["Total_Time"] = res["FastMatching"] + res["ObjectInImageCheck"]
-            return res, object_ids, obj_room_ids
+        if best_view is not None:
+            t_check = time.time()
+            in_view = self.vlm.detect_object(
+                self.image_provider(best_view.img_id), label
+            )
+            res["ObjectInImageCheck"] = time.time() - t_check
+            if in_view:
+                res["Total_Time"] = res["FastMatching"] + res["ObjectInImageCheck"]
+                return res, object_ids, obj_room_ids
+        # fast pick rejected — or unverifiable (no anchor view): rethink
 
         # --- VLM rethinking over the floor-wide view gallery
         t_re = time.time()
@@ -317,15 +321,22 @@ class FSRQueryEngine:
         gallery_imgs = [self.image_provider(gallery_ids[i]) for i in top_idx]
         choice = self.vlm.choose_frame(gallery_imgs, instruction)
         gpt_best = int(gallery_ids[top_idx[choice]]) if choice is not None else None
-        candidates = [best_view.img_id, clip_best] + ([gpt_best] if gpt_best is not None else [])
+        anchor = [best_view.img_id] if best_view is not None else []
+        candidates = anchor + [clip_best] + ([gpt_best] if gpt_best is not None else [])
         checks, best_i = self.vlm.detect_and_select_best(
             [self.image_provider(i) for i in candidates], label
         )
         res["VLM_Rethinking"] = time.time() - t_re
 
-        # --- re-matching inside the chosen view
+        # --- re-matching inside the chosen view (always, when the fast pick
+        # had no anchor view; otherwise only when its anchor was rejected)
         t_rm = time.time()
-        if checks and not checks[0] and best_i is not None and best_i != 0:
+        anchor_rejected = (
+            (not anchor and best_i is not None)
+            or (bool(anchor) and checks and not checks[0]
+                and best_i is not None and best_i != 0)
+        )
+        if anchor_rejected:
             best_img_id = candidates[best_i]
             chosen_view = next(
                 (v for v in self.g.views if v.img_id == best_img_id), None

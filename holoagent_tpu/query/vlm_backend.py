@@ -114,7 +114,7 @@ class ClipVLM:
         jnp = self._jnp
         arr = jnp.asarray(np.stack([np.asarray(im, np.float32) for im in images]))
         pre = self._clip.preprocess(arr, size=self.variant.image_size)
-        f = self._clip.encode_image(self.params, pre, self.variant, dtype=jnp.float32)
+        f = self._clip.encode_image_jit(self.params, pre, self.variant, dtype=jnp.float32)
         return np.asarray(f, np.float32)
 
     def _txt_feats(self, texts) -> np.ndarray:
