@@ -96,7 +96,7 @@ def main():
 
     # warm up + materialize intermediates the later stages need
     pts, cols, valid = backproject(depth, rgb, cam, pose, 1e-3, 10.0)
-    scene1, rows = scene_mod.insert_points(scene, pts, cols, valid)
+    scene1, rows = scene_mod.insert_points(scene, pts, cols, valid, fcap=1 << 14)
     ff = extract_frame_features(
         clip_params, sam_params, rgb, cv, sv,
         points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash",
@@ -104,13 +104,11 @@ def main():
     masks_flat = ff.masks.reshape(64, -1)
     _sync(scene_mod.fuse_pixel_features(scene1, rows, masks_flat, ff.valid, ff.f_masks).feat_count)
     finst = inst_mod.frame_instances(
-        masks_flat, ff.valid, ff.f_masks, rows, pts, k_cap=2048, stride=stride
+        masks_flat, ff.valid, ff.f_masks, rows, pts, k_cap=2048, stride=stride,
+        grid=grid,
     )
     _sync(
-        inst_mod.seq_merge_step(
-            instances, finst, 0.75, 0.05,
-            row_keys=scene1.key, bbox_pad=0.025,
-        ).count
+        inst_mod.seq_merge_step(instances, finst, 0.75, 0.05, bbox_pad=0.025).count
     )
 
     from holoagent_tpu.utils.benchtime import time_device_fn
@@ -119,7 +117,7 @@ def main():
         "backproject": (
             lambda d: backproject(d, rgb, cam, pose, 1e-3, 10.0)[0], [depth]),
         "insert": (
-            lambda p: scene_mod.insert_points(scene, p, cols, valid)[0].count,
+            lambda p: scene_mod.insert_points(scene, p, cols, valid, fcap=1 << 14)[0].count,
             [pts]),
         "fuse": (
             lambda r: scene_mod.fuse_pixel_features(
@@ -128,12 +126,13 @@ def main():
             [rows]),
         "instances": (
             lambda mf: inst_mod.frame_instances(
-                mf, ff.valid, ff.f_masks, rows, pts, k_cap=2048, stride=stride
+                mf, ff.valid, ff.f_masks, rows, pts, k_cap=2048, stride=stride,
+                grid=grid,
             ).count,
             [masks_flat]),
         "merge": (
             lambda i: inst_mod.seq_merge_step(
-                i, finst, 0.75, 0.05, row_keys=scene1.key, bbox_pad=0.025
+                i, finst, 0.75, 0.05, bbox_pad=0.025
             ).count,
             [instances]),
     }

@@ -21,6 +21,8 @@ def load_models(cfg: Config):
         clip_params = clip_mod.load_checkpoint(cfg.models.clip.checkpoint, cv)
     else:
         clip_params = clip_mod.init_clip(jax.random.key(cfg.main.seed), cv)
+    if cfg.models.clip.quant:
+        clip_params = clip_mod.quantize_clip(clip_params)
     if cfg.models.sam.checkpoint:
         sam_params = sam_mod.load_checkpoint(cfg.models.sam.checkpoint, sv)
     else:

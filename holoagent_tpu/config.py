@@ -47,6 +47,7 @@ class ClipConfig:
     checkpoint: str = ""  # optional torch/open_clip state-dict to convert
     image_size: int = 224
     dtype: str = "bfloat16"
+    quant: bool = False  # int8 (W8A8) tower matmuls (models.clip.quantize_clip)
 
 
 @dataclass

@@ -45,5 +45,12 @@ def load_mapper_state(path: str | Path) -> Tuple[SceneState, InstanceSet]:
         ),
         **{k: jax.numpy.asarray(v) for k, v in scene_d.items() if k != "grid"},
     )
-    inst = InstanceSet(**{k: jax.numpy.asarray(v) for k, v in restored["instances"].items()})
+    inst_d = {k: jax.numpy.asarray(v) for k, v in restored["instances"].items()}
+    if "ckeys" not in inst_d:
+        # checkpoints written before the coarse-key merge upgrade: backfill
+        # empty coarse sets (merge degrades to exact-row overlap for them)
+        i_cap, k_cap = inst_d["rows"].shape
+        inst_d["ckeys"] = jax.numpy.full((i_cap, k_cap), 2**31 - 1, jax.numpy.int32)
+        inst_d["ccount"] = jax.numpy.zeros((i_cap,), jax.numpy.int32)
+    inst = InstanceSet(**inst_d)
     return scene, inst

@@ -39,6 +39,13 @@ class InstanceSet(NamedTuple):
     bbox_min: jnp.ndarray  # (I, 3) f32
     bbox_max: jnp.ndarray  # (I, 3) f32
     valid: jnp.ndarray  # (I,) bool
+    # 2x-coarse voxel keys of the member points: radius-tolerant overlap
+    # (the reference counts neighbors within 1.5 x voxel as shared,
+    # graph_utils.py:620-664; exact same-voxel intersection fragments objects
+    # whose views see different faces).  Computed once per frame from the
+    # points — no per-merge gather through the scene key table.
+    ckeys: jnp.ndarray  # (I, K) int32 sorted unique coarse keys, I32_MAX pad
+    ccount: jnp.ndarray  # (I,) int32
 
     @property
     def capacity(self) -> Tuple[int, int]:
@@ -63,6 +70,8 @@ def empty_instances(i_cap: int, k_cap: int, d: int) -> InstanceSet:
         bbox_min=jnp.full((i_cap, 3), jnp.inf, jnp.float32),
         bbox_max=jnp.full((i_cap, 3), -jnp.inf, jnp.float32),
         valid=jnp.zeros((i_cap,), bool),
+        ckeys=jnp.full((i_cap, k_cap), I32_MAX, jnp.int32),
+        ccount=jnp.zeros((i_cap,), jnp.int32),
     )
 
 
@@ -86,6 +95,7 @@ def frame_instances(
     min_rows: int = 3,
     k_cap: int = 2048,
     stride: int = 1,
+    grid=None,  # GridSpec: enables the 2x-coarse key sets (radius-tolerant merge)
 ) -> InstanceSet:
     """Lift the frame's 2-D masks to scene-row instance sets (the analog of
     reference create_3d_masks + per-frame mask list).  `stride` decimates
@@ -101,6 +111,18 @@ def frame_instances(
     valid = (masks_d & (rows_d >= 0)[None, :] & mask_valid[:, None]).reshape(-1)
     rows, counts = group_unique(groups, values, valid, num_groups=m, capacity=k_cap)
     ok = mask_valid & (counts >= min_rows)
+    if grid is not None:
+        from ..ops import voxel as vox
+
+        cgrid = vox.GridSpec(voxel_size=grid.voxel_size * 2.0, origin=grid.origin)
+        ck_pix = vox.keys_of(pts_d, rows_d >= 0, cgrid)
+        cvals = jnp.broadcast_to(ck_pix[None, :], (m, pd)).reshape(-1)
+        ckeys, ccounts = group_unique(groups, cvals, valid, num_groups=m, capacity=k_cap)
+        ckeys = jnp.where(ok[:, None], ckeys, I32_MAX)
+        ccounts = jnp.where(ok, ccounts, 0)
+    else:
+        ckeys = jnp.full((m, k_cap), I32_MAX, jnp.int32)
+        ccounts = jnp.zeros((m,), jnp.int32)
     # bbox from masked world points (full resolution for fidelity)
     sel = masks & (pix_rows >= 0)[None, :]
     big = jnp.float32(jnp.inf)
@@ -114,6 +136,8 @@ def frame_instances(
         bbox_min=jnp.where(ok[:, None], bmin, big),
         bbox_max=jnp.where(ok[:, None], bmax, -big),
         valid=ok,
+        ckeys=ckeys,
+        ccount=ccounts,
     )
 
 
@@ -148,20 +172,6 @@ def _bbox_iou(bmin, bmax, pad: float = 0.0) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-10)
 
 
-def _coarse_keys(rows: jnp.ndarray, valid_rows: jnp.ndarray, row_keys: jnp.ndarray):
-    """Map instance scene rows to 2x-coarse voxel keys (one bit stripped per
-    axis).  Overlap on coarse cells reproduces the reference's radius-tolerant
-    FAISS overlap (neighbors within 1.5 x voxel count as shared,
-    graph_utils.py:620-664) — exact same-voxel intersection is strictly
-    tighter and fragments objects whose views see different faces."""
-    from ..ops import voxel as vox
-
-    key = row_keys[jnp.clip(rows, 0, row_keys.shape[0] - 1)]
-    c = vox.unpack(key) >> 1
-    ck = vox.pack(c)
-    return jnp.where(valid_rows, ck, I32_MAX)
-
-
 def _connected_components(adj: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
     """Min-label propagation with pointer jumping. adj must be symmetric with
     a true diagonal on valid entries. Returns root label per node."""
@@ -183,38 +193,44 @@ def merge_round(
     overlap_thresh: float,
     iou_thresh: float,
     out_cap: int,
-    row_keys: jnp.ndarray | None = None,  # scene.key: row -> voxel key
     bbox_pad: float = 0.0,  # half-voxel box inflation (see _bbox_iou)
 ) -> InstanceSet:
     """One full merge pass (reference merge_3d_masks over the whole set):
     gate by bbox IoU, estimate overlap via signature matmul, merge connected
     components, compact the survivors (largest first) into `out_cap` lanes.
 
-    With ``row_keys`` the overlap ratio is the max of the exact same-voxel
-    ratio and the 2x-coarse-cell ratio (radius-tolerant, reference
-    graph_utils.py:620-664 semantics); without it, exact rows only."""
+    The overlap ratio is the max of the exact same-row ratio and the
+    2x-coarse-cell ratio over the stored ckeys (radius-tolerant, reference
+    graph_utils.py:620-664 semantics); sets without coarse keys (hand-built
+    fixtures) degrade to exact rows."""
     i_cap, k_cap = inst.rows.shape
     vrows = inst.rows != I32_MAX
     sig = _signatures(inst.rows, vrows)
     inter = jnp.einsum("ib,jb->ij", sig, sig, preferred_element_type=jnp.float32)
     cnt = jnp.maximum(sig.sum(-1), 1.0)
     ratio = inter / jnp.minimum(cnt[:, None], cnt[None, :])
-    if row_keys is not None:
-        csig = _signatures(_coarse_keys(inst.rows, vrows, row_keys), vrows)
-        cinter = jnp.einsum("ib,jb->ij", csig, csig, preferred_element_type=jnp.float32)
-        ccnt = jnp.maximum(csig.sum(-1), 1.0)
-        ratio = jnp.maximum(ratio, cinter / jnp.minimum(ccnt[:, None], ccnt[None, :]))
+    vck = inst.ckeys != I32_MAX
+    csig = _signatures(inst.ckeys, vck)
+    cinter = jnp.einsum("ib,jb->ij", csig, csig, preferred_element_type=jnp.float32)
+    ccnt = jnp.maximum(csig.sum(-1), 1.0)
+    has_c = (vck.any(-1))[:, None] & (vck.any(-1))[None, :]
+    cratio = jnp.where(has_c, cinter / jnp.minimum(ccnt[:, None], ccnt[None, :]), 0.0)
+    ratio = jnp.maximum(ratio, cratio)
     iou = _bbox_iou(inst.bbox_min, inst.bbox_max, pad=bbox_pad)
     vv = inst.valid[:, None] & inst.valid[None, :]
     adj = vv & (iou > iou_thresh) & (ratio > overlap_thresh)
     adj = adj | (jnp.eye(i_cap, dtype=bool) & inst.valid[:, None])
     root = _connected_components(adj)
 
-    # union row sets per root
+    # union row + coarse-key sets per root
     groups = jnp.broadcast_to(root[:, None], (i_cap, k_cap)).reshape(-1)
     values = inst.rows.reshape(-1)
     valid = (vrows & inst.valid[:, None]).reshape(-1)
     rows_u, counts_u = group_unique(groups, values, valid, num_groups=i_cap, capacity=k_cap)
+    cvalid = (vck & inst.valid[:, None]).reshape(-1)
+    ckeys_u, ccounts_u = group_unique(
+        groups, inst.ckeys.reshape(-1), cvalid, num_groups=i_cap, capacity=k_cap
+    )
 
     # reduce scalars per root
     safe_root = jnp.where(inst.valid, root, i_cap)
@@ -242,6 +258,8 @@ def merge_round(
         bbox_min=jnp.where(keep[:, None], bbox_min[order], jnp.inf),
         bbox_max=jnp.where(keep[:, None], bbox_max[order], -jnp.inf),
         valid=keep,
+        ckeys=jnp.where(keep[:, None], ckeys_u[order], I32_MAX),
+        ccount=jnp.where(keep, ccounts_u[order], 0),
     )
 
 
@@ -250,7 +268,6 @@ def seq_merge_step(
     frame_inst: InstanceSet,
     overlap_thresh: float,
     iou_thresh: float,
-    row_keys: jnp.ndarray | None = None,
     bbox_pad: float = 0.0,
 ) -> InstanceSet:
     """Fold one frame into the global set (reference graph_utils.py:1015-1038
@@ -258,5 +275,5 @@ def seq_merge_step(
     out_cap = global_inst.rows.shape[0]
     return merge_round(
         concat(global_inst, frame_inst), overlap_thresh, iou_thresh, out_cap,
-        row_keys=row_keys, bbox_pad=bbox_pad,
+        bbox_pad=bbox_pad,
     )

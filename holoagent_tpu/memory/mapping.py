@@ -94,7 +94,7 @@ def frame_step(
     from ..perception.extractor import extract_frame_features as _eff
 
     pts, cols, valid = _bp(depth, rgb, cam, pose, 1e-3, depth_cut)
-    scene, pix_rows = insert_points.__wrapped__(scene, pts, cols, valid)
+    scene, pix_rows = insert_points.__wrapped__(scene, pts, cols, valid, fcap=1 << 14)
     ff = _eff.__wrapped__(
         clip_params,
         sam_params,
@@ -117,12 +117,12 @@ def frame_step(
     )
     finst = inst_mod.frame_instances.__wrapped__(
         masks_flat, ff.valid, ff.f_masks, pix_rows, pts, min_rows=3,
-        k_cap=mask_k_cap, stride=pixel_stride,
+        k_cap=mask_k_cap, stride=pixel_stride, grid=scene.grid,
     )
     out_cap = instances.rows.shape[0]
     instances = inst_mod.merge_round.__wrapped__(
         inst_mod.concat(instances, finst), overlap_thresh, iou_thresh, out_cap,
-        row_keys=scene.key, bbox_pad=0.5 * scene.grid.voxel_size,
+        bbox_pad=0.5 * scene.grid.voxel_size,
     )
     return scene, instances, ff.f_global
 
@@ -214,7 +214,9 @@ class Mapper:
             jnp.asarray(frame.depth), rgb, cam, jnp.asarray(frame.pose),
             1e-3, self.cfg.main.depth_cut,
         )
-        scene, pix_rows = scene_mod.insert_points(self.scene, pts, cols, valid)
+        scene, pix_rows = scene_mod.insert_points(
+            self.scene, pts, cols, valid, fcap=1 << 14
+        )
         ff = ff if ff is not None else extract_frame_features(
             self.clip_params, self.sam_params, rgb,
             self.clip_variant, self.sam_variant,
@@ -235,7 +237,7 @@ class Mapper:
         finst = inst_mod.frame_instances(
             masks_flat, ff.valid, ff.f_masks, pix_rows, pts,
             min_rows=3, k_cap=p.mask_point_capacity,
-            stride=self._pixel_stride(frame),
+            stride=self._pixel_stride(frame), grid=self.grid,
         )
         if p.merge_type == "hierarchical":
             # binary-counter streaming fold (reference graph_utils.py:989-1012
@@ -246,7 +248,7 @@ class Mapper:
             return scene, self.instances, ff.f_global
         instances = inst_mod.seq_merge_step(
             self.instances, finst, p.init_overlap_thresh, p.iou_thresh,
-            row_keys=scene.key, bbox_pad=0.5 * p.voxel_size,
+            bbox_pad=0.5 * p.voxel_size,
         )
         return scene, instances, ff.f_global
 
@@ -273,8 +275,7 @@ class Mapper:
             cat = inst_mod.concat(other, inst)
             inst = inst_mod.merge_round(
                 cat, self._hier_th(height), p.iou_thresh,
-                min(out_cap, cat.rows.shape[0]),
-                row_keys=self.scene.key, bbox_pad=0.5 * p.voxel_size,
+                min(out_cap, cat.rows.shape[0]), bbox_pad=0.5 * p.voxel_size,
             )
             height += 1
         self._hier_slots[height] = inst
@@ -295,13 +296,12 @@ class Mapper:
                     cat = inst_mod.concat(acc, s)
                     acc = inst_mod.merge_round(
                         cat, self._hier_th(h), p.iou_thresh,
-                        min(out_cap, cat.rows.shape[0]),
-                        row_keys=self.scene.key, bbox_pad=0.5 * p.voxel_size,
+                        min(out_cap, cat.rows.shape[0]), bbox_pad=0.5 * p.voxel_size,
                     )
             self._hier_slots = {}
             self.instances = inst_mod.seq_merge_step(
                 self.instances, acc, self._hier_th(h_max), p.iou_thresh,
-                row_keys=self.scene.key, bbox_pad=0.5 * p.voxel_size,
+                bbox_pad=0.5 * p.voxel_size,
             )
         # final merge pass (reference seq_merge's trailing merge)
         self.instances = inst_mod.merge_round(
@@ -309,7 +309,6 @@ class Mapper:
             p.init_overlap_thresh,
             p.iou_thresh,
             out_cap=self.instances.rows.shape[0],
-            row_keys=self.scene.key,
             bbox_pad=0.5 * p.voxel_size,
         )
         # drop tiny instances (reference graph.py:442-446, <10 points)

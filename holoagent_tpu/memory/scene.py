@@ -73,25 +73,26 @@ def init_scene(grid: GridSpec, capacity: int, feat_dim: int) -> SceneState:
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("fcap",))
 def insert_points(
     scene: SceneState,
     points: jnp.ndarray,  # (P, 3) world
     colors: jnp.ndarray,  # (P, 3)
     valid: jnp.ndarray,  # (P,)
+    fcap: int = 0,  # per-call unique-voxel capacity; 0 = min(P, 64k)
 ) -> Tuple[SceneState, jnp.ndarray]:
     """Fuse one frame's points. Returns (scene, rows (P,) int32 per-pixel
-    stable row id, -1 for invalid/overflow)."""
+    stable row id, -1 for invalid/overflow).
+
+    ``fcap`` bounds the unique voxels one call may touch: the downstream
+    `lookup` is a scalar-bound binary search whose cost scales with the padded
+    query count (measured on v5e: 307k queries = 49 ms, 64k = ~10 ms,
+    16k ≈ 2.5 ms).  Camera frames at indoor ranges touch a few thousand 5 cm
+    voxels, so the Mapper passes 16k; bulk point-cloud inserts keep the 64k
+    default.  Overflow voxels drop to the trash row for that call only."""
     c = scene.capacity
     keys = voxel.keys_of(points, valid, scene.grid)
-    # unique frame keys + per-pixel segment (one sort over the frame).
-    # Frame-voxel capacity is capped well below the pixel count: a 640x480
-    # frame touches a few thousand 5 cm voxels (pixel footprint < voxel size
-    # at indoor ranges), and the downstream `lookup` is a scalar-bound binary
-    # search whose cost scales with the padded query count (measured on v5e:
-    # 307k queries = 49 ms, 64k = ~10 ms).  Overflow voxels drop to the trash
-    # row for that frame only.
-    fcap = min(points.shape[0], 1 << 16)
+    fcap = fcap or min(points.shape[0], 1 << 16)
     down = voxel.voxel_downsample(
         points, colors, valid, scene.grid, capacity=fcap, return_segments=True
     )

@@ -153,8 +153,13 @@ def encode_image(
     x = jnp.concatenate([cls, x], axis=1)
     x = x + v["pos"].astype(dtype)
     x = tfm.layer_norm(x, v["ln_pre_g"], v["ln_pre_b"])
-    blocks = jax.tree.map(lambda a: a.astype(dtype), v["blocks"])
-    x = tfm.run_stack(x, blocks, variant.v_heads, remat=remat, impl=impl)
+    if "blocks_q8" in v:
+        # int8 tower (see quantize_clip): W8A8 matmuls on the MXU at 2x the
+        # bf16 peak; attention contractions stay bf16
+        x = tfm.run_stack_q8(x, v["blocks_q8"], variant.v_heads)
+    else:
+        blocks = jax.tree.map(lambda a: a.astype(dtype), v["blocks"])
+        x = tfm.run_stack(x, blocks, variant.v_heads, remat=remat, impl=impl)
     x = tfm.layer_norm(x[:, 0], v["ln_post_g"], v["ln_post_b"])
     feats = jnp.einsum(
         "bw,wd->bd", x, v["proj"].astype(dtype), preferred_element_type=jnp.float32
@@ -176,8 +181,11 @@ def encode_text(
     x = t["tok_emb"][tokens].astype(dtype) + t["pos"].astype(dtype)
     ctx = tokens.shape[1]
     causal = jnp.triu(jnp.full((ctx, ctx), -jnp.inf, jnp.float32), k=1)
-    blocks = jax.tree.map(lambda a: a.astype(dtype), t["blocks"])
-    x = tfm.run_stack(x, blocks, variant.t_heads, mask=causal)
+    if "blocks_q8" in t:
+        x = tfm.run_stack_q8(x, t["blocks_q8"], variant.t_heads, mask=causal)
+    else:
+        blocks = jax.tree.map(lambda a: a.astype(dtype), t["blocks"])
+        x = tfm.run_stack(x, blocks, variant.t_heads, mask=causal)
     x = tfm.layer_norm(x, t["ln_final_g"], t["ln_final_b"])
     eot = jnp.argmax(tokens, axis=-1)  # <eot> has the largest token id
     x = x[jnp.arange(tokens.shape[0]), eot]
@@ -261,6 +269,20 @@ EXTENDED_TEMPLATES = (
     "a photograph of a {}.",
     "a photograph of the {}.",
 )
+
+
+def quantize_clip(params: Params, towers=("visual",)) -> Params:
+    """Per-output-channel int8 quantization of the tower transformer blocks
+    (W8A8, transformer.quantize_block_stack).  Embeddings/projections stay
+    float (they are <5% of the FLOPs).  The returned pytree drops the float
+    block weights for the quantized towers; encode_image/encode_text dispatch
+    on the presence of "blocks_q8"."""
+    out = dict(params)
+    for t in towers:
+        tower = dict(params[t])
+        tower["blocks_q8"] = tfm.quantize_block_stack(tower.pop("blocks"))
+        out[t] = tower
+    return out
 
 
 _encode_text_jit = jax.jit(encode_text, static_argnames=("variant", "dtype", "normalize"))

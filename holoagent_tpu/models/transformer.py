@@ -65,6 +65,46 @@ def init_block_stack(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# int8 (W8A8) quantized matmul path — v5e's int8 MXU peak is 2x bf16, and the
+# tower matmuls carry ~90% of the encoder FLOPs.  Weights are per-output-
+# channel symmetric int8; activations are per-row dynamic symmetric int8.
+# ---------------------------------------------------------------------------
+
+
+def quantize_weight_int8(w: jnp.ndarray):
+    """(..., in, out) f32 -> (int8 weights, (out,) f32 per-channel scales)."""
+    s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def matmul_int8(x: jnp.ndarray, w_q: jnp.ndarray, w_s: jnp.ndarray) -> jnp.ndarray:
+    """x (..., T, in) float; w_q (in, out) int8; w_s (1, out).  Returns f32."""
+    a_s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    a_s = jnp.maximum(a_s, 1e-12)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_s), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, w_q,
+        (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * a_s * w_s
+
+
+def quantize_block_stack(stacked: Params) -> Params:
+    """Quantize a stacked block pytree's matmul weights (wqkv/wo/w1/w2) to
+    int8 + scales; norms and biases stay float."""
+    out = dict(stacked)
+    for name in ("wqkv", "wo", "w1", "w2"):
+        q, s = quantize_weight_int8(stacked[name])
+        out[name + "_q8"] = q
+        out[name + "_s"] = s
+        del out[name]
+    return out
+
+
 def layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-5):
     """LayerNorm in float32 regardless of compute dtype."""
     xf = x.astype(jnp.float32)
@@ -134,6 +174,55 @@ def mlp(x, w1, b1, w2, b2, act=jax.nn.gelu):
         jnp.einsum("btc,cw->btw", h, w2, preferred_element_type=jnp.float32)
         + b2.astype(jnp.float32)
     ).astype(x.dtype)
+
+
+def attention_q8(
+    x: jnp.ndarray,  # (B, T, W)
+    p: Params,  # quantized layer params (wqkv_q8/_s, wo_q8/_s, bqkv, bo)
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    b, t, w = x.shape
+    dh = w // num_heads
+    qkv = (matmul_int8(x, p["wqkv_q8"], p["wqkv_s"]) + p["bqkv"].astype(jnp.float32)).astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, t, num_heads, dh)
+    k = k.reshape(b, t, num_heads, dh)
+    v = v.reshape(b, t, num_heads, dh)
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
+    ) * (dh**-0.5)
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(b, t, w)
+    return (matmul_int8(out, p["wo_q8"], p["wo_s"]) + p["bo"].astype(jnp.float32)).astype(x.dtype)
+
+
+def block_q8(x, p: Params, num_heads: int, mask=None, act=jax.nn.gelu):
+    """Pre-LN block over int8-quantized matmul weights (attention contractions
+    stay bf16: they carry <10% of the FLOPs)."""
+    x = x + attention_q8(layer_norm(x, p["ln1_g"], p["ln1_b"]), p, num_heads, mask)
+    h = layer_norm(x, p["ln2_g"], p["ln2_b"])
+    mid = act(matmul_int8(h, p["w1_q8"], p["w1_s"]) + p["b1"].astype(jnp.float32)).astype(x.dtype)
+    x = x + (matmul_int8(mid, p["w2_q8"], p["w2_s"]) + p["b2"].astype(jnp.float32)).astype(x.dtype)
+    return x
+
+
+def run_stack_q8(
+    x: jnp.ndarray,
+    stacked_q8: Params,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Scan the int8-quantized stacked blocks (see quantize_block_stack)."""
+
+    def body(h, layer_params):
+        return block_q8(h, layer_params, num_heads, mask), None
+
+    out, _ = jax.lax.scan(body, x, stacked_q8)
+    return out
 
 
 def block(x, p: Params, num_heads: int, mask=None, impl: str = "xla", causal: bool = False):

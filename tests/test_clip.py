@@ -129,3 +129,25 @@ def test_convert_open_clip_roundtrip(params):
     flat2 = jax.tree.leaves(back)
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_quantize_clip_int8_matches_full_precision(rng):
+    """W8A8 tower: cosine similarity with the full-precision encode > 0.99
+    (the int8 MXU path used by the mapping pipeline when models.clip.quant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from holoagent_tpu.models import clip as clip_mod
+
+    v = clip_mod.VARIANTS["test-tiny"]
+    p = clip_mod.init_clip(jax.random.key(0), v, dtype=jnp.float32)
+    q = clip_mod.quantize_clip(p, towers=("visual", "text"))
+    imgs = jnp.asarray(rng.uniform(size=(3, v.image_size, v.image_size, 3)), jnp.float32)
+    f_full = np.asarray(clip_mod.encode_image(p, imgs, v, dtype=jnp.float32))
+    f_q8 = np.asarray(clip_mod.encode_image(q, imgs, v, dtype=jnp.float32))
+    cos = (f_full * f_q8).sum(-1)
+    assert (cos > 0.99).all(), cos
+    toks = jnp.asarray(rng.integers(1, 100, (2, v.ctx)), jnp.int32)
+    t_full = np.asarray(clip_mod.encode_text(p, toks, v, dtype=jnp.float32))
+    t_q8 = np.asarray(clip_mod.encode_text(q, toks, v, dtype=jnp.float32))
+    assert ((t_full * t_q8).sum(-1) > 0.99).all()
