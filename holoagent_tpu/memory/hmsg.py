@@ -117,7 +117,12 @@ def detect_floor_boundaries(
     k = np.exp(-0.5 * (x / 2.0) ** 2)
     k /= k.sum()
     smooth = np.convolve(hist.astype(np.float64), k, mode="same")
-    min_h = np.percentile(smooth, 90)
+    # floor slabs are horizontal surfaces: their z-bins tower over the uniform
+    # wall plateau.  A pure percentile threshold sits just under that plateau
+    # and admits spurious mid-wall peaks, which chain adjacent stories into
+    # one cluster (peaks < cluster_eps apart); the relative term keeps only
+    # slab-scale peaks (reference graph.py:646-763 absolute-height role).
+    min_h = max(np.percentile(smooth, 90), 0.15 * smooth.max())
     idx, cnt = image2d.find_peaks_1d(
         jnp.asarray(smooth.astype(np.float32)),
         jnp.float32(min_h),

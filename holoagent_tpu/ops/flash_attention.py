@@ -62,17 +62,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool, sca
 
 
 def _flash2d_kernel(
-    q_ref, k_ref, v_ref, bw_ref, o_ref, m_s, l_s, acc_s, *, nkb: int
+    q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, m_s, l_s, acc_s,
+    *, nkb: int, rows_per_kb: int, width: int, scale: float,
 ):
     """Flash attention over an (h*w)-token square image grid with SAM-style
     decomposed relative-position bias.
 
-    The k loop is the innermost GRID dimension (one whole key row per step).
-    The per-key-row bias bh[q, row] is already folded into the q/k feature
-    dims by the wrapper (q carries scale*q ++ bias_h, k carries k ++
-    onehot(row)), so s = q_ext @ k_ext.T lands pre-biased; the per-column
-    bias is a full-width aligned block added directly.  Running max/sum/acc
-    live in VMEM scratch across the k-row steps."""
+    The k loop is the innermost GRID dimension, ``rows_per_kb`` whole key
+    rows per step: the q.k dot runs in the input dtype (bf16) on the MXU with
+    f32 accumulation, and the decomposed bias lands on the f32 scores —
+    bh[q, row] via a static-size dynamic slice of the (bq, h) row-bias block,
+    bw[q, col] tiled over the rows.  Running max/sum/acc live in VMEM scratch
+    across the k steps.  (The previous one-row-per-step / onehot-concat
+    formulation ran f32 dots over 64-key slivers at ~2% MFU.)"""
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -81,11 +83,17 @@ def _flash2d_kernel(
         l_s[...] = jnp.zeros_like(l_s)
         acc_s[...] = jnp.zeros_like(acc_s)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)  # (w, d_ext): one key row
-    v = v_ref[0].astype(jnp.float32)
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, w)
-    s = s + bw_ref[0].astype(jnp.float32)
+    q = q_ref[0]  # (bq, d) input dtype
+    k = k_ref[0]  # (R*w, d)
+    v = v_ref[0]
+    bq = q.shape[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, R*w) f32
+    bh_blk = bh_ref[0, :, pl.ds(kb * rows_per_kb, rows_per_kb)]  # (bq, R) f32
+    s = s.reshape(bq, rows_per_kb, width)
+    s = s + bh_blk[:, :, None] + bw_ref[0][:, None, :]
+    s = s.reshape(bq, rows_per_kb * width)
 
     m_prev = m_s[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -93,8 +101,9 @@ def _flash2d_kernel(
     alpha = jnp.exp(m_prev - m_new)
     m_s[...] = m_new
     l_s[...] = l_s[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_s[...] = acc_s[...] * alpha + jnp.dot(
-        p, v, preferred_element_type=jnp.float32
+    acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(kb == nkb - 1)
@@ -102,7 +111,7 @@ def _flash2d_kernel(
         o_ref[0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("grid_hw", "block_q", "interpret"))
+@partial(jax.jit, static_argnames=("grid_hw", "block_q", "rows_per_kb", "interpret"))
 def flash_attention_2d(
     q: jnp.ndarray,  # (BH, N, D), N = h*w row-major over the image grid
     k: jnp.ndarray,  # (BH, N, D)
@@ -111,42 +120,37 @@ def flash_attention_2d(
     bias_w: jnp.ndarray,  # (BH, N, w) f32: q_n . rel_w[x(n), x'] per key col x'
     grid_hw: tuple,  # (h, w)
     block_q: int = 128,
+    rows_per_kb: int = 8,  # key rows per k step (auto-clamped to divide h)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """SAM global-attention flash kernel (reference SamAutomaticMaskGenerator
     backbone layers, image_encoder.py Attention.use_rel_pos): blockwise
-    online-softmax with decomposed rel-pos, no (N, N) tensor in HBM.
-
-    The row bias rides the MXU: q_ext = [scale*q ++ bias_h], k_ext =
-    [k ++ onehot(key_row)], so q_ext @ k_ext.T = scale*qk + bias_h[q, row] —
-    sidestepping Mosaic's alignment limits on dynamically sliced bias blocks.
+    online-softmax with decomposed rel-pos, no (N, N) tensor in HBM.  The q.k
+    dots run in the input dtype (bf16 on the MXU, f32 accumulation); the bias
+    is applied to the f32 scores inside the kernel.
     Requires h*w % block_q == 0; callers fall back to XLA otherwise."""
     bhn, n, d = q.shape
     h, w = grid_hw
     assert n == h * w, (n, grid_hw)
     assert n % block_q == 0, (n, block_q)
+    while h % rows_per_kb:
+        rows_per_kb //= 2
+    rows_per_kb = max(rows_per_kb, 1)
+    nkb = h // rows_per_kb
     scale = d**-0.5
-    rows = jnp.arange(n, dtype=jnp.int32) // w  # key row id per token
-    row_onehot = (rows[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]).astype(
-        jnp.float32
-    )  # (N, h)
-    # build the augmented operands in f32: the bias (and scaled q) must not be
-    # rounded to bf16 before the matmul — the XLA path applies them in f32
-    q_ext = jnp.concatenate(
-        [q.astype(jnp.float32) * scale, bias_h.astype(jnp.float32)], axis=-1
-    )
-    k_ext = jnp.concatenate(
-        [k.astype(jnp.float32), jnp.broadcast_to(row_onehot, (bhn, n, h))], axis=-1
-    )
-    grid = (bhn, n // block_q, h)  # one key row per innermost step
+    grid = (bhn, n // block_q, nkb)
     return pl.pallas_call(
-        partial(_flash2d_kernel, nkb=h),
+        partial(
+            _flash2d_kernel, nkb=nkb, rows_per_kb=rows_per_kb, width=w,
+            scale=scale,
+        ),
         out_shape=jax.ShapeDtypeStruct((bhn, n, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d + h), lambda b, qi, kb: (b, qi, 0)),
-            pl.BlockSpec((1, w, d + h), lambda b, qi, kb: (b, kb, 0)),
-            pl.BlockSpec((1, w, d), lambda b, qi, kb: (b, kb, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, qi, kb: (b, qi, 0)),
+            pl.BlockSpec((1, rows_per_kb * w, d), lambda b, qi, kb: (b, kb, 0)),
+            pl.BlockSpec((1, rows_per_kb * w, d), lambda b, qi, kb: (b, kb, 0)),
+            pl.BlockSpec((1, block_q, h), lambda b, qi, kb: (b, qi, 0)),
             pl.BlockSpec((1, block_q, w), lambda b, qi, kb: (b, qi, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, kb: (b, qi, 0)),
@@ -159,7 +163,7 @@ def flash_attention_2d(
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
         interpret=interpret,
-    )(q_ext, k_ext, v, bias_w)
+    )(q, k, v, bias_h.astype(jnp.float32), bias_w.astype(jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret"))

@@ -201,3 +201,71 @@ def test_save_intermediate_results_artifacts(tmp_path):
     assert rasters, "no room raster artifacts"
     lab = np.load(rasters[0])
     assert lab.ndim == 2
+
+
+def _story_points(rng, z0, extent=(6.0, 4.0), wall_h=2.5, divide_x=None):
+    """Sampled slab + perimeter walls for one story; optional dividing wall
+    with a 1 m door gap."""
+    w, h = extent
+    xs = np.linspace(0, w, 150)
+    ys = np.linspace(0, h, 110)
+    gx, gy = np.meshgrid(xs, ys)
+    slab = np.stack([gx.ravel(), gy.ravel(), np.full(gx.size, z0)], -1)
+    t = np.linspace(0, 1, 130)
+    zz = np.linspace(z0, z0 + wall_h, 60)
+    tt, hh = np.meshgrid(t, zz)
+    walls = np.concatenate([
+        np.stack([tt.ravel() * w, np.zeros(tt.size), hh.ravel()], -1),
+        np.stack([tt.ravel() * w, np.full(tt.size, h), hh.ravel()], -1),
+        np.stack([np.zeros(tt.size), tt.ravel() * h, hh.ravel()], -1),
+        np.stack([np.full(tt.size, w), tt.ravel() * h, hh.ravel()], -1),
+    ])
+    parts = [slab, walls]
+    if divide_x is not None:
+        # dividing wall with a door gap at y in [1.5, 2.5]
+        yy = np.concatenate([np.linspace(0, 1.5, 60), np.linspace(2.5, h, 60)])
+        dy, dz = np.meshgrid(yy, zz)
+        parts.append(np.stack([np.full(dy.size, divide_x), dy.ravel(), dz.ravel()], -1))
+    pts = np.concatenate(parts).astype(np.float32)
+    return pts + rng.normal(0, 0.004, pts.shape).astype(np.float32)
+
+
+def test_two_story_graph_golden(rng, tmp_path):
+    """Golden multi-floor fixture (VERDICT weak #8): a two-story building with
+    two rooms downstairs and one upstairs must segment into exactly that."""
+    from holoagent_tpu.memory import instances as inst_mod
+    from holoagent_tpu.memory import scene as scene_mod
+    from holoagent_tpu.memory.mapping import MappedScene
+    from holoagent_tpu.ops.voxel import GridSpec
+
+    story0 = _story_points(rng, 0.0, divide_x=3.0)
+    story1 = _story_points(rng, 2.8)
+    pts = np.concatenate([story0, story1])
+
+    grid = GridSpec.centered(0.05)
+    scene = scene_mod.init_scene(grid, 1 << 17, 8)
+    scene, _ = scene_mod.insert_points(
+        scene, jnp.asarray(pts), jnp.full((len(pts), 3), 0.5), jnp.ones(len(pts), bool)
+    )
+    mapped = MappedScene(
+        scene=scene,
+        instances=inst_mod.empty_instances(8, 64, 8),
+        instance_feats=jnp.zeros((8, 8)),
+        keyframes=[],
+        keyframe_feats=jnp.zeros((0, 8)),
+    )
+    cfg = from_dict(
+        {
+            "main": {"save_path": str(tmp_path), "scene_id": "twostory"},
+            "pipeline": {"voxel_size": 0.05, "grid_resolution": 0.08,
+                         "point_capacity": 1 << 17},
+        }
+    )
+    g = HMSGraph.build(mapped, cfg, np.eye(4, 8, dtype=np.float32), ["a", "b", "c", "d"])
+    assert len(g.floors) == 2, [f.floor_zero_level for f in g.floors]
+    z0 = sorted(f.floor_zero_level for f in g.floors)
+    assert abs(z0[0] - 0.0) < 0.3 and abs(z0[1] - 2.8) < 0.4
+    n_rooms = [len(f.rooms) for f in sorted(g.floors, key=lambda f: f.floor_zero_level)]
+    # downstairs divides at the wall (door gap tolerated); upstairs is one room
+    assert n_rooms[0] == 2, n_rooms
+    assert n_rooms[1] == 1, n_rooms
