@@ -156,9 +156,9 @@ def _attention_2d(
     bias_h = jnp.einsum("bhywd,ykd->bhywk", qg, rh, preferred_element_type=jnp.float32)
     bias_w = jnp.einsum("bhywd,wkd->bhywk", qg, rw, preferred_element_type=jnp.float32)
     n = h * w
-    # the kernel iterates one key row per grid step, so the only tiling
-    # requirement is a block_q that divides N
-    block_q = 128 if n % 128 == 0 else (64 if n % 64 == 0 else 0)
+    # block_q must divide N; small grids (windows: N=196) run as one whole
+    # q-block, which still wins — bias+softmax stay fused in VMEM
+    block_q = 128 if n % 128 == 0 else (64 if n % 64 == 0 else (n if n <= 512 else 0))
     if impl == "flash" and block_q:
         from ..ops.flash_attention import flash_attention_2d
 
@@ -246,7 +246,7 @@ def encode_image(
             att = _attention_2d(xn, bp, v.heads, impl=impl, interpret=interpret)
         else:
             xw, padded = _window_partition(xn, v.window)
-            aw = _attention_2d(xw, bp, v.heads)
+            aw = _attention_2d(xw, bp, v.heads, impl=impl, interpret=interpret)
             att = _window_unpartition(aw, v.window, padded, (g, g))
         x = shortcut + att
         xn = _ln(x, blk["norm2_g"].astype(jnp.float32), blk["norm2_b"].astype(jnp.float32))

@@ -90,10 +90,26 @@ def _flash2d_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (bq, R*w) f32
-    bh_blk = bh_ref[0, :, pl.ds(kb * rows_per_kb, rows_per_kb)]  # (bq, R) f32
-    s = s.reshape(bq, rows_per_kb, width)
-    s = s + bh_blk[:, :, None] + bw_ref[0][:, None, :]
-    s = s.reshape(bq, rows_per_kb * width)
+    # Decomposed bias without any (bq, R, w) reshape (Mosaic rejects lane
+    # splits below 128): expand via selector matmuls.  bias_h arrives
+    # TRANSPOSED as (h, bq) so the k-step slice runs on the sublane dim
+    # (8-aligned starts; lane-dim starts of kb*R are not provably
+    # 128-aligned), and dot_general contracts its leading dim directly.
+    r, rw = rows_per_kb, rows_per_kb * width
+    if nkb == 1:
+        bh_blk = bh_ref[0]  # whole block: no sliced load (R may be odd-sized)
+    else:
+        bh_blk = bh_ref[0, pl.ds(kb * r, r), :]  # (R, bq) f32
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (r, rw), 1) // width
+    e_rows = (row_of == jax.lax.broadcasted_iota(jnp.int32, (r, rw), 0)).astype(jnp.float32)
+    s = s + jax.lax.dot_general(
+        bh_blk, e_rows, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # s[q, r*w+c] += bh[q, r]
+    col_of = jax.lax.broadcasted_iota(jnp.int32, (width, rw), 1) % width
+    e_cols = (col_of == jax.lax.broadcasted_iota(jnp.int32, (width, rw), 0)).astype(jnp.float32)
+    s = s + jax.lax.dot_general(
+        bw_ref[0], e_cols, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # s[q, r*w+c] += bw[q, c]
 
     m_prev = m_s[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -133,9 +149,10 @@ def flash_attention_2d(
     h, w = grid_hw
     assert n == h * w, (n, grid_hw)
     assert n % block_q == 0, (n, block_q)
-    while h % rows_per_kb:
-        rows_per_kb //= 2
-    rows_per_kb = max(rows_per_kb, 1)
+    # rows_per_kb must divide h AND start sublane-aligned slices (multiples
+    # of 8), unless it covers the whole height (start 0 only)
+    cand = [r for r in range(8, h + 1, 8) if h % r == 0 and r <= rows_per_kb]
+    rows_per_kb = max(cand) if cand else h
     nkb = h // rows_per_kb
     scale = d**-0.5
     grid = (bhn, n // block_q, nkb)
@@ -150,7 +167,7 @@ def flash_attention_2d(
             pl.BlockSpec((1, block_q, d), lambda b, qi, kb: (b, qi, 0)),
             pl.BlockSpec((1, rows_per_kb * w, d), lambda b, qi, kb: (b, kb, 0)),
             pl.BlockSpec((1, rows_per_kb * w, d), lambda b, qi, kb: (b, kb, 0)),
-            pl.BlockSpec((1, block_q, h), lambda b, qi, kb: (b, qi, 0)),
+            pl.BlockSpec((1, h, block_q), lambda b, qi, kb: (b, 0, qi)),
             pl.BlockSpec((1, block_q, w), lambda b, qi, kb: (b, qi, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, kb: (b, qi, 0)),
@@ -163,7 +180,11 @@ def flash_attention_2d(
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
         interpret=interpret,
-    )(q, k, v, bias_h.astype(jnp.float32), bias_w.astype(jnp.float32))
+    )(
+        q, k, v,
+        jnp.swapaxes(bias_h.astype(jnp.float32), 1, 2),  # (BH, h, N)
+        bias_w.astype(jnp.float32),
+    )
 
 
 @partial(jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret"))
