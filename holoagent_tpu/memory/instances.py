@@ -70,7 +70,9 @@ def empty_instances(i_cap: int, k_cap: int, d: int) -> InstanceSet:
         bbox_min=jnp.full((i_cap, 3), jnp.inf, jnp.float32),
         bbox_max=jnp.full((i_cap, 3), -jnp.inf, jnp.float32),
         valid=jnp.zeros((i_cap,), bool),
-        ckeys=jnp.full((i_cap, k_cap), I32_MAX, jnp.int32),
+        # coarse sets hold ~1/4 the cells of the row sets (2x coarser grid);
+        # half capacity keeps the union sort cheap with ample headroom
+        ckeys=jnp.full((i_cap, k_cap // 2), I32_MAX, jnp.int32),
         ccount=jnp.zeros((i_cap,), jnp.int32),
     )
 
@@ -117,11 +119,13 @@ def frame_instances(
         cgrid = vox.GridSpec(voxel_size=grid.voxel_size * 2.0, origin=grid.origin)
         ck_pix = vox.keys_of(pts_d, rows_d >= 0, cgrid)
         cvals = jnp.broadcast_to(ck_pix[None, :], (m, pd)).reshape(-1)
-        ckeys, ccounts = group_unique(groups, cvals, valid, num_groups=m, capacity=k_cap)
+        ckeys, ccounts = group_unique(
+            groups, cvals, valid, num_groups=m, capacity=k_cap // 2
+        )
         ckeys = jnp.where(ok[:, None], ckeys, I32_MAX)
         ccounts = jnp.where(ok, ccounts, 0)
     else:
-        ckeys = jnp.full((m, k_cap), I32_MAX, jnp.int32)
+        ckeys = jnp.full((m, k_cap // 2), I32_MAX, jnp.int32)
         ccounts = jnp.zeros((m,), jnp.int32)
     # bbox from masked world points (full resolution for fidelity)
     sel = masks & (pix_rows >= 0)[None, :]
@@ -187,13 +191,16 @@ def _connected_components(adj: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
     return jax.lax.fori_loop(0, iters, body, labels)
 
 
-@partial(jax.jit, static_argnames=("out_cap",))
+@partial(jax.jit, static_argnames=("out_cap", "coarse_only"))
 def merge_round(
     inst: InstanceSet,
     overlap_thresh: float,
     iou_thresh: float,
     out_cap: int,
     bbox_pad: float = 0.0,  # half-voxel box inflation (see _bbox_iou)
+    coarse_only: bool = False,  # skip the exact-row signature (mapper path:
+    # every set carries coarse keys, and coarse-cell overlap IS the
+    # reference's radius-tolerant semantics; saves one signature + matmul)
 ) -> InstanceSet:
     """One full merge pass (reference merge_3d_masks over the whole set):
     gate by bbox IoU, estimate overlap via signature matmul, merge connected
@@ -205,17 +212,19 @@ def merge_round(
     fixtures) degrade to exact rows."""
     i_cap, k_cap = inst.rows.shape
     vrows = inst.rows != I32_MAX
-    sig = _signatures(inst.rows, vrows)
-    inter = jnp.einsum("ib,jb->ij", sig, sig, preferred_element_type=jnp.float32)
-    cnt = jnp.maximum(sig.sum(-1), 1.0)
-    ratio = inter / jnp.minimum(cnt[:, None], cnt[None, :])
     vck = inst.ckeys != I32_MAX
     csig = _signatures(inst.ckeys, vck)
     cinter = jnp.einsum("ib,jb->ij", csig, csig, preferred_element_type=jnp.float32)
     ccnt = jnp.maximum(csig.sum(-1), 1.0)
     has_c = (vck.any(-1))[:, None] & (vck.any(-1))[None, :]
     cratio = jnp.where(has_c, cinter / jnp.minimum(ccnt[:, None], ccnt[None, :]), 0.0)
-    ratio = jnp.maximum(ratio, cratio)
+    if coarse_only:
+        ratio = cratio
+    else:
+        sig = _signatures(inst.rows, vrows)
+        inter = jnp.einsum("ib,jb->ij", sig, sig, preferred_element_type=jnp.float32)
+        cnt = jnp.maximum(sig.sum(-1), 1.0)
+        ratio = jnp.maximum(inter / jnp.minimum(cnt[:, None], cnt[None, :]), cratio)
     iou = _bbox_iou(inst.bbox_min, inst.bbox_max, pad=bbox_pad)
     vv = inst.valid[:, None] & inst.valid[None, :]
     adj = vv & (iou > iou_thresh) & (ratio > overlap_thresh)
@@ -227,9 +236,11 @@ def merge_round(
     values = inst.rows.reshape(-1)
     valid = (vrows & inst.valid[:, None]).reshape(-1)
     rows_u, counts_u = group_unique(groups, values, valid, num_groups=i_cap, capacity=k_cap)
+    ck_cap = inst.ckeys.shape[1]
+    cgroups = jnp.broadcast_to(root[:, None], (i_cap, ck_cap)).reshape(-1)
     cvalid = (vck & inst.valid[:, None]).reshape(-1)
     ckeys_u, ccounts_u = group_unique(
-        groups, inst.ckeys.reshape(-1), cvalid, num_groups=i_cap, capacity=k_cap
+        cgroups, inst.ckeys.reshape(-1), cvalid, num_groups=i_cap, capacity=ck_cap
     )
 
     # reduce scalars per root
@@ -269,11 +280,12 @@ def seq_merge_step(
     overlap_thresh: float,
     iou_thresh: float,
     bbox_pad: float = 0.0,
+    coarse_only: bool = False,
 ) -> InstanceSet:
     """Fold one frame into the global set (reference graph_utils.py:1015-1038
     `seq_merge` inner step)."""
     out_cap = global_inst.rows.shape[0]
     return merge_round(
         concat(global_inst, frame_inst), overlap_thresh, iou_thresh, out_cap,
-        bbox_pad=bbox_pad,
+        bbox_pad=bbox_pad, coarse_only=coarse_only,
     )

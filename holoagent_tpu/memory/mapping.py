@@ -122,7 +122,7 @@ def frame_step(
     out_cap = instances.rows.shape[0]
     instances = inst_mod.merge_round.__wrapped__(
         inst_mod.concat(instances, finst), overlap_thresh, iou_thresh, out_cap,
-        bbox_pad=0.5 * scene.grid.voxel_size,
+        bbox_pad=0.5 * scene.grid.voxel_size, coarse_only=True,
     )
     return scene, instances, ff.f_global
 
@@ -248,7 +248,7 @@ class Mapper:
             return scene, self.instances, ff.f_global
         instances = inst_mod.seq_merge_step(
             self.instances, finst, p.init_overlap_thresh, p.iou_thresh,
-            bbox_pad=0.5 * p.voxel_size,
+            bbox_pad=0.5 * p.voxel_size, coarse_only=True,
         )
         return scene, instances, ff.f_global
 
@@ -275,7 +275,7 @@ class Mapper:
             cat = inst_mod.concat(other, inst)
             inst = inst_mod.merge_round(
                 cat, self._hier_th(height), p.iou_thresh,
-                min(out_cap, cat.rows.shape[0]), bbox_pad=0.5 * p.voxel_size,
+                min(out_cap, cat.rows.shape[0]), bbox_pad=0.5 * p.voxel_size, coarse_only=True,
             )
             height += 1
         self._hier_slots[height] = inst
@@ -296,12 +296,12 @@ class Mapper:
                     cat = inst_mod.concat(acc, s)
                     acc = inst_mod.merge_round(
                         cat, self._hier_th(h), p.iou_thresh,
-                        min(out_cap, cat.rows.shape[0]), bbox_pad=0.5 * p.voxel_size,
+                        min(out_cap, cat.rows.shape[0]), bbox_pad=0.5 * p.voxel_size, coarse_only=True,
                     )
             self._hier_slots = {}
             self.instances = inst_mod.seq_merge_step(
                 self.instances, acc, self._hier_th(h_max), p.iou_thresh,
-                bbox_pad=0.5 * p.voxel_size,
+                bbox_pad=0.5 * p.voxel_size, coarse_only=True,
             )
         # final merge pass (reference seq_merge's trailing merge)
         self.instances = inst_mod.merge_round(
@@ -309,7 +309,7 @@ class Mapper:
             p.init_overlap_thresh,
             p.iou_thresh,
             out_cap=self.instances.rows.shape[0],
-            bbox_pad=0.5 * p.voxel_size,
+            bbox_pad=0.5 * p.voxel_size, coarse_only=True,
         )
         # drop tiny instances (reference graph.py:442-446, <10 points)
         keep = self.instances.count >= max(10, 1)

@@ -156,7 +156,7 @@ def encode_image(
     if "blocks_q8" in v:
         # int8 tower (see quantize_clip): W8A8 matmuls on the MXU at 2x the
         # bf16 peak; attention contractions stay bf16
-        x = tfm.run_stack_q8(x, v["blocks_q8"], variant.v_heads)
+        x = tfm.run_stack_q8(x, v["blocks_q8"], variant.v_heads, impl=impl)
     else:
         blocks = jax.tree.map(lambda a: a.astype(dtype), v["blocks"])
         x = tfm.run_stack(x, blocks, variant.v_heads, remat=remat, impl=impl)

@@ -138,11 +138,16 @@ def attention(
     if impl == "flash":
         from ..ops.flash_attention import flash_attention
 
+        # non-128-multiple T (CLIP: 257 tokens) runs as ONE whole block —
+        # no pad-to-384, scores stay in VMEM
+        bq = 128 if t % 128 == 0 else (t if t <= 512 else 128)
         out = flash_attention(
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
             causal=causal,
+            block_q=bq,
+            block_k=bq,
         ).transpose(0, 2, 1, 3)
         out = out.reshape(b, t, w)
         return (
@@ -181,6 +186,7 @@ def attention_q8(
     p: Params,  # quantized layer params (wqkv_q8/_s, wo_q8/_s, bqkv, bo)
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     b, t, w = x.shape
     dh = w // num_heads
@@ -189,21 +195,30 @@ def attention_q8(
     q = q.reshape(b, t, num_heads, dh)
     k = k.reshape(b, t, num_heads, dh)
     v = v.reshape(b, t, num_heads, dh)
-    scores = jnp.einsum(
-        "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
-    ) * (dh**-0.5)
-    if mask is not None:
-        scores = scores + mask
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
+    if impl == "flash" and mask is None:
+        from ..ops.flash_attention import flash_attention
+
+        bq = 128 if t % 128 == 0 else (t if t <= 512 else 128)
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), block_q=bq, block_k=bq,
+        ).transpose(0, 2, 1, 3)
+    else:
+        scores = jnp.einsum(
+            "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
+        ) * (dh**-0.5)
+        if mask is not None:
+            scores = scores + mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(b, t, w)
     return (matmul_int8(out, p["wo_q8"], p["wo_s"]) + p["bo"].astype(jnp.float32)).astype(x.dtype)
 
 
-def block_q8(x, p: Params, num_heads: int, mask=None, act=jax.nn.gelu):
+def block_q8(x, p: Params, num_heads: int, mask=None, act=jax.nn.gelu, impl: str = "xla"):
     """Pre-LN block over int8-quantized matmul weights (attention contractions
     stay bf16: they carry <10% of the FLOPs)."""
-    x = x + attention_q8(layer_norm(x, p["ln1_g"], p["ln1_b"]), p, num_heads, mask)
+    x = x + attention_q8(layer_norm(x, p["ln1_g"], p["ln1_b"]), p, num_heads, mask, impl=impl)
     h = layer_norm(x, p["ln2_g"], p["ln2_b"])
     mid = act(matmul_int8(h, p["w1_q8"], p["w1_s"]) + p["b1"].astype(jnp.float32)).astype(x.dtype)
     x = x + (matmul_int8(mid, p["w2_q8"], p["w2_s"]) + p["b2"].astype(jnp.float32)).astype(x.dtype)
@@ -215,11 +230,12 @@ def run_stack_q8(
     stacked_q8: Params,
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """Scan the int8-quantized stacked blocks (see quantize_block_stack)."""
 
     def body(h, layer_params):
-        return block_q8(h, layer_params, num_heads, mask), None
+        return block_q8(h, layer_params, num_heads, mask, impl=impl), None
 
     out, _ = jax.lax.scan(body, x, stacked_q8)
     return out

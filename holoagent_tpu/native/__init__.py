@@ -485,7 +485,7 @@ class Vio:
             d = np.ascontiguousarray(depth, np.float32)
             assert d.shape == self.shape, (d.shape, self.shape)
         pose = np.ascontiguousarray(pose_guess, np.float64).reshape(16).copy()
-        stats = np.zeros(6, np.float64)
+        stats = np.zeros(8, np.float64)
         self._l.vio_process(
             self._h, _ptr(img), _ptr(d) if d is not None else None,
             _ptr(pose), max_iters, _ptr(stats),
@@ -493,7 +493,8 @@ class Vio:
         return pose.reshape(4, 4), {
             "rmse": stats[0], "affine_a": stats[1], "affine_b": stats[2],
             "n_tracked": int(stats[3]), "n_spawned": int(stats[4]),
-            "iters": int(stats[5]),
+            "iters": int(stats[5]), "exposure": stats[6],
+            "n_warped": int(stats[7]),
         }
 
 

@@ -59,6 +59,7 @@ def _l2(x, axis=-1, eps=1e-9):
         "max_masks",
         "dtype",
         "impl",
+        "clip_impl",
     ),
 )
 def extract_frame_features(
@@ -75,7 +76,10 @@ def extract_frame_features(
     masked_weight: float = 0.4418,  # reference config clip_masked_weight
     bbox_margin: float = 50.0,  # reference config clip_bbox_margin
     dtype=jnp.bfloat16,
-    impl: str = "xla",  # "flash" -> Pallas rel-pos flash attn in SAM globals
+    impl: str = "xla",  # "flash" -> Pallas rel-pos flash attn in SAM layers
+    clip_impl: str = "xla",  # CLIP tower attention impl (separate: the
+    # 129-crop 257-token batch favors XLA inside this program — the whole-
+    # block flash path wins standalone but loses fused, measured on v5e)
 ) -> FrameFeatures:
     h, w, _ = image01.shape
     gen = sam_mod.generate_masks(
@@ -100,11 +104,9 @@ def extract_frame_features(
     mean = jnp.asarray(clip_mod.IMAGE_MEAN, stack.dtype)
     std = jnp.asarray(clip_mod.IMAGE_STD, stack.dtype)
     stack = (stack - mean) / std
-    # CLIP stays on the XLA path regardless of impl: at 257 tokens the flash
-    # kernel's pad-to-384 + small blocks LOSE to XLA's batched matmul
-    # (measured on v5e: 250 ms xla vs 432 ms flash for the 129-crop batch).
-    # impl="flash" only pays off for SAM's 4096-token global layers.
-    feats = clip_mod.encode_image(clip_params, stack, clip_variant, dtype=dtype)
+    feats = clip_mod.encode_image(
+        clip_params, stack, clip_variant, dtype=dtype, impl=clip_impl
+    )
     feats = feats.astype(jnp.float32)
     m = max_masks
     f_plain, f_masked, f_g = feats[:m], feats[m : 2 * m], feats[2 * m]

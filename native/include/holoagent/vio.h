@@ -28,13 +28,16 @@ struct PinholeCam {
   double fx = 0, fy = 0, cx = 0, cy = 0;
 };
 
-constexpr int kPatch = 8;  // 8x8 patches, kPatch^2 residuals per point
+constexpr int kPatch = 8;     // 8x8 patches, kPatch^2 residuals per point
+constexpr int kPatchSrc = 16; // source patch with border for affine warping
 
 struct VisualPoint {
   Vec3 pos;                       // world
-  float patch[kPatch * kPatch];   // reference grayscale patch
+  float patch[kPatch * kPatch];   // reference grayscale patch (unwarped)
+  float src[kPatchSrc * kPatchSrc];  // wider capture patch (warp source)
   Mat3 r_ref;                     // camera->world rotation at capture
   Vec3 t_ref;                     // camera center at capture
+  float u_ref = 0, v_ref = 0;     // pixel coords at capture
   float depth_ref = 0;            // depth in the reference view
   int last_seen = 0;
 };
@@ -44,8 +47,10 @@ struct VioResult {
   Vec3 trans;     // camera center in world
   double affine_a = 1.0, affine_b = 0.0;  // brightness model I_cur ~ a*I_ref+b
   double rmse = -1.0;
+  double exposure = 1.0;  // running relative exposure-time estimate
   int n_tracked = 0;
   int n_spawned = 0;
+  int n_warped = 0;  // tracked points using an affine-warped reference patch
   int iters = 0;
 };
 
@@ -74,6 +79,7 @@ class VioManager {
   int max_per_cell_;
   int grid_px_;
   int frame_id_ = 0;
+  double exposure_ = 1.0;
   std::vector<VisualPoint> points_;
   std::unordered_map<int64_t, std::vector<int32_t>> cells_;
 };

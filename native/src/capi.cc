@@ -207,8 +207,8 @@ size_t vio_num_points(void* h) {
   return static_cast<holoagent::VioManager*>(h)->num_points();
 }
 
-// pose16: camera-to-world, in (guess) / out (refined).  stats6 out:
-// [rmse, affine_a, affine_b, n_tracked, n_spawned, iters]
+// pose16: camera-to-world, in (guess) / out (refined).  stats8 out:
+// [rmse, affine_a, affine_b, n_tracked, n_spawned, iters, exposure, n_warped]
 void vio_process(void* h, const float* img, const float* depth, double* pose16,
                  int max_iters, double* stats6) {
   auto* vm = static_cast<holoagent::VioManager*>(h);
@@ -227,6 +227,8 @@ void vio_process(void* h, const float* img, const float* depth, double* pose16,
   stats6[3] = res.n_tracked;
   stats6[4] = res.n_spawned;
   stats6[5] = res.iters;
+  stats6[6] = res.exposure;
+  stats6[7] = res.n_warped;
 }
 
 // ------------------------------------------------------------------ Pose graph

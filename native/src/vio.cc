@@ -18,6 +18,53 @@ inline float sample_bilinear(const float* img, int w, int h, double u, double v)
                  (1 - ax) * ay * r1[0] + ax * ay * r1[1]);
 }
 
+// Affine warp of the reference source patch into the current view
+// (reference vio.cpp getWarpMatrixAffine + warpAffine): the 2x2 Jacobian
+// A_cur_ref = d(px_cur)/d(px_ref) is estimated by projecting the reference
+// pixel and two axis offsets (at the stored reference depth) into the
+// current frame; the 8x8 working patch is then sampled from the 16x16
+// source patch through A^{-1}.  Returns false (caller falls back to the
+// unwarped patch) when the warp is degenerate or leaves the source patch.
+bool warp_patch(const PinholeCam& cam, const VisualPoint& vp, const Mat3& r_cur,
+                const Vec3& t_cur, float* out /* kPatch*kPatch */) {
+  const double d = 3.0;  // offset in reference pixels for the Jacobian probe
+  Mat3 rt_cur = r_cur.transpose();
+  auto ref_to_cur = [&](double du, double dv, double* u, double* v) -> bool {
+    // backproject (u_ref+du, v_ref+dv) at the reference depth, then project
+    Vec3 pc{(vp.u_ref + du - cam.cx) / cam.fx * vp.depth_ref,
+            (vp.v_ref + dv - cam.cy) / cam.fy * vp.depth_ref, vp.depth_ref};
+    Vec3 pw = vp.r_ref * pc + vp.t_ref;
+    Vec3 cc = rt_cur * (pw - t_cur);
+    if (cc.z < 0.05) return false;
+    *u = cam.fx * cc.x / cc.z + cam.cx;
+    *v = cam.fy * cc.y / cc.z + cam.cy;
+    return true;
+  };
+  double u0, v0, ux, vx, uy, vy;
+  if (!ref_to_cur(0, 0, &u0, &v0) || !ref_to_cur(d, 0, &ux, &vx) ||
+      !ref_to_cur(0, d, &uy, &vy))
+    return false;
+  // A maps ref-pixel offsets to cur-pixel offsets
+  double a00 = (ux - u0) / d, a10 = (vx - v0) / d;
+  double a01 = (uy - u0) / d, a11 = (vy - v0) / d;
+  double det = a00 * a11 - a01 * a10;
+  if (!(std::abs(det) > 0.25 && std::abs(det) < 4.0)) return false;
+  // inverse: cur offset -> ref offset
+  double i00 = a11 / det, i01 = -a01 / det, i10 = -a10 / det, i11 = a00 / det;
+  const double ch = kPatch / 2.0 - 0.5;
+  const double sh = kPatchSrc / 2.0 - 0.5;
+  for (int py = 0; py < kPatch; ++py)
+    for (int px = 0; px < kPatch; ++px) {
+      double ox = px - ch, oy = py - ch;
+      double su = i00 * ox + i01 * oy + sh;
+      double sv = i10 * ox + i11 * oy + sh;
+      float val = sample_bilinear(vp.src, kPatchSrc, kPatchSrc, su, sv);
+      if (val < 0) return false;
+      out[py * kPatch + px] = val;
+    }
+  return true;
+}
+
 // solve SPD n x n via Cholesky; returns false if not PD
 bool solve_spd_n(double* h, const double* g, int n, double* out) {
   std::vector<double> l(n * n, 0.0);
@@ -107,14 +154,28 @@ VioResult VioManager::process_frame(const float* img, const float* depth,
   // state: [w(3), dt(3), a, b]; residual per patch pixel:
   //   r = I_cur(proj(p) + offset) - (a * patch_ref + b)
   double a = 1.0, b = 0.0;
+  // warp the reference patches into the current view ONCE per frame using
+  // the pose prior (reference warps before its EKF iterations too)
+  std::vector<float> warped(tracked.size() * kPatch * kPatch);
+  std::vector<uint8_t> use_warp(tracked.size(), 0);
+  for (size_t ti = 0; ti < tracked.size(); ++ti) {
+    if (warp_patch(cam_, points_[tracked[ti]], res.rot, res.trans,
+                   warped.data() + ti * kPatch * kPatch)) {
+      use_warp[ti] = 1;
+      ++res.n_warped;
+    }
+  }
   if (!tracked.empty()) {
     for (int it = 0; it < max_iters; ++it) {
       double H[64] = {0}, g8[8] = {0};
       double cost = 0;
       int n_res = 0;
       Mat3 rt = res.rot.transpose();
-      for (int32_t pi : tracked) {
+      for (size_t ti = 0; ti < tracked.size(); ++ti) {
+        int32_t pi = tracked[ti];
         VisualPoint& vp = points_[pi];
+        const float* ref_patch =
+            use_warp[ti] ? warped.data() + ti * kPatch * kPatch : vp.patch;
         Vec3 pc = rt * (vp.pos - res.trans);
         if (pc.z < 0.1) continue;
         double iz = 1.0 / pc.z;
@@ -141,7 +202,7 @@ VioResult VioManager::process_frame(const float* img, const float* depth,
             double su = u + px - half, sv = v + py - half;
             float cur = sample_bilinear(img, w, h, su, sv);
             if (cur < 0) continue;
-            float ref = vp.patch[py * kPatch + px];
+            float ref = ref_patch[py * kPatch + px];
             double r = (double)cur - (a * ref + b);
             // image gradient at the sample (central differences)
             float gx1 = sample_bilinear(img, w, h, su + 1, sv);
@@ -191,6 +252,10 @@ VioResult VioManager::process_frame(const float* img, const float* depth,
   }
   res.affine_a = a;
   res.affine_b = b;
+  // exposure-time chain (reference exposure_estimate_en / inv_expo state):
+  // the per-frame gain multiplies into a running relative exposure estimate
+  if (res.n_tracked > 0 && a > 0.2 && a < 5.0) exposure_ *= a;
+  res.exposure = exposure_;
 
   // -------------------------------------------------------------- spawn new
   if (depth) {
@@ -245,12 +310,21 @@ void VioManager::spawn_points(const float* img, const float* depth,
       vp.pos = rot * pc + trans;
       vp.r_ref = rot;
       vp.t_ref = trans;
+      vp.u_ref = (float)best_x;
+      vp.v_ref = (float)best_y;
       vp.depth_ref = z;
       vp.last_seen = frame_id_;
       for (int py = 0; py < kPatch; ++py)
         for (int px = 0; px < kPatch; ++px)
           vp.patch[py * kPatch + px] = sample_bilinear(
               img, w, h, best_x + px - half, best_y + py - half);
+      const double shalf = kPatchSrc / 2.0 - 0.5;
+      for (int py = 0; py < kPatchSrc; ++py)
+        for (int px = 0; px < kPatchSrc; ++px) {
+          float sv = sample_bilinear(img, w, h, best_x + px - shalf,
+                                     best_y + py - shalf);
+          vp.src[py * kPatchSrc + px] = sv < 0 ? vp.patch[0] : sv;
+        }
       int64_t key = cell_key(vp.pos);
       auto& bucket = cells_[key];
       if ((int)bucket.size() >= max_per_cell_) {

@@ -492,3 +492,27 @@ def test_registration_refmode_selector(rng, ref_mode):
     assert np.allclose(pose[:3, :3], r, atol=0.03), ref_mode
     assert np.allclose(pose[:3, 3], t, atol=0.05), ref_mode
     assert frac > 0.8
+
+
+def test_vio_patch_warping_under_rotation(rng):
+    """Affine patch warping (reference getWarpMatrixAffine/warpAffine):
+    under a significant in-plane rotation the warped-reference tracker must
+    engage (n_warped > 0) and still converge to the true pose."""
+    from holoagent_tpu.native import Vio
+
+    vio = Vio(160, 120, 120.0, 120.0, 79.5, 59.5, map_cell=0.3, grid_px=24)
+    p1 = _down_cam(0.0, 0.0, 2.0)
+    img1, d1 = _render_plane(rng, p1)
+    vio.process(img1, p1, depth=d1)
+    # 11-degree yaw + translation; guess = true pose perturbed slightly (an
+    # IMU prior), so the warp is computed from a near-correct prior
+    p2 = _down_cam(0.05, -0.02, 2.0, yaw=0.2)
+    img2, _ = _render_plane(rng, p2)
+    guess = p2.copy()
+    guess[:3, 3] += [0.01, -0.01, 0.005]
+    pose2, st2 = vio.process(img2, guess, max_iters=20)
+    assert st2["n_tracked"] > 10, st2
+    assert st2["n_warped"] > 0.5 * st2["n_tracked"], st2
+    err_t = np.linalg.norm(pose2[:3, 3] - p2[:3, 3])
+    assert err_t < 0.01, (err_t, st2)
+    assert "exposure" in st2
