@@ -73,8 +73,21 @@ def run(
     tok = tokenizer()
     provider = None
     if use_slow:
+        import jax
+        import jax.numpy as jnp
+
         dataset = dataset if dataset is not None else load_dataset(cfg)
-        provider = lambda img_id: dataset[img_id].rgb  # noqa: E731
+        # keyframe images stay resident in HBM, as during mapping — the
+        # query path never re-uploads them (SURVEY.md §2.4: the reference's
+        # OSS image hop is eliminated by design)
+        skip = max(1, cfg.pipeline.skip_frames)
+        resident = {
+            i: jax.device_put(jnp.asarray(dataset[i].rgb))
+            for i in range(0, len(dataset), skip)
+        }
+        provider = lambda img_id: resident.get(  # noqa: E731
+            img_id, jnp.asarray(dataset[img_id].rgb)
+        )
     engine = FSRQueryEngine(
         graph,
         clip_params,

@@ -109,21 +109,33 @@ class ClipVLM:
         self.tok = tokenizer
         self.variant = variant
         self.detect_threshold = detect_threshold
+        self._txt_cache: dict = {}
 
     def _img_feats(self, images) -> np.ndarray:
         jnp = self._jnp
-        arr = jnp.asarray(np.stack([np.asarray(im, np.float32) for im in images]))
+        if all(isinstance(im, jnp.ndarray) for im in images):
+            # device-resident keyframes: no host->device upload on the query
+            # path (the design eliminates the reference's OSS image hop —
+            # images stay in HBM, SURVEY.md §2.4)
+            arr = jnp.stack(list(images)).astype(jnp.float32)
+        else:
+            arr = jnp.asarray(np.stack([np.asarray(im, np.float32) for im in images]))
         pre = self._clip.preprocess(arr, size=self.variant.image_size)
         f = self._clip.encode_image_jit(self.params, pre, self.variant, dtype=jnp.float32)
         return np.asarray(f, np.float32)
 
     def _txt_feats(self, texts) -> np.ndarray:
-        return np.asarray(
-            self._clip.text_features_multi_template(
-                self.params, self.tok, list(texts), self.variant
-            ),
-            np.float32,
-        )
+        missing = [t for t in texts if t not in self._txt_cache]
+        if missing:
+            f = np.asarray(
+                self._clip.text_features_multi_template(
+                    self.params, self.tok, missing, self.variant
+                ),
+                np.float32,
+            )
+            for t, e in zip(missing, f):
+                self._txt_cache[t] = e
+        return np.stack([self._txt_cache[t] for t in texts])
 
     def detect_object(self, image, label) -> bool:
         s = float(self._img_feats([image])[0] @ self._txt_feats([label])[0])

@@ -7,3 +7,4 @@ multi-chip compile fixture for the driver's dry run.
 """
 
 from .contrastive import clip_loss, make_train_step, init_train_state
+from .distill import distill_step, distill_vlm
