@@ -352,6 +352,98 @@ def prefill(
     return logits, KVCache(k=cache_k, v=cache_v, length=valid_len.astype(jnp.int32))
 
 
+def prefill_sp(
+    params: Params,
+    embeddings: jnp.ndarray,  # (B, T, W) — T padded to the data-axis multiple
+    valid_len: jnp.ndarray,  # (B,)
+    v: VLMVariant,
+    mesh,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Sequence-parallel prefill (SURVEY.md §5.7): the prompt's token axis
+    shards over the mesh's data axis and every layer's attention runs as ring
+    attention (parallel.ring_attention) — K/V blocks rotate on the ICI, the
+    (T, T) score matrix never exists on any chip.  This is how the 24-image
+    gallery prompts (reference graph.py:2896-2897) scale past one chip's
+    attention memory at production vision-token counts.
+
+    Elementwise/matmul layers run GSPMD-sharded on the same T partition (no
+    cross-token dependency outside attention).  Returns (last-position logits,
+    a REPLICATED KVCache) so the continuous batcher's decode loop proceeds
+    unchanged.  gpt arch (the served vlm-base/small family); the llama arch
+    prefill follows the same recipe.
+    """
+    assert v.arch == "gpt", "prefill_sp currently covers the gpt arch"
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.ring_attention import ring_attention
+
+    nd = mesh.shape["data"]
+    b, t, w = embeddings.shape
+    pad = (-t) % nd
+    if pad:
+        embeddings = jnp.pad(embeddings, ((0, 0), (0, pad), (0, 0)))
+    tp = t + pad
+    x = embeddings.astype(dtype) + params["pos"][:tp].astype(dtype)
+    x = jax.device_put(x, NamedSharding(mesh, P(None, "data", None)))
+    blocks = jax.tree.map(lambda a: a.astype(dtype), params["blocks"])
+    dh = w // v.heads
+
+    ks, vs = [], []
+    n_layers = v.layers
+    bl = [jax.tree.map(lambda a: a[i], blocks) for i in range(n_layers)]
+    for p in bl:
+        xn = tfm.layer_norm(x, p["ln1_g"], p["ln1_b"])
+        qkv = (
+            jnp.einsum("btw,wc->btc", xn, p["wqkv"], preferred_element_type=jnp.float32)
+            + p["bqkv"].astype(jnp.float32)
+        ).astype(x.dtype)
+        q, k, val = jnp.split(qkv, 3, axis=-1)
+        qh = q.reshape(b, tp, v.heads, dh).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, tp, v.heads, dh).transpose(0, 2, 1, 3)
+        vh = val.reshape(b, tp, v.heads, dh).transpose(0, 2, 1, 3)
+        att = ring_attention(qh, kh, vh, mesh, causal=True)
+        ks.append(kh.transpose(0, 2, 1, 3))
+        vs.append(vh.transpose(0, 2, 1, 3))
+        att = att.transpose(0, 2, 1, 3).reshape(b, tp, w)
+        att = (
+            jnp.einsum("btw,wc->btc", att, p["wo"], preferred_element_type=jnp.float32)
+            + p["bo"].astype(jnp.float32)
+        ).astype(x.dtype)
+        x = x + att
+        xn = tfm.layer_norm(x, p["ln2_g"], p["ln2_b"])
+        mid = jax.nn.gelu(
+            jnp.einsum("btw,wc->btc", xn, p["w1"], preferred_element_type=jnp.float32)
+            + p["b1"].astype(jnp.float32)
+        ).astype(x.dtype)
+        x = x + (
+            jnp.einsum("btc,cw->btw", mid, p["w2"], preferred_element_type=jnp.float32)
+            + p["b2"].astype(jnp.float32)
+        ).astype(x.dtype)
+
+    x = tfm.layer_norm(x, params["ln_f_g"], params["ln_f_b"])
+    last = jnp.take_along_axis(
+        x, (valid_len - 1)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    logits = jnp.einsum(
+        "bw,vw->bv", last, params["tok_emb"].astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    # replicate K/V into a standard cache for the decode loop
+    rep = NamedSharding(mesh, P())
+    cache_k = jnp.zeros((v.layers, b, v.max_seq, v.heads, dh), dtype)
+    cache_v = jnp.zeros((v.layers, b, v.max_seq, v.heads, dh), dtype)
+    cache_k = cache_k.at[:, :, :tp].set(
+        jax.device_put(jnp.stack(ks).astype(dtype), rep)
+    )
+    cache_v = cache_v.at[:, :, :tp].set(
+        jax.device_put(jnp.stack(vs).astype(dtype), rep)
+    )
+    return logits, KVCache(
+        k=cache_k, v=cache_v, length=valid_len.astype(jnp.int32)
+    )
+
+
 def _prefill_llama(params, embeddings, valid_len, cache, v, dtype):
     b, t, w = embeddings.shape
     dh = w // v.heads

@@ -225,3 +225,39 @@ def test_llama_batcher_end_to_end():
     b = ContinuousBatcher(vlm_p, clip_p, TVL, max_batch=2, dtype=jnp.float32)
     out = b.generate("hello", max_new_tokens=4)
     assert isinstance(out, str)
+
+
+def test_prefill_sp_matches_single_device(models):
+    """Sequence-parallel prefill over the 8-device mesh must reproduce the
+    single-device prefill logits and KV cache (SURVEY.md §5.7 long multi-image
+    prompts through the served VLM)."""
+    from holoagent_tpu.config import MeshConfig
+    from holoagent_tpu.parallel import make_mesh
+
+    vlm_p, clip_p = models
+    mesh = make_mesh(MeshConfig(data=-1, model=1))
+    nd = mesh.shape["data"]
+    b, t = 2, 8 * nd
+    rngk = jax.random.key(5)
+    emb = jax.random.normal(rngk, (b, t, TV.width), jnp.float32) * 0.1
+    vlen = jnp.asarray([t, t - 3], jnp.int32)
+
+    cache0 = vlm_mod.init_cache(TV, b, jnp.float32)
+    ref_logits, ref_cache = vlm_mod.prefill(
+        vlm_p, emb, vlen, cache0, TV, dtype=jnp.float32
+    )
+    sp_logits, sp_cache = vlm_mod.prefill_sp(
+        vlm_p, emb, vlen, TV, mesh, dtype=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp_logits), np.asarray(ref_logits), atol=2e-4, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp_cache.k[:, :, :t]), np.asarray(ref_cache.k[:, :, :t]),
+        atol=2e-4, rtol=2e-4,
+    )
+    # decode continues identically from the SP-filled cache
+    tok = jnp.asarray(np.argmax(np.asarray(ref_logits), -1), jnp.int32)
+    l1, _ = vlm_mod.decode_step(vlm_p, tok, ref_cache, jnp.ones((b,), bool), TV, dtype=jnp.float32)
+    l2, _ = vlm_mod.decode_step(vlm_p, tok, sp_cache, jnp.ones((b,), bool), TV, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=2e-4, rtol=2e-4)
