@@ -138,6 +138,15 @@ def _load() -> C.CDLL:
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t,
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t, C.c_double, C.c_void_p,
     ]
+    lib.lio_enable_vio.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.c_double, C.c_double, C.c_double,
+        C.c_double, C.c_void_p, C.c_void_p, C.c_double, C.c_int, C.c_int,
+    ]
+    lib.lio_process_image.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t,
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t, C.c_double,
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+    ]
     lib.lio_num_keyframes.restype = C.c_size_t
     lib.lio_num_keyframes.argtypes = [C.c_void_p]
     lib.lio_keyframe_pose.argtypes = [C.c_void_p, C.c_int, C.c_void_p]
@@ -566,6 +575,64 @@ class LioPipeline:
             "reg_rms": out[16], "keyframe": bool(out[17]),
             "loop_with": int(out[18]), "map_voxels": int(out[19]),
             "points_used": int(out[20]),
+        }
+
+    def enable_vio(
+        self, width: int, height: int, fx: float, fy: float, cx: float,
+        cy: float, r_cb: Optional[np.ndarray] = None,
+        t_cb: Optional[np.ndarray] = None, map_cell: float = 0.5,
+        max_per_cell: int = 8, grid_px: int = 32,
+    ) -> None:
+        """Attach a camera: process_sweep_with_image runs the VIO photometric
+        branch after each LIO update and fuses the refined pose back into the
+        ESIKF (reference handleVIO dispatch, LIVMapper.cpp:640-658)."""
+        r = np.ascontiguousarray(
+            r_cb if r_cb is not None else np.eye(3), np.float64
+        )
+        t = np.ascontiguousarray(
+            t_cb if t_cb is not None else np.zeros(3), np.float64
+        )
+        self._img_shape = (height, width)
+        self._l.lio_enable_vio(
+            self._h, width, height, fx, fy, cx, cy, _ptr(r), _ptr(t),
+            map_cell, max_per_cell, grid_px,
+        )
+
+    def process_sweep_with_image(
+        self, xyz, image, t_offset=None, gyro=None, accel=None, dts=None,
+        sweep_dt: float = 0.1, depth: Optional[np.ndarray] = None,
+    ):
+        """LIVO step: process_sweep + VIO refinement on `image` (H, W) float
+        gray [0,1].  Returns (pose 4x4, stats dict incl. vio_* fields)."""
+        pts = np.ascontiguousarray(xyz, np.float32)
+        toff = (
+            np.ascontiguousarray(t_offset, np.float32)
+            if t_offset is not None else np.zeros(len(pts), np.float32)
+        )
+        img = np.ascontiguousarray(image, np.float32)
+        assert img.shape == self._img_shape, (img.shape, self._img_shape)
+        d = np.ascontiguousarray(depth, np.float32) if depth is not None else None
+        n_imu = 0 if gyro is None else len(gyro)
+        g = np.ascontiguousarray(gyro, np.float64) if gyro is not None else None
+        a = np.ascontiguousarray(accel, np.float64) if accel is not None else None
+        dt = np.ascontiguousarray(dts, np.float64) if dts is not None else None
+        out = np.zeros(24, np.float64)
+        vst = np.zeros(8, np.float64)
+        self._l.lio_process_image(
+            self._h, _ptr(pts), _ptr(toff), len(pts),
+            _ptr(g) if g is not None else None,
+            _ptr(a) if a is not None else None,
+            _ptr(dt) if dt is not None else None,
+            n_imu, sweep_dt, _ptr(img),
+            _ptr(d) if d is not None else None, _ptr(out), _ptr(vst),
+        )
+        return out[:16].reshape(4, 4), {
+            "reg_rms": out[16], "keyframe": bool(out[17]),
+            "loop_with": int(out[18]), "map_voxels": int(out[19]),
+            "points_used": int(out[20]),
+            "vio_rmse": vst[0], "vio_a": vst[1], "vio_b": vst[2],
+            "vio_tracked": int(vst[3]), "vio_spawned": int(vst[4]),
+            "vio_exposure": vst[6], "vio_warped": int(vst[7]),
         }
 
     @property

@@ -72,6 +72,13 @@ class Esikf {
   EsikfUpdateStats update_lidar(const VoxelPlaneMap& map,
                                 const double* pts_body, size_t n);
 
+  // 6-DoF pose measurement update (the VIO photometric branch fused
+  // loosely: the refined camera pose, mapped to the body frame, corrects
+  // [dtheta, dp] with the given measurement variances — the reference's
+  // handleVIO EKF update role, LIVMapper.cpp:640-658).
+  bool update_pose(const Mat3& r_meas, const Vec3& p_meas, double att_var,
+                   double pos_var);
+
   const ImuState& state() const { return nominal_; }
   ImuState& mutable_state() { return nominal_; }
   const double* covariance() const { return P_; }  // (18, 18) row-major

@@ -13,6 +13,7 @@
 #pragma once
 
 #include <cstddef>
+#include <memory>
 #include <vector>
 
 #include "holoagent/esikf.h"
@@ -20,6 +21,7 @@
 #include "holoagent/linalg.h"
 #include "holoagent/pose_graph.h"
 #include "holoagent/preprocess.h"
+#include "holoagent/vio.h"
 #include "holoagent/scan_context.h"
 #include "holoagent/voxel_plane_map.h"
 
@@ -63,6 +65,23 @@ class LioPipeline {
                               const double* accel, const double* dts,
                               size_t n_imu, double sweep_dt);
 
+  // Attach a camera: subsequent process_sweep_with_image calls run the VIO
+  // photometric branch after the LIO update and fuse the refined pose back
+  // into the filter (the reference's handleVIO dispatch,
+  // LIVMapper.cpp:640-658).  r_cb/t_cb: camera-in-body extrinsics.
+  void enable_vio(const PinholeCam& cam, const Mat3& r_cb, const Vec3& t_cb,
+                  double map_cell = 0.5, int max_per_cell = 8,
+                  int grid_px = 32);
+
+  // process_sweep followed by a VIO refinement on the attached camera frame
+  // (grayscale float [0,1], optional depth for point spawning).  vio_stats8
+  // (optional): [rmse, a, b, n_tracked, n_spawned, iters, exposure, n_warped].
+  LioStepResult process_sweep_with_image(
+      const float* xyz, const float* t_offset, size_t n_pts,
+      const double* gyro, const double* accel, const double* dts, size_t n_imu,
+      double sweep_dt, const float* img, const float* depth,
+      double* vio_stats8);
+
   size_t num_keyframes() const { return kf_poses_.size(); }
   void keyframe_pose(int i, double* pose16_out) const;
   const ImuState& state() const { return esikf_.state(); }
@@ -79,6 +98,10 @@ class LioPipeline {
   Vec3 last_kf_pos_;
   bool have_kf_ = false;
   bool initialized_ = false;
+  // optional VIO branch
+  std::unique_ptr<VioManager> vio_;
+  Mat3 r_cb_ = Mat3::identity();
+  Vec3 t_cb_{0, 0, 0};
 };
 
 }  // namespace holoagent

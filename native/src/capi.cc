@@ -303,6 +303,42 @@ void lio_process(void* h, const float* xyz, const float* t_offset, size_t n_pts,
   out24[20] = (double)res.points_used;
 }
 
+// Attach a camera to the pipeline (extrinsics r_cb (row-major 9), t_cb (3)).
+void lio_enable_vio(void* h, int w, int hh, double fx, double fy, double cx,
+                    double cy, const double* r_cb9, const double* t_cb3,
+                    double map_cell, int max_per_cell, int grid_px) {
+  holoagent::PinholeCam cam;
+  cam.width = w; cam.height = hh;
+  cam.fx = fx; cam.fy = fy; cam.cx = cx; cam.cy = cy;
+  Mat3 r;
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) r(i, j) = r_cb9[i * 3 + j];
+  static_cast<holoagent::LioPipeline*>(h)->enable_vio(
+      cam, r, Vec3{t_cb3[0], t_cb3[1], t_cb3[2]}, map_cell, max_per_cell,
+      grid_px);
+}
+
+// process_sweep + VIO branch (img/depth may be null -> plain LIO step).
+void lio_process_image(void* h, const float* xyz, const float* t_offset,
+                       size_t n_pts, const double* gyro, const double* accel,
+                       const double* dts, size_t n_imu, double sweep_dt,
+                       const float* img, const float* depth, double* out24,
+                       double* vio_stats8) {
+  auto res = static_cast<holoagent::LioPipeline*>(h)->process_sweep_with_image(
+      xyz, t_offset, n_pts, gyro, accel, dts, n_imu, sweep_dt, img, depth,
+      vio_stats8);
+  std::memset(out24, 0, 24 * sizeof(double));
+  for (int r = 0; r < 3; ++r)
+    for (int c = 0; c < 3; ++c) out24[r * 4 + c] = res.rot(r, c);
+  out24[3] = res.pos.x; out24[7] = res.pos.y; out24[11] = res.pos.z;
+  out24[15] = 1.0;
+  out24[16] = res.reg_rms;
+  out24[17] = res.keyframe ? 1.0 : 0.0;
+  out24[18] = res.loop_with;
+  out24[19] = (double)res.map_voxels;
+  out24[20] = (double)res.points_used;
+}
+
 size_t lio_num_keyframes(void* h) {
   return static_cast<holoagent::LioPipeline*>(h)->num_keyframes();
 }

@@ -109,6 +109,62 @@ void Esikf::apply_delta(const double dx[kEsikfDim]) {
   nominal_.gravity = nominal_.gravity + Vec3(dx[15], dx[16], dx[17]);
 }
 
+bool Esikf::update_pose(const Mat3& r_meas, const Vec3& p_meas,
+                        double att_var, double pos_var) {
+  // residual z = [Log(R^T R_meas), p_meas - p]; H = [I_3 0 ...; 0 I_3 0 ...]
+  const int D = kEsikfDim;
+  const Mat3 R = nominal_.rot.to_matrix();
+  const Mat3 dR = R.transpose() * r_meas;
+  const double tr = dR(0, 0) + dR(1, 1) + dR(2, 2);
+  const double c = std::min(1.0, std::max(-1.0, (tr - 1.0) * 0.5));
+  const double ang = std::acos(c);
+  Vec3 axis(dR(2, 1) - dR(1, 2), dR(0, 2) - dR(2, 0), dR(1, 0) - dR(0, 1));
+  if (ang > 1e-9) axis = axis * (ang / (2.0 * std::sin(ang)));
+  else axis = axis * 0.5;
+  double z[6] = {axis.x, axis.y, axis.z,
+                 p_meas.x - nominal_.pos.x, p_meas.y - nominal_.pos.y,
+                 p_meas.z - nominal_.pos.z};
+  // S = H P H^T + R  (top-left 6x6 of P plus measurement variances)
+  double S[36];
+  for (int i = 0; i < 6; ++i)
+    for (int j = 0; j < 6; ++j) S[i * 6 + j] = P_[i * D + j];
+  for (int i = 0; i < 3; ++i) S[i * 6 + i] += att_var;
+  for (int i = 3; i < 6; ++i) S[i * 6 + i] += pos_var;
+  double Sc[36];
+  std::memcpy(Sc, S, sizeof(S));
+  if (!cholesky_n(Sc, 6)) return false;
+  // K = P H^T S^-1  (18x6); compute S^-1 z and S^-1 (H P) columns
+  double Sinv_z[6];
+  cholesky_solve(Sc, z, Sinv_z, 6);
+  double dx[kEsikfDim];
+  for (int i = 0; i < D; ++i) {
+    double s = 0;
+    for (int j = 0; j < 6; ++j) s += P_[i * D + j] * Sinv_z[j];
+    dx[i] = s;
+  }
+  apply_delta(dx);
+  // P <- (I - K H) P : K = P[:, :6] Sinv; (KH P) = K (P[:6, :])
+  double Sinv_HP[6 * kEsikfDim];  // S^-1 (H P) = S^-1 P[:6, :]
+  for (int col = 0; col < D; ++col) {
+    double rhs[6], sol[6];
+    for (int j = 0; j < 6; ++j) rhs[j] = P_[j * D + col];
+    cholesky_solve(Sc, rhs, sol, 6);
+    for (int j = 0; j < 6; ++j) Sinv_HP[j * D + col] = sol[j];
+  }
+  double Pn[kEsikfDim * kEsikfDim];
+  for (int i = 0; i < D; ++i)
+    for (int col = 0; col < D; ++col) {
+      double s = 0;
+      for (int j = 0; j < 6; ++j) s += P_[i * D + j] * Sinv_HP[j * D + col];
+      Pn[i * D + col] = P_[i * D + col] - s;
+    }
+  // symmetrize
+  for (int i = 0; i < D; ++i)
+    for (int col = 0; col < D; ++col)
+      P_[i * D + col] = 0.5 * (Pn[i * D + col] + Pn[col * D + i]);
+  return true;
+}
+
 EsikfUpdateStats Esikf::update_lidar(const VoxelPlaneMap& map,
                                      const double* pts_body, size_t n) {
   EsikfUpdateStats stats;

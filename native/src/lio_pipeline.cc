@@ -227,4 +227,45 @@ void LioPipeline::keyframe_pose(int i, double* pose16_out) const {
   pg_.get_pose(pg_ids_[i], pose16_out);
 }
 
+
+void LioPipeline::enable_vio(const PinholeCam& cam, const Mat3& r_cb,
+                             const Vec3& t_cb, double map_cell,
+                             int max_per_cell, int grid_px) {
+  vio_ = std::make_unique<VioManager>(cam, map_cell, max_per_cell, grid_px);
+  r_cb_ = r_cb;
+  t_cb_ = t_cb;
+}
+
+LioStepResult LioPipeline::process_sweep_with_image(
+    const float* xyz, const float* t_offset, size_t n_pts, const double* gyro,
+    const double* accel, const double* dts, size_t n_imu, double sweep_dt,
+    const float* img, const float* depth, double* vio_stats8) {
+  LioStepResult res = process_sweep(xyz, t_offset, n_pts, gyro, accel, dts,
+                                    n_imu, sweep_dt);
+  if (!vio_ || !img) return res;
+  // camera pose prior from the LIO-updated body state
+  const Mat3 r_wb = esikf_.state().rot.to_matrix();
+  const Vec3 p_wb = esikf_.state().pos;
+  const Mat3 r_wc = r_wb * r_cb_;
+  const Vec3 p_wc = r_wb * t_cb_ + p_wb;
+  VioResult vr = vio_->process_frame(img, depth, r_wc, p_wc, 10);
+  if (vio_stats8) {
+    vio_stats8[0] = vr.rmse; vio_stats8[1] = vr.affine_a;
+    vio_stats8[2] = vr.affine_b; vio_stats8[3] = vr.n_tracked;
+    vio_stats8[4] = vr.n_spawned; vio_stats8[5] = vr.iters;
+    vio_stats8[6] = vr.exposure; vio_stats8[7] = vr.n_warped;
+  }
+  // fuse the refined camera pose back as a body-pose measurement; variance
+  // scales with the photometric residual (weak when texture is poor)
+  if (vr.n_tracked >= 12 && vr.rmse >= 0) {
+    const Mat3 r_meas = vr.rot * r_cb_.transpose();
+    const Vec3 p_meas = vr.trans - r_meas * t_cb_;
+    const double q = std::max(vr.rmse, 0.01);
+    esikf_.update_pose(r_meas, p_meas, 4e-4 * q * 100.0, 1e-3 * q * 100.0);
+    res.rot = esikf_.state().rot.to_matrix();
+    res.pos = esikf_.state().pos;
+  }
+  return res;
+}
+
 }  // namespace holoagent

@@ -516,3 +516,58 @@ def test_vio_patch_warping_under_rotation(rng):
     err_t = np.linalg.norm(pose2[:3, 3] - p2[:3, 3])
     assert err_t < 0.01, (err_t, st2)
     assert "exposure" in st2
+
+
+def test_livo_fused_pipeline(rng):
+    """LIVO: the VIO branch fuses into the ESIKF after each LIO update
+    (reference handleVIO dispatch, LIVMapper.cpp:640-658).  With a textured
+    down-looking camera the fused trajectory stays on track and the VIO
+    stats flow through."""
+    from holoagent_tpu.native import LioPipeline
+
+    lio = LioPipeline(
+        map_voxel=0.4, keyframe_dist=0.5, blind_radius=0.2, sc_exclude_recent=3,
+    )
+    gyro = rng.normal(0, 1e-4, (100, 3))
+    accel = np.tile([0.0, 0.0, 9.81], (100, 1)) + rng.normal(0, 1e-3, (100, 3))
+    lio.init_static(gyro, accel)
+    # camera looks straight down from the body (r_cb maps camera axes to
+    # body: cam +z -> body -z, cam x -> body x, cam y -> body -y)
+    r_cb = np.diag([1.0, -1.0, -1.0])
+    t_cb = np.zeros(3)
+    lio.enable_vio(160, 120, 120.0, 120.0, 79.5, 59.5, r_cb=r_cb, t_cb=t_cb,
+                   map_cell=0.3, grid_px=24)
+
+    # ground plane texture is at z = -2 (the body travels at z = 0 looking
+    # down 2 m); render from the true camera pose each step
+    def cam_pose(x):
+        T = np.eye(4)
+        T[:3, :3] = r_cb
+        T[:3, 3] = [x, 0.0, 0.0]
+        return T
+
+    est = []
+    tracked = []
+    for k in range(8):
+        x = 0.1 * k
+        scan = _room_scan(rng, np.array([x, 0.0, 0.0]), 0.0)
+        # plane renderer intersects z=0 in CAMERA world; shift so the plane
+        # sits 2 m below the camera
+        pc = cam_pose(x)
+        pc_r = pc.copy()
+        pc_r[2, 3] = 2.0  # camera 2 m above the rendered plane
+        img, depth = _render_plane(rng, pc_r)
+        g = rng.normal(0, 1e-4, (10, 3))
+        a = np.tile([0.0, 0.0, 9.81], (10, 1))
+        dts = np.full(10, 0.01)
+        pose, st = lio.process_sweep_with_image(
+            scan, img, gyro=g, accel=a, dts=dts, sweep_dt=0.1, depth=depth,
+        )
+        est.append(pose[:3, 3].copy())
+        tracked.append(st["vio_tracked"])
+        assert "vio_exposure" in st
+    est = np.asarray(est)
+    gt = np.stack([[0.1 * k, 0.0, 0.0] for k in range(8)])
+    err = np.linalg.norm(est[1:] - gt[1:], axis=1)
+    assert err.max() < 0.3, (err, tracked)
+    assert max(tracked) > 10  # the visual map engaged
