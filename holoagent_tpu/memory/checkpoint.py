@@ -54,3 +54,19 @@ def load_mapper_state(path: str | Path) -> Tuple[SceneState, InstanceSet]:
         inst_d["ccount"] = jax.numpy.zeros((i_cap,), jax.numpy.int32)
     inst = InstanceSet(**inst_d)
     return scene, inst
+
+
+def save_params(path, params) -> None:
+    """Persist a model parameter pytree (CLIP/SAM/VLM — e.g. a distilled or
+    converted checkpoint) as an orbax array store."""
+    p = Path(path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(p, params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params(path):
+    """Restore a parameter pytree saved by save_params (arrays as jnp)."""
+    p = Path(path).resolve()
+    restored = ocp.StandardCheckpointer().restore(p)
+    return jax.tree.map(jax.numpy.asarray, restored)

@@ -68,6 +68,10 @@ class ContinuousBatcher:
         tokenizer: Optional[SimpleTokenizer] = None,
         max_batch: int = 8,
         dtype=jnp.bfloat16,
+        mesh=None,  # sequence-parallel prefill over the mesh's data axis for
+        # prompts longer than sp_threshold tokens (SURVEY.md §5.7 gallery
+        # prompts); decode stays single-program on the replicated cache
+        sp_threshold: int = 512,
     ):
         self.params = vlm_params
         self.clip_params = clip_params
@@ -75,6 +79,8 @@ class ContinuousBatcher:
         self.tok = tokenizer or SimpleTokenizer()
         self.max_batch = max_batch
         self.dtype = dtype
+        self.mesh = mesh
+        self.sp_threshold = sp_threshold
         self.cache = vlm_mod.init_cache(variant, max_batch, dtype)
         self.slots = [_Slot() for _ in range(max_batch)]
         self.current = jnp.zeros((max_batch,), jnp.int32)
@@ -134,16 +140,27 @@ class ContinuousBatcher:
                 self.v, max_len=self.v.max_seq - req.max_new_tokens - 1,
                 dtype=self.dtype,
             )
-            # per-slot prefill (batch of 1 into this slot's cache rows)
-            sub_cache = vlm_mod.KVCache(
-                k=self.cache.k[:, i : i + 1],
-                v=self.cache.v[:, i : i + 1],
-                length=self.cache.length[i : i + 1],
-            )
-            logits, sub_cache = vlm_mod.prefill(
-                self.params, emb[None], jnp.asarray([n], jnp.int32), sub_cache,
-                self.v, dtype=self.dtype,
-            )
+            # per-slot prefill (batch of 1 into this slot's cache rows);
+            # long prompts go sequence-parallel over the mesh when attached
+            if (
+                self.mesh is not None
+                and n >= self.sp_threshold
+                and self.v.arch == "gpt"
+            ):
+                logits, sub_cache = vlm_mod.prefill_sp(
+                    self.params, emb[None], jnp.asarray([n], jnp.int32),
+                    self.v, self.mesh, dtype=self.dtype,
+                )
+            else:
+                sub_cache = vlm_mod.KVCache(
+                    k=self.cache.k[:, i : i + 1],
+                    v=self.cache.v[:, i : i + 1],
+                    length=self.cache.length[i : i + 1],
+                )
+                logits, sub_cache = vlm_mod.prefill(
+                    self.params, emb[None], jnp.asarray([n], jnp.int32),
+                    sub_cache, self.v, dtype=self.dtype,
+                )
             self.cache = vlm_mod.KVCache(
                 k=self.cache.k.at[:, i].set(sub_cache.k[:, 0]),
                 v=self.cache.v.at[:, i].set(sub_cache.v[:, 0]),

@@ -67,3 +67,23 @@ def test_full_vocabularies_load():
         assert all(isinstance(x, str) and x for x in v)
     assert "wall" in load_vocabulary("HM3DSEM")
     assert "kitchen" in load_vocabulary("HM3DSEM_ROOMS")
+
+
+def test_model_params_checkpoint_roundtrip(tmp_path):
+    """save_params/load_params round-trips a VLM parameter pytree (the
+    persistence path for distilled / converted checkpoints)."""
+    import jax
+    import numpy as np
+
+    from holoagent_tpu.memory.checkpoint import load_params, save_params
+    from holoagent_tpu.models import vlm as vlm_mod
+
+    v = vlm_mod.VARIANTS["test-tiny"]
+    params = vlm_mod.init_vlm(jax.random.key(0), v)
+    save_params(tmp_path / "vlm_ckpt", params)
+    back = load_params(tmp_path / "vlm_ckpt")
+    flat1 = jax.tree.leaves(params)
+    flat2 = jax.tree.leaves(back)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

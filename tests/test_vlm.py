@@ -261,3 +261,23 @@ def test_prefill_sp_matches_single_device(models):
     l1, _ = vlm_mod.decode_step(vlm_p, tok, ref_cache, jnp.ones((b,), bool), TV, dtype=jnp.float32)
     l2, _ = vlm_mod.decode_step(vlm_p, tok, sp_cache, jnp.ones((b,), bool), TV, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=2e-4, rtol=2e-4)
+
+
+def test_batcher_sp_prefill_matches(models):
+    """With a mesh attached and the prompt over sp_threshold, the batcher's
+    sequence-parallel prefill must generate the same tokens as the
+    single-device engine."""
+    from holoagent_tpu.config import MeshConfig
+    from holoagent_tpu.parallel import make_mesh
+
+    vlm_p, clip_p = models
+    mesh = make_mesh(MeshConfig(data=-1, model=1))
+    prompt = "find the chair near the window in the living room please"
+    b0 = ContinuousBatcher(vlm_p, clip_p, TV, max_batch=2, dtype=jnp.float32)
+    ref = b0.generate(prompt, max_new_tokens=5)
+    b1 = ContinuousBatcher(
+        vlm_p, clip_p, TV, max_batch=2, dtype=jnp.float32, mesh=mesh,
+        sp_threshold=4,  # force the SP path
+    )
+    out = b1.generate(prompt, max_new_tokens=5)
+    assert out == ref
