@@ -354,3 +354,130 @@ def to_scene(sharded: ShardedScene) -> SceneState:
         feat_count=jnp.asarray(jax.device_get(sharded.feat_count)),
         num=jnp.int32(int(jax.device_get(sharded.num).sum())),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end multi-chip mapping driver
+# ---------------------------------------------------------------------------
+
+
+class ShardedMapper:
+    """Multi-chip streaming mapper: DP-over-frames extraction + sharded scene.
+
+    The full-slice composition of the mapping pipeline (SURVEY.md §2.4 +
+    §5.8): frame batches extract data-parallel over the mesh
+    (perception.extract_frames_dp), every frame's points/features then fuse
+    into the row-sharded voxel scene via the all_to_all aggregate exchange
+    above.  Instance lifting/merging runs on the gathered scene at finalize
+    (its 2048-row sets are small; the per-frame heavy stages are what shard).
+
+    finalize() returns a mapping.MappedScene, so HMSG construction and
+    everything downstream is unchanged.
+    """
+
+    def __init__(self, cfg, clip_params, sam_params, mesh,
+                 clip_variant=None, sam_variant=None):
+        from ..models import clip as clip_mod
+        from ..models import sam as sam_mod
+
+        self.cfg = cfg
+        self.mesh = mesh
+        self.clip_params = clip_params
+        self.sam_params = sam_params
+        self.cv = clip_variant or clip_mod.VARIANTS[cfg.models.clip.type]
+        self.sv = sam_variant or sam_mod.VARIANTS[cfg.models.sam.type]
+        p = cfg.pipeline
+        self.grid = GridSpec.centered(p.voxel_size)
+        n = mesh.shape["data"]
+        cap_local = -(-p.point_capacity // n)  # ceil split per shard
+        self.scene = init_sharded_scene(self.grid, cap_local, self.cv.embed_dim, mesh)
+        self.keyframes = []
+        self._kf_feats = []
+        self._frame_masks = []  # (masks_flat, valid, f_masks, rows, pts) per frame
+
+    def process_batch(self, frames) -> None:
+        """Integrate a batch of frames (len divisible by the mesh data axis)."""
+        import numpy as np
+
+        from ..ops.backproject import backproject
+        from ..perception.extractor import extract_frames_dp
+        from ..utils.camera import Pinhole
+
+        cfg = self.cfg
+        images = jnp.asarray(np.stack([f.rgb for f in frames]))
+        ff = extract_frames_dp(
+            self.clip_params, self.sam_params, images, self.cv, self.sv,
+            self.mesh,
+            points_per_side=cfg.models.sam.points_per_side,
+            pred_iou_thresh=cfg.models.sam.pred_iou_thresh,
+            stability_thresh=cfg.models.sam.stability_score_thresh,
+            min_area=float(cfg.models.sam.min_mask_region_area),
+            max_masks=cfg.models.sam.max_masks,
+            masked_weight=cfg.pipeline.clip_masked_weight,
+            bbox_margin=float(cfg.pipeline.clip_bbox_margin),
+        )
+        for j, frame in enumerate(frames):
+            cam = Pinhole.from_matrix(frame.k)
+            pts, cols, valid = backproject(
+                jnp.asarray(frame.depth), jnp.asarray(frame.rgb), cam,
+                jnp.asarray(frame.pose), 1e-3, cfg.main.depth_cut,
+            )
+            self.scene, rows = insert_points_sharded(
+                self.scene, pts, cols, valid, self.mesh
+            )
+            m = ff.masks.shape[1]
+            masks_flat = ff.masks[j].reshape(m, -1)
+            self.scene = fuse_pixel_features_sharded(
+                self.scene, rows, masks_flat, ff.valid[j], ff.f_masks[j],
+                self.mesh,
+            )
+            self._frame_masks.append(
+                (masks_flat, ff.valid[j], ff.f_masks[j], rows, pts)
+            )
+            self.keyframes.append(frame)
+            self._kf_feats.append(jax.device_get(ff.f_global[j]))
+
+    def finalize(self):
+        """Gather the shards and run the instance merge fold on the global
+        scene (rows handed out by insert are already global ids)."""
+        import numpy as np
+
+        from ..ops.density import radius_density_keep
+        from .mapping import MappedScene, refine_instance_features
+        from . import instances as inst_mod
+
+        scene = to_scene(self.scene)
+        p = self.cfg.pipeline
+        inst = inst_mod.empty_instances(
+            p.instance_capacity, p.mask_point_capacity, self.cv.embed_dim
+        )
+        for masks_flat, valid, f_masks, rows, pts in self._frame_masks:
+            n_pix = masks_flat.shape[1]
+            stride = p.instance_pixel_stride or max(1, n_pix // 32768)
+            finst = inst_mod.frame_instances(
+                masks_flat, valid, f_masks, rows, pts, min_rows=3,
+                k_cap=p.mask_point_capacity, stride=stride, grid=self.grid,
+            )
+            inst = inst_mod.seq_merge_step(
+                inst, finst, p.init_overlap_thresh, p.iou_thresh,
+                bbox_pad=0.5 * p.voxel_size, coarse_only=True,
+            )
+        inst = inst_mod.merge_round(
+            inst, p.init_overlap_thresh, p.iou_thresh,
+            out_cap=inst.rows.shape[0], bbox_pad=0.5 * p.voxel_size,
+            coarse_only=True,
+        )
+        keep = inst.count >= 10
+        inst = inst._replace(valid=inst.valid & keep)
+        feats = refine_instance_features(scene, inst, eps=p.feature_dbscan_eps)
+        density = radius_density_keep(
+            scene.points(), scene.valid(), scene.count,
+            radius=1.0, min_neighbors=1000.0,
+        )
+        return MappedScene(
+            scene=scene, instances=inst, instance_feats=feats,
+            keyframes=list(self.keyframes),
+            keyframe_feats=jnp.asarray(np.stack(self._kf_feats))
+            if self._kf_feats else None,
+            density_keep=density,
+        )

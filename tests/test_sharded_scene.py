@@ -107,3 +107,70 @@ def test_sharded_rows_stable_across_reinsert(rng):
     # counts doubled
     total = float(np.asarray(shard.count).sum())
     assert total == 2 * float(np.asarray(valid).sum())
+
+
+def test_sharded_mapper_end_to_end(rng):
+    """ShardedMapper (DP extraction + sharded scene fusion) must reproduce
+    the single-device Mapper's fused scene and feed HMSG construction."""
+    import jax as _jax
+
+    from holoagent_tpu.config import from_dict
+    from holoagent_tpu.dataloader import SyntheticDataset
+    from holoagent_tpu.memory.hmsg import HMSGraph
+    from holoagent_tpu.memory.mapping import Mapper
+    from holoagent_tpu.models import clip as clip_mod
+    from holoagent_tpu.models import sam as sam_mod
+
+    cfg = from_dict(
+        {
+            "models": {
+                "clip": {"type": "test-tiny", "dtype": "float32"},
+                "sam": {
+                    "type": "test-tiny", "points_per_side": 4,
+                    "pred_iou_thresh": -10.0, "stability_score_thresh": 0.0,
+                    "min_mask_region_area": 20, "max_masks": 8,
+                },
+            },
+            "pipeline": {
+                "voxel_size": 0.08, "grid_resolution": 0.08,
+                "point_capacity": 1 << 14, "mask_point_capacity": 512,
+                "instance_capacity": 64, "skip_frames": 1,
+            },
+        }
+    )
+    mesh = make_mesh(MeshConfig(data=-1, model=1))
+    nd = mesh.shape["data"]
+    ds = SyntheticDataset(num_frames=nd, hw=(48, 64))
+    clip_p = clip_mod.init_clip(jax.random.key(0), clip_mod.VARIANTS["test-tiny"])
+    sam_p = sam_mod.init_sam(jax.random.key(1), sam_mod.VARIANTS["test-tiny"])
+
+    ref = Mapper(cfg, clip_p, sam_p)
+    for i in range(len(ds)):
+        ref.process_frame(ds[i])
+    ref_mapped = ref.finalize()
+
+    sm = ss.ShardedMapper(cfg, clip_p, sam_p, mesh)
+    sm.process_batch([ds[i] for i in range(len(ds))])
+    mapped = sm.finalize()
+
+    # per-voxel-key point/color aggregates identical
+    def agg(scene):
+        key = np.asarray(scene.key)
+        cnt = np.asarray(scene.count)
+        out = {}
+        for i in np.nonzero(cnt > 0)[0]:
+            out[int(key[i])] = (cnt[i], np.asarray(scene.sum_pts[i]))
+        return out
+
+    a, b = agg(mapped.scene), agg(ref_mapped.scene)
+    assert set(a) == set(b)
+    for k in b:
+        np.testing.assert_allclose(a[k][0], b[k][0], atol=1e-4)
+        np.testing.assert_allclose(a[k][1], b[k][1], atol=1e-3, rtol=1e-4)
+    # instance counts agree and the graph builds from the sharded result
+    n_ref = int(np.asarray(ref_mapped.instances.valid).sum())
+    n_sh = int(np.asarray(mapped.instances.valid).sum())
+    assert abs(n_ref - n_sh) <= max(2, n_ref // 2), (n_ref, n_sh)
+    lf = np.eye(4, clip_mod.VARIANTS["test-tiny"].embed_dim, dtype=np.float32)
+    g = HMSGraph.build(mapped, cfg, lf, ["a", "b", "c", "d"])
+    assert len(g.floors) >= 1
