@@ -40,6 +40,11 @@ void lio_destroy(void*);
 void lio_init_static(void*, const double*, const double*, size_t);
 void lio_process(void*, const float*, const float*, size_t, const double*,
                  const double*, const double*, size_t, double, double*);
+void lio_enable_vio(void*, int, int, double, double, double, double,
+                    const double*, const double*, double, int, int);
+void lio_process_image(void*, const float*, const float*, size_t,
+                       const double*, const double*, const double*, size_t,
+                       double, const float*, const float*, double*, double*);
 size_t lio_num_keyframes(void*);
 void lio_keyframe_pose(void*, int, double*);
 int wheel_update(double*, const double*, double, double, double);
@@ -94,7 +99,7 @@ int main() {
   std::vector<float> img(64 * 48), dep(64 * 48, 2.0f);
   for (int i = 0; i < 64 * 48; ++i) img[i] = 0.5f + 0.3f * std::sin(i * 0.37f);
   double vp[16] = {1,0,0,0, 0,1,0,0, 0,0,1,2, 0,0,0,1};
-  double stats[6];
+  double stats[8];
   vio_process(vio, img.data(), dep.data(), vp, 8, stats);
   vio_process(vio, img.data(), nullptr, vp, 8, stats);
   vio_destroy(vio);
@@ -128,6 +133,16 @@ int main() {
     double kf16[16];
     lio_keyframe_pose(lio, 99, kf16);  // out-of-range -> identity, no UB
     if (lio_num_keyframes(lio) > 0) lio_keyframe_pose(lio, 0, kf16);
+    // LIVO branch: attach a camera, run the fused step (pose update + warp)
+    double rcb[9] = {1,0,0, 0,-1,0, 0,0,-1}, tcb[3] = {0,0,0};
+    lio_enable_vio(lio, 64, 48, 50, 50, 31.5, 23.5, rcb, tcb, 0.5, 8, 16);
+    std::vector<float> img2(64 * 48), dep2(64 * 48, 2.0f);
+    for (int i = 0; i < 64 * 48; ++i) img2[i] = 0.5f + 0.3f * std::sin(i * 0.53f);
+    double vst8[8];
+    lio_process_image(lio, scan.data(), st2.data(), 600, g2.data(), a2.data(),
+                      dt2.data(), 10, 0.1, img2.data(), dep2.data(), out24, vst8);
+    lio_process_image(lio, scan.data(), st2.data(), 600, nullptr, nullptr,
+                      nullptr, 0, 0.1, img2.data(), nullptr, out24, vst8);
     lio_destroy(lio);
   }
   // constraints
@@ -144,9 +159,7 @@ int main() {
 EOF
 g++ -O1 -g -std=c++17 -fsanitize=address -fno-omit-frame-pointer -Iinclude \
     build-asan/sanity_main.cc \
-    src/scan_context.cc src/voxel_plane_map.cc src/imu.cc src/velocity_bridge.cc \
-    src/registration.cc src/preprocess.cc src/pose_graph.cc src/vio.cc \
-    src/constraints.cc src/lio_pipeline.cc src/capi.cc \
+    src/*.cc \
     -o build-asan/sanity
 ./build-asan/sanity
 echo "ASan: clean"
