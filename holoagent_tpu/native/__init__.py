@@ -179,6 +179,10 @@ def _load() -> C.CDLL:
     lib.esikf_update_lidar.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_size_t, C.c_void_p,
     ]
+    lib.esikf_update_pose.restype = C.c_int
+    lib.esikf_update_pose.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_double, C.c_double,
+    ]
     lib.esikf_get_state.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p]
     # measurement sync
     lib.msync_create.restype = C.c_void_p
@@ -769,6 +773,15 @@ class Esikf:
             "used": int(out[0]), "iterations": int(out[1]),
             "rms": float(out[2]), "ok": bool(out[3]),
         }
+
+    def update_pose(self, rot: np.ndarray, pos, att_var: float = 1e-3,
+                    pos_var: float = 1e-3) -> bool:
+        """6-DoF pose measurement update (the VIO fusion hook; reference
+        handleVIO EKF update role)."""
+        r = np.ascontiguousarray(rot, np.float64).reshape(9)
+        t = np.ascontiguousarray(pos, np.float64)
+        return bool(self._l.esikf_update_pose(self._h, _ptr(r), _ptr(t),
+                                              att_var, pos_var))
 
     @property
     def state(self):

@@ -408,6 +408,17 @@ void esikf_update_lidar(void* h, void* map_h, const double* pts_body, size_t n,
   out4[3] = st.ok ? 1.0 : 0.0;
 }
 
+// 6-DoF pose measurement update (r9 row-major rotation, p3 position).
+int esikf_update_pose(void* h, const double* r9, const double* p3,
+                      double att_var, double pos_var) {
+  Mat3 r;
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) r(i, j) = r9[i * 3 + j];
+  return static_cast<holoagent::Esikf*>(h)->update_pose(
+             r, Vec3{p3[0], p3[1], p3[2]}, att_var, pos_var)
+             ? 1 : 0;
+}
+
 void esikf_get_state(void* h, double* state19, double* cov324) {
   const auto* f = static_cast<holoagent::Esikf*>(h);
   const ImuState& s = f->state();

@@ -211,3 +211,25 @@ def test_classify_line_features_flags_corner(rng):
     assert tag[corner] == 2
     mid_wall = 20
     assert tag[mid_wall] == 1
+
+
+def test_esikf_pose_update_corrects_drift(rng):
+    """A 6-DoF pose measurement (the VIO fusion hook) pulls a drifted filter
+    back toward the measured pose and contracts the covariance."""
+    from holoagent_tpu.native import Esikf
+
+    f = Esikf()
+    f.reset(pos=(0, 0, 0))
+    # propagate with biased gyro/accel -> drift + covariance growth
+    for _ in range(50):
+        f.propagate(np.array([0.02, -0.01, 0.03]), np.array([0.3, -0.2, 9.81]), 0.01)
+    st = f.state
+    drift = np.linalg.norm(np.asarray(st["pos"]))
+    assert drift > 1e-4
+    p_before = np.trace(np.asarray(st["cov"])[:6, :6])
+    ok = f.update_pose(np.eye(3), np.zeros(3), att_var=1e-6, pos_var=1e-6)
+    assert ok
+    st2 = f.state
+    assert np.linalg.norm(np.asarray(st2["pos"])) < 0.1 * max(drift, 1e-9)
+    p_after = np.trace(np.asarray(st2["cov"])[:6, :6])
+    assert p_after < p_before
