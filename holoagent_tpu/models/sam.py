@@ -604,25 +604,33 @@ def generate_masks(
     # multimask: drop token 0 (single-mask head), keep 1..3
     logits = logits[:, 1:].reshape(-1, logits.shape[-2], logits.shape[-1])
     scores = iou_pred[:, 1:].reshape(-1)
-    # upsample logits to output res
-    logits = jax.image.resize(
-        logits, (logits.shape[0], mask_hw[0], mask_hw[1]), method="linear"
-    )
+    # filter + NMS + top-k at DECODER resolution, then upsample only the kept
+    # budget: stability/area/box passes over all 3*P candidates at full frame
+    # res cost ~6x the kept-set work (432 vs 64 masks at VGA, measured ~12 ms
+    # on v5e); thresholds scale by the pixel-area ratio
+    lh, lw = logits.shape[-2], logits.shape[-1]
+    area_scale = (mask_hw[0] * mask_hw[1]) / float(lh * lw)
     stab = mask_ops.stability_scores(logits)
-    binm = logits > 0.0
-    areas = mask_ops.mask_areas(binm)
+    bin_lo = logits > 0.0
+    areas = mask_ops.mask_areas(bin_lo) * area_scale
     ok = (scores > pred_iou_thresh) & (stab > stability_thresh) & (areas > min_area)
-    boxes = mask_ops.boxes_from_masks(binm)
-    keep = mask_ops.nms(boxes, scores, ok, nms_iou)
-    # select top max_masks kept candidates by score
+    boxes_lo = mask_ops.boxes_from_masks(bin_lo)
+    keep = mask_ops.nms(boxes_lo, scores, ok, nms_iou)
     sel_scores = jnp.where(keep, scores, -jnp.inf)
     top_s, top_i = jax.lax.top_k(sel_scores, max_masks)
     out_valid = jnp.isfinite(top_s)
+    logits_k = jax.image.resize(
+        logits[top_i], (max_masks, mask_hw[0], mask_hw[1]), method="linear"
+    )
+    binm = logits_k > 0.0
+    sx = mask_hw[1] / float(lw)
+    sy = mask_hw[0] / float(lh)
+    boxes = boxes_lo[top_i] * jnp.asarray([sx, sy, sx, sy], boxes_lo.dtype)
     return {
-        "masks": binm[top_i] & out_valid[:, None, None],
-        "logits": logits[top_i],
+        "masks": binm & out_valid[:, None, None],
+        "logits": logits_k,
         "scores": jnp.where(out_valid, top_s, 0.0),
-        "boxes": boxes[top_i],
+        "boxes": boxes,
         "valid": out_valid,
         "num": jnp.sum(out_valid.astype(jnp.int32)),
     }
