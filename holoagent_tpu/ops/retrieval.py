@@ -92,3 +92,30 @@ def class_filtered_topk(
     )
     scores = jnp.where(eligible, scores, -jnp.inf)
     return jax.lax.top_k(scores, k)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def negative_prompt_topk(
+    gallery: jnp.ndarray,  # (N, D) object embeddings (padded rows allowed)
+    gallery_valid: jnp.ndarray,  # (N,)
+    text_feats: jnp.ndarray,  # (C, D): row `query_id` is the query class
+    query_id: jnp.ndarray,  # scalar int32
+    k: int,
+):
+    """The engine's exact fast-path semantics (query.engine.query_object,
+    reference graph.py:3081-3161) as one fused device program: compute the
+    (C, N) similarity, gate objects whose argmax class is the query, rank the
+    eligible by their max class similarity; when nothing is eligible, fall
+    back to ranking everything by the query-row similarity.  Returns
+    (scores (k,) — the query-row similarity of each pick, indices (k,))."""
+    sim = jnp.einsum(
+        "cd,nd->cn", text_feats, gallery, preferred_element_type=jnp.float32
+    )
+    cls = jnp.argmax(sim, axis=0)
+    eligible = gallery_valid & (cls == query_id)
+    any_eligible = jnp.any(eligible)
+    rank_elig = jnp.where(eligible, jnp.max(sim, axis=0), -jnp.inf)
+    rank_fallback = jnp.where(gallery_valid, sim[query_id], -jnp.inf)
+    rank = jnp.where(any_eligible, rank_elig, rank_fallback)
+    _, idx = jax.lax.top_k(rank, k)
+    return sim[query_id][idx], idx

@@ -168,6 +168,29 @@ class FSRQueryEngine:
             obj_rooms = [room_index.get(o.room_id, -1) for o in objects]
         if not objects:
             return [], [], []
+        if (
+            not room_ids
+            and negative_prompt
+            and len(objects) >= 512
+            and self._obj_embs.shape[0] == len(objects)
+        ):
+            # large floor-wide galleries score on-device: one fused
+            # matmul/argmax/top-k (ops.retrieval.negative_prompt_topk, the
+            # 95k-QPS VPR primitive) instead of host numpy
+            from ..ops.retrieval import negative_prompt_topk
+
+            k = min(top_k, len(objects))
+            scores_d, idx_d = negative_prompt_topk(
+                self._obj_embs,
+                jnp.ones((len(objects),), bool),
+                jnp.asarray(tf),
+                jnp.int32(query_id),
+                k,
+            )
+            order = np.asarray(idx_d)[:k]
+            sim_q = np.asarray(scores_d)[:k]
+            out_rooms = [obj_rooms[i] for i in order]
+            return [int(i) for i in order], out_rooms, [float(s) for s in sim_q]
         embs = np.stack([np.asarray(o.embedding, np.float32) for o in objects])
         sim = tf @ embs.T  # (C, O)
         order = np.argsort(-sim[query_id])[:top_k]

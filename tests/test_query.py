@@ -386,3 +386,48 @@ def test_oracle_distill_pairs():
     ans = {(p[1][0], p[0].split(" a ")[1].split(" in")[0]): p[2] for p in pairs}
     assert ans[(0, "mug")] == "yes" and ans[(0, "towel")] == "no"
     assert ans[(2, "towel")] == "yes" and ans[(2, "mug")] == "no"
+
+
+def test_device_retrieval_matches_numpy_path():
+    """Large floor-wide galleries (>=512 objects) score on-device via
+    ops.retrieval.negative_prompt_topk; results must match the host numpy
+    semantics exactly (class-argmax gate, max-class ranking)."""
+    rng = np.random.default_rng(3)
+    d = 32
+    g = HMSGraph()
+    fl = Floor("0", name="floor_0")
+    fl.floor_zero_level, fl.floor_height = 0.0, 2.5
+    fl.pcd_points = np.zeros((4, 3))
+    fl.pcd_colors = np.zeros((4, 3))
+    fl.vertices = np.zeros((8, 3))
+    g.floors.append(fl)
+    r = Room("0_0", "0", name="living room")
+    r.pcd_points = np.zeros((4, 3)); r.pcd_colors = np.zeros((4, 3))
+    r.vertices = np.zeros((4, 2)); r.room_zero_level, r.room_height = 0.0, 2.5
+    fl.add_room(r); g.rooms.append(r)
+    n = 600
+    embs = rng.normal(0, 1, (n, d)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=-1, keepdims=True)
+    for i in range(n):
+        o = Object(f"0_0_{i}", "0_0", name=f"obj{i}")
+        o.pcd_points = np.zeros((3, 3)); o.pcd_colors = np.zeros((3, 3))
+        o.vertices = np.zeros((3, 2)); o.embedding = embs[i]
+        r.add_object(o); g.objects.append(o)
+    g._build_nx()
+
+    eng = FakeTextEngine(g, clip_params=None, tokenizer=None,
+                         variant=clip_mod.VARIANTS["test-tiny"])
+    idx, rooms, scores = eng.query_object(
+        "lamp", floor_id=-1, top_k=5, negative_prompt=["background", "mug"]
+    )
+    # reference numpy computation with the same text features
+    tf = eng.text_feats(["lamp", "background", "mug"])
+    sim = tf @ embs.T
+    cls = np.argmax(sim, axis=0)
+    eligible = np.where(cls == 0)[0]
+    if len(eligible):
+        want = eligible[np.argsort(-np.max(sim, axis=0)[eligible])][:5]
+    else:
+        want = np.argsort(-sim[0])[:5]
+    assert list(idx) == [int(i) for i in want], (idx, want[:5])
+    np.testing.assert_allclose(scores, sim[0][want], atol=1e-4)
