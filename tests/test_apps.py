@@ -83,3 +83,25 @@ def test_render_pcd_on_image():
     np.testing.assert_allclose(img[24, 32], [1.0, 0, 0])  # near wins
     # x=0.5 at z=1 -> u = 100*0.5 + 32 = 82 -> out of 64-wide image: clipped
     assert img.sum() == 1.0  # only the one visible pixel painted
+
+
+def test_long_query_bench(built_graph, tmp_path):
+    """Long-query benchmark loop: GT-generated hierarchical queries through
+    the engine, multi-answer scoring, report in the repo schema."""
+    from holoagent_tpu.apps import long_query_bench
+    from holoagent_tpu.dataloader import SyntheticScene
+    from holoagent_tpu.eval import gt_from_synthetic
+
+    cfg, graph_dir = built_graph
+    gt = gt_from_synthetic(SyntheticScene.two_room())
+    gt_path = tmp_path / "scene_info.json"
+    gt.to_json(gt_path)
+    out = tmp_path / "lq.json"
+    summary = long_query_bench.run(str(graph_dir), str(gt_path), cfg, str(out))
+    assert summary["n_queries"] > 0
+    assert 0.0 <= summary["object_acc"] <= 1.0
+    assert out.exists()
+    assert all(
+        set(p) == {"query", "floor", "room", "object"}
+        for p in summary["per_query"]
+    )
