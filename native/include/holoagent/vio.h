@@ -13,6 +13,11 @@
 //    + exposure estimation role);
 //  - new-point spawning at strong-gradient pixels with free image cells
 //    (generateVisualMapPoints role).
+//
+// Note on the reference's raycast retrieval (vio.cpp raycast_en): it refills
+// image cells the frustum-voxel-list walk missed.  This implementation
+// projects EVERY map point directly (the map is LRU-bounded), so no visible
+// point can be missed by construction and a raycast pass would be redundant.
 #pragma once
 
 #include <cstdint>
