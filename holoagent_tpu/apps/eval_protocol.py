@@ -25,7 +25,22 @@ from pathlib import Path
 import numpy as np
 
 
-def run_one(seed: int, cfg=None):
+LAYOUTS = {
+    "two_room": (
+        lambda SC: SC.two_room(),
+        None,  # default GT room rects (split at the dividing wall)
+        32,
+    ),
+    "three_room": (
+        lambda SC: SC.three_room(),
+        [(0.0, 0.0, 4.0, 6.0, "bedroom"), (4.0, 0.0, 8.0, 6.0, "living room"),
+         (8.0, 0.0, 12.0, 6.0, "bathroom")],
+        48,
+    ),
+}
+
+
+def run_one(seed: int, cfg=None, layout: str = "two_room"):
     from .. import config as cfgmod
     from ..dataloader.synthetic import SyntheticDataset, SyntheticScene
     from ..eval import HMSGEvaluator, gt_from_synthetic
@@ -47,12 +62,13 @@ def run_one(seed: int, cfg=None):
         cfg.pipeline.instance_capacity = 64
         cfg.pipeline.skip_frames = 1
 
-    scene = SyntheticScene.two_room()
+    make_scene, room_rects, n_frames = LAYOUTS[layout]
+    scene = make_scene(SyntheticScene)
     ds = SyntheticDataset(
-        scene=scene, num_frames=32, hw=(120, 160), seed=seed,
+        scene=scene, num_frames=n_frames, hw=(120, 160), seed=seed,
         gaze_heights=(0.8, 2.2),  # sweep walls into view: full-scan coverage
     )
-    gt = gt_from_synthetic(scene)
+    gt = gt_from_synthetic(scene, room_rects=room_rects)
     labels = scene.labels()
     cv = clip_mod.VARIANTS["test-tiny"]
     d = cv.embed_dim
@@ -76,7 +92,11 @@ def run_one(seed: int, cfg=None):
 def run(seeds: int = 3, out_md: str | None = "EVAL.md",
         out_json: str | None = None) -> dict:
     t0 = time.time()
-    all_m = [run_one(s) for s in range(seeds)]
+    all_m = [
+        run_one(s, layout=layout)
+        for layout in LAYOUTS
+        for s in range(seeds)
+    ]
     wall = time.time() - t0
 
     def agg(path):
@@ -114,7 +134,7 @@ def run(seeds: int = 3, out_md: str | None = "EVAL.md",
             "",
             "Built by `python -m holoagent_tpu.apps.eval_protocol`: the production",
             "mapping pipeline (voxel fusion → instance merge → floor/room",
-            "segmentation → object association) over procedural two-room scenes with",
+            "segmentation → object association) over procedural multi-room scenes with",
             "ground-truth masks and one-hot label embeddings standing in for",
             "SAM/CLIP (no checkpoints are reachable in this sandbox — see",
             "perception/oracle.py).  Scored with the reference's metric suite",
@@ -123,8 +143,9 @@ def run(seeds: int = 3, out_md: str | None = "EVAL.md",
             "instance AUC over the overlap sweep with Hungarian matching, and",
             "semantic top-k.",
             "",
-            f"{seeds} trajectories (seeds 0..{seeds - 1}), 32 frames each, "
-            f"evaluated in {wall:.1f}s total (evaluator is the packed-voxel-key",
+            f"{seeds} trajectories (seeds 0..{seeds - 1}) over each of the "
+            f"{len(LAYOUTS)} layouts ({', '.join(LAYOUTS)}), evaluated in "
+            f"{wall:.1f}s total (evaluator is the packed-voxel-key",
             "vectorized path).",
             "",
             "| metric | mean | std |",

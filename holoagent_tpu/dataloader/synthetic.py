@@ -87,6 +87,38 @@ class SyntheticScene:
             )
         return sc
 
+    @staticmethod
+    def three_room(seed: int = 0) -> "SyntheticScene":
+        """Harder fixture: 12x6 m, three rooms in a row (two dividing walls
+        with offset door gaps), seven labelled furniture boxes."""
+        sc = SyntheticScene()
+        sc.extent = (12.0, 6.0)
+        w, h = sc.extent
+        sc.wall_segments = [
+            (4.0, 0.0, 4.0, 2.0), (4.0, 3.2, 4.0, h),      # door y in [2.0, 3.2]
+            (8.0, 0.0, 8.0, 3.0), (8.0, 4.2, 8.0, h),      # door y in [3.0, 4.2]
+        ]
+        defs = [
+            ("bed", (1.6, 2.0, 0.5), (0.8, 0.2, 0.2), (1.4, 1.8)),
+            ("chair", (0.5, 0.5, 0.9), (0.2, 0.4, 0.8), (2.8, 4.6)),
+            ("table", (1.2, 0.8, 0.75), (0.6, 0.4, 0.2), (6.0, 1.6)),
+            ("sofa", (1.8, 0.8, 0.8), (0.2, 0.7, 0.3), (6.2, 4.8)),
+            ("refrigerator", (0.7, 0.7, 1.8), (0.85, 0.85, 0.9), (11.2, 5.0)),
+            ("toilet", (0.5, 0.6, 0.8), (0.95, 0.95, 0.95), (9.2, 5.0)),
+            ("bathtub", (1.5, 0.7, 0.6), (0.9, 0.9, 1.0), (10.6, 1.0)),
+        ]
+        for i, (label, size, color, (cx, cy)) in enumerate(defs):
+            sc.boxes.append(
+                Box(
+                    center=(cx, cy, sc.floor_z + size[2] / 2),
+                    size=size,
+                    color=color,
+                    label=label,
+                    instance_id=i,
+                )
+            )
+        return sc
+
     # -- ray casting --------------------------------------------------------
 
     def _all_boxes(self) -> List[Box]:
@@ -214,7 +246,10 @@ class SyntheticDataset:
         # gaze_heights cycles the target z per frame ((0.8, 2.0) sweeps the
         # upper walls into view — full-scan coverage like the reference's
         # Habitat walks); seed phase-shifts the orbit so trajectories differ.
-        centers = [(w * 0.25, h * 0.5), (w * 0.75, h * 0.5)]
+        # one orbit loop per ~4 m of footprint width (two_room keeps its
+        # original two centers; wider scenes get a loop per room bay)
+        n_loops = max(2, round(w / 4.0))
+        centers = [((i + 0.5) * w / n_loops, h * 0.5) for i in range(n_loops)]
         per = num_frames // len(centers)
         for cx0, cy0 in centers:
             for i in range(per):
