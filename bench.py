@@ -98,6 +98,8 @@ def main():
 
     # warm up + materialize intermediates the later stages need
     pts, cols, valid = backproject(depth, rgb, cam, pose, 1e-3, 10.0)
+    # fcap 16k: the synthetic indoor frame touches ~5k 5 cm voxels (the
+    # production default is pipeline.frame_voxel_capacity = 32k for deep views)
     scene1, rows = scene_mod.insert_points(scene, pts, cols, valid, fcap=1 << 14)
     ff = extract_frame_features(
         clip_params, sam_params, rgb, cv, sv,

@@ -119,6 +119,12 @@ class PipelineConfig:
     instance_pixel_stride: int = 0
     # fixed-capacity budgets (TPU-native: padded buffers, no dynamic shapes)
     point_capacity: int = 1 << 20  # max fused scene points
+    # unique voxels one frame's insert may touch (overflow drops to the trash
+    # row for that frame).  Insert's binary-search cost scales with this
+    # (64k = 10 ms, 32k = 5 ms, 16k = 2.5 ms on v5e); 32k covers deep views
+    # (a 640x480 frame at the 10 m depth cut can touch ~40k 5 cm voxels, so
+    # raise it for long-range outdoor scans; close-range indoor fits 16k)
+    frame_voxel_capacity: int = 1 << 15
     mask_point_capacity: int = 1 << 14  # max points per 3-D instance mask
     instance_capacity: int = 512  # max instances tracked during merging
     frame_point_capacity: int = 1 << 18  # max points backprojected per frame

@@ -50,7 +50,10 @@ def load_mapper_state(path: str | Path) -> Tuple[SceneState, InstanceSet]:
         # checkpoints written before the coarse-key merge upgrade: backfill
         # empty coarse sets (merge degrades to exact-row overlap for them)
         i_cap, k_cap = inst_d["rows"].shape
-        inst_d["ckeys"] = jax.numpy.full((i_cap, k_cap), 2**31 - 1, jax.numpy.int32)
+        # the live pipeline sizes coarse sets at half the row capacity
+        inst_d["ckeys"] = jax.numpy.full(
+            (i_cap, k_cap // 2), 2**31 - 1, jax.numpy.int32
+        )
         inst_d["ccount"] = jax.numpy.zeros((i_cap,), jax.numpy.int32)
     inst = InstanceSet(**inst_d)
     return scene, inst

@@ -518,18 +518,12 @@ class HMSGraph:
                         if gi is None or gi >= len(kf):
                             continue
                         frame = kf[gi]
-                        vis, _ = check_object_in_view(
-                            frame.rgb.shape[1], frame.rgb.shape[0], frame.k,
-                            np.linalg.inv(frame.pose), opts,
-                            min_visible_ratio=1e-6,
+                        ratio = _visible_ratio(
+                            frame.rgb.shape[1], frame.rgb.shape[0],
+                            frame.k, np.linalg.inv(frame.pose), opts,
                         )
-                        if vis:
-                            ratio = _visible_ratio(
-                                frame.rgb.shape[1], frame.rgb.shape[0],
-                                frame.k, np.linalg.inv(frame.pose), opts,
-                            )
-                            if ratio > best_ratio:
-                                best_ratio, best_view = ratio, view.view_id
+                        if ratio > best_ratio:
+                            best_ratio, best_view = ratio, view.view_id
             obj.best_view_id = best_view
             parent.add_object(obj)
             g.objects.append(obj)

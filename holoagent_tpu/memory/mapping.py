@@ -56,6 +56,7 @@ class MappedScene:
         "max_masks",
         "mask_k_cap",
         "pixel_stride",
+        "frame_voxel_capacity",
         "dtype",
     ),
 )
@@ -82,6 +83,7 @@ def frame_step(
     max_masks: int = 64,
     mask_k_cap: int = 2048,
     pixel_stride: int = 1,
+    frame_voxel_capacity: int = 1 << 15,
     dtype=jnp.bfloat16,
 ):
     """ONE fused frame integration program: backproject -> scene insert ->
@@ -94,7 +96,7 @@ def frame_step(
     from ..perception.extractor import extract_frame_features as _eff
 
     pts, cols, valid = _bp(depth, rgb, cam, pose, 1e-3, depth_cut)
-    scene, pix_rows = insert_points.__wrapped__(scene, pts, cols, valid, fcap=1 << 14)
+    scene, pix_rows = insert_points.__wrapped__(scene, pts, cols, valid, fcap=frame_voxel_capacity)
     ff = _eff.__wrapped__(
         clip_params,
         sam_params,
@@ -199,6 +201,7 @@ class Mapper:
                 max_masks=self.cfg.models.sam.max_masks,
                 mask_k_cap=p.mask_point_capacity,
                 pixel_stride=self._pixel_stride(frame),
+                frame_voxel_capacity=p.frame_voxel_capacity,
                 dtype=self._dtype,
             )
         else:
@@ -215,7 +218,7 @@ class Mapper:
             1e-3, self.cfg.main.depth_cut,
         )
         scene, pix_rows = scene_mod.insert_points(
-            self.scene, pts, cols, valid, fcap=1 << 14
+            self.scene, pts, cols, valid, fcap=p.frame_voxel_capacity
         )
         ff = ff if ff is not None else extract_frame_features(
             self.clip_params, self.sam_params, rgb,

@@ -28,9 +28,9 @@ Design
   way.  D-wide traffic is proportional to *rows touched*, not pixels.
 
 All shapes static; overflow lanes drop to trash rows as in the single-device
-path.  ``to_scene`` gathers the shards back into a plain SceneState whose row
-numbering matches the global ids (shards own disjoint keys, so concatenation
-is exact).
+path.  ``to_scene`` gathers the shards back into a plain SceneState with the
+used rows COMPACTED to the front (downstream slices ``[:num]``), returning a
+row map so callers translate the global row ids insert handed out.
 """
 
 from __future__ import annotations
@@ -40,6 +40,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import voxel
@@ -332,28 +333,47 @@ def fuse_pixel_features_sharded(
     return scene._replace(sum_feat=sfeat2, feat_count=fcnt2)
 
 
-def to_scene(sharded: ShardedScene) -> SceneState:
-    """Gather the shards into a plain SceneState (global row numbering is the
-    concatenation order, matching the global ids handed out by insert)."""
+def to_scene(sharded: ShardedScene) -> Tuple[SceneState, jnp.ndarray]:
+    """Gather the shards into a plain SceneState, COMPACTING the used rows to
+    the front: the sharded layout leaves each shard's unused tail inside the
+    concatenated buffer, and downstream consumers slice `[:scene.num]`
+    (memory/hmsg.py floor/room materialization, apps/build_map ply export) —
+    a non-compacted gather would drop used rows past `num` and admit empty
+    rows before it.
+
+    Returns (scene, row_map (n_total,) int32): row_map[global_row] = compact
+    row (or -1 for unused lanes) so callers remap any per-pixel/instance row
+    ids handed out by insert_points_sharded."""
     c = sharded.key.shape[0]
-    key = jax.device_get(sharded.key)
-    # shards own disjoint keys -> a single global sorted index is valid
-    key_j = jnp.asarray(key)
+    count = np.asarray(jax.device_get(sharded.count))
+    used = np.nonzero(count > 0)[0].astype(np.int32)
+    n = len(used)
+    row_map = np.full((c,), -1, np.int32)
+    row_map[used] = np.arange(n, dtype=np.int32)
+
+    def compact(arr, fill=0.0, dtype=None):
+        a = np.asarray(jax.device_get(arr))
+        out = np.full((c,) + a.shape[1:], fill, dtype or a.dtype)
+        out[:n] = a[used]
+        return jnp.asarray(out)
+
+    key = compact(sharded.key, fill=int(SENTINEL), dtype=np.int32)
     skey, srow = jax.lax.sort(
-        (key_j, jnp.arange(c, dtype=jnp.int32)), num_keys=1
+        (key, jnp.arange(c, dtype=jnp.int32)), num_keys=1
     )
-    return SceneState(
+    scene = SceneState(
         grid=sharded.grid,
-        key=key_j,
+        key=key,
         sorted_key=skey,
         sorted_row=srow,
-        sum_pts=jnp.asarray(jax.device_get(sharded.sum_pts)),
-        sum_col=jnp.asarray(jax.device_get(sharded.sum_col)),
-        count=jnp.asarray(jax.device_get(sharded.count)),
-        sum_feat=jnp.asarray(jax.device_get(sharded.sum_feat)),
-        feat_count=jnp.asarray(jax.device_get(sharded.feat_count)),
-        num=jnp.int32(int(jax.device_get(sharded.num).sum())),
+        sum_pts=compact(sharded.sum_pts),
+        sum_col=compact(sharded.sum_col),
+        count=compact(sharded.count),
+        sum_feat=compact(sharded.sum_feat),
+        feat_count=compact(sharded.feat_count),
+        num=jnp.int32(n),
     )
+    return scene, jnp.asarray(row_map)
 
 
 # ---------------------------------------------------------------------------
@@ -391,9 +411,15 @@ class ShardedMapper:
         n = mesh.shape["data"]
         cap_local = -(-p.point_capacity // n)  # ceil split per shard
         self.scene = init_sharded_scene(self.grid, cap_local, self.cv.embed_dim, mesh)
+        from . import instances as inst_mod
+
+        # instance fold runs streaming per frame over GLOBAL row ids; rows
+        # are remapped once at finalize when the scene compacts
+        self.instances = inst_mod.empty_instances(
+            p.instance_capacity, p.mask_point_capacity, self.cv.embed_dim
+        )
         self.keyframes = []
         self._kf_feats = []
-        self._frame_masks = []  # (masks_flat, valid, f_masks, rows, pts) per frame
 
     def process_batch(self, frames) -> None:
         """Integrate a batch of frames (len divisible by the mesh data axis)."""
@@ -431,37 +457,41 @@ class ShardedMapper:
                 self.scene, rows, masks_flat, ff.valid[j], ff.f_masks[j],
                 self.mesh,
             )
-            self._frame_masks.append(
-                (masks_flat, ff.valid[j], ff.f_masks[j], rows, pts)
+            from . import instances as inst_mod
+
+            p = self.cfg.pipeline
+            n_pix = masks_flat.shape[1]
+            stride = p.instance_pixel_stride or max(1, n_pix // 32768)
+            finst = inst_mod.frame_instances(
+                masks_flat, ff.valid[j], ff.f_masks[j], rows, pts, min_rows=3,
+                k_cap=p.mask_point_capacity, stride=stride, grid=self.grid,
+            )
+            self.instances = inst_mod.seq_merge_step(
+                self.instances, finst, p.init_overlap_thresh, p.iou_thresh,
+                bbox_pad=0.5 * p.voxel_size, coarse_only=True,
             )
             self.keyframes.append(frame)
             self._kf_feats.append(jax.device_get(ff.f_global[j]))
 
     def finalize(self):
-        """Gather the shards and run the instance merge fold on the global
-        scene (rows handed out by insert are already global ids)."""
-        import numpy as np
-
+        """Gather + compact the shards, remap the instance row ids into the
+        compact numbering, and finish the merge fold."""
+        from ..ops.compact import I32_MAX
         from ..ops.density import radius_density_keep
         from .mapping import MappedScene, refine_instance_features
         from . import instances as inst_mod
 
-        scene = to_scene(self.scene)
+        scene, row_map = to_scene(self.scene)
         p = self.cfg.pipeline
-        inst = inst_mod.empty_instances(
-            p.instance_capacity, p.mask_point_capacity, self.cv.embed_dim
+        inst = self.instances
+        # remap global (sharded-layout) rows to the compacted numbering;
+        # signatures/merges treat rows as sets, so sortedness is not required
+        rows = inst.rows
+        remapped = jnp.where(
+            rows != I32_MAX, row_map[jnp.clip(rows, 0, row_map.shape[0] - 1)], -1
         )
-        for masks_flat, valid, f_masks, rows, pts in self._frame_masks:
-            n_pix = masks_flat.shape[1]
-            stride = p.instance_pixel_stride or max(1, n_pix // 32768)
-            finst = inst_mod.frame_instances(
-                masks_flat, valid, f_masks, rows, pts, min_rows=3,
-                k_cap=p.mask_point_capacity, stride=stride, grid=self.grid,
-            )
-            inst = inst_mod.seq_merge_step(
-                inst, finst, p.init_overlap_thresh, p.iou_thresh,
-                bbox_pad=0.5 * p.voxel_size, coarse_only=True,
-            )
+        rows2 = jnp.where(remapped >= 0, remapped, I32_MAX)
+        inst = inst._replace(rows=rows2)
         inst = inst_mod.merge_round(
             inst, p.init_overlap_thresh, p.iou_thresh,
             out_cap=inst.rows.shape[0], bbox_pad=0.5 * p.voxel_size,

@@ -90,17 +90,17 @@ def init_vlm(key: jax.Array, v: VLMVariant, dtype=jnp.float32) -> Params:
     cv = clip_mod.VARIANTS[v.clip_variant]
     if v.arch == "llama":
         dh = v.width // v.heads
-        ks = jax.random.split(k3, 5)
+        ks = jax.random.split(k3, 7)
         std = v.width**-0.5
         blocks = {
             "ln1_g": jnp.ones((v.layers, v.width), dtype),
             "wq": tfm._normal(ks[0], (v.layers, v.width, v.heads * dh), std, dtype),
             "wk": tfm._normal(ks[1], (v.layers, v.width, v.n_kv * dh), std, dtype),
-            "wv": tfm._normal(ks[1], (v.layers, v.width, v.n_kv * dh), std, dtype),
+            "wv": tfm._normal(ks[5], (v.layers, v.width, v.n_kv * dh), std, dtype),
             "wo": tfm._normal(ks[2], (v.layers, v.heads * dh, v.width), std, dtype),
             "ln2_g": jnp.ones((v.layers, v.width), dtype),
             "w_gate": tfm._normal(ks[3], (v.layers, v.width, v.hidden), std, dtype),
-            "w_up": tfm._normal(ks[3], (v.layers, v.width, v.hidden), std, dtype),
+            "w_up": tfm._normal(ks[6], (v.layers, v.width, v.hidden), std, dtype),
             "w_down": tfm._normal(ks[4], (v.layers, v.hidden, v.width), std, dtype),
         }
         return {

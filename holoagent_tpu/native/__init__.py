@@ -732,11 +732,13 @@ class Esikf:
     (range/bearing) and per-plane parameter covariances."""
 
     def __init__(
-        self, gyr_noise: float = 1e-3, acc_noise: float = 1e-2,
+        self, gyr_noise: float = 0.01, acc_noise: float = 0.5,
         gyr_bias_rw: float = 1e-5, acc_bias_rw: float = 1e-4,
         range_noise: float = 0.02, bearing_noise: float = 0.0008,
         sigma_gate: float = 3.0, max_iterations: int = 4,
     ):
+        # defaults mirror the C++ EsikfParams (esikf.h): deliberately loose
+        # accel noise keeps the velocity covariance from collapsing
         self._l = lib()
         self._h = self._l.esikf_create(
             gyr_noise, acc_noise, gyr_bias_rw, acc_bias_rw,

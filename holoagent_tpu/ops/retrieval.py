@@ -117,5 +117,12 @@ def negative_prompt_topk(
     rank_elig = jnp.where(eligible, jnp.max(sim, axis=0), -jnp.inf)
     rank_fallback = jnp.where(gallery_valid, sim[query_id], -jnp.inf)
     rank = jnp.where(any_eligible, rank_elig, rank_fallback)
-    _, idx = jax.lax.top_k(rank, k)
-    return sim[query_id][idx], idx
+    top_rank, idx = jax.lax.top_k(rank, k)
+    # filler lanes (fewer than k candidates passed the gate) must be
+    # detectable: their sim[query_id] gather would otherwise look like a
+    # real pick — mark them idx=-1 / score=-inf
+    real = jnp.isfinite(top_rank)
+    return (
+        jnp.where(real, sim[query_id][jnp.clip(idx, 0)], -jnp.inf),
+        jnp.where(real, idx, -1),
+    )

@@ -189,6 +189,8 @@ class FSRQueryEngine:
             )
             order = np.asarray(idx_d)[:k]
             sim_q = np.asarray(scores_d)[:k]
+            real = order >= 0  # drop filler lanes when < k pass the gate
+            order, sim_q = order[real], sim_q[real]
             out_rooms = [obj_rooms[i] for i in order]
             return [int(i) for i in order], out_rooms, [float(s) for s in sim_q]
         embs = np.stack([np.asarray(o.embedding, np.float32) for o in objects])

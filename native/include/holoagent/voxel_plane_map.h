@@ -85,6 +85,9 @@ class VoxelPlaneMap {
   void insert(const double* points, size_t n);
   size_t size() const { return map_.size(); }
   size_t num_planes() const;
+  // O(1)-ish existence check for the hot odometry loop (early exit on the
+  // first plane; num_planes walks the whole map)
+  bool has_planes() const;
 
   // Point-to-plane residual for one point; returns false when no plane is
   // found in the containing voxel (descending the octree) or face neighbors.

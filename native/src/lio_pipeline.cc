@@ -102,7 +102,8 @@ LioStepResult LioPipeline::process_sweep(const float* xyz, const float* t_offset
   // 3. iterated ESIKF point-to-plane update against the plane map
   // (the reference's VoxelMapManager::StateEstimation role)
   bool filt_ok = false;
-  if (map_.num_planes() > 0 && m >= 20) {
+  const bool map_ready = map_.has_planes();
+  if (map_ready && m >= 20) {
     auto st = esikf_.update_lidar(map_, pts.data(), m);
     res.reg_rms = st.ok ? st.rms : -1.0;
     filt_ok = st.ok && st.used >= (int)(0.2 * (double)m);
@@ -115,7 +116,7 @@ LioStepResult LioPipeline::process_sweep(const float* xyz, const float* t_offset
     Vec3 w = rot_pred * p + pos_pred;
     world[3 * i] = w.x; world[3 * i + 1] = w.y; world[3 * i + 2] = w.z;
   }
-  if (map_.num_planes() > 0 && m >= 20 && !filt_ok) {
+  if (map_ready && m >= 20 && !filt_ok) {
     // filter update rejected the scan (innovation gate) — recover with the
     // robust GN re-registration, the same role the reference's online
     // relocalizer plays when the ESIKF loses track (pose_estimator.cpp).

@@ -151,18 +151,25 @@ void VoxelPlaneMap::insert(const double* points, size_t n) {
 }
 
 void VoxelPlaneMap::evict_lru() {
-  // drop the least-recently-touched ~10% (reference LRU voxel_map_cache_)
+  // drop the least-recently-touched ~10% (reference LRU voxel_map_cache_).
+  // The eviction COUNT is bounded, not just the touch cutoff: when many
+  // cells share the cutoff tick (a single bulk insert can stamp the whole
+  // map), a threshold-only sweep would erase far more than 10% — up to
+  // everything the filter needs for its next update.
   std::vector<uint64_t> touches;
   touches.reserve(map_.size());
   for (const auto& kv : map_) touches.push_back(kv.second->last_touch);
   const size_t k = touches.size() / 10 + 1;
   std::nth_element(touches.begin(), touches.begin() + k, touches.end());
   const uint64_t cutoff = touches[k];
-  for (auto it = map_.begin(); it != map_.end();) {
-    if (it->second->last_touch <= cutoff)
+  size_t evicted = 0;
+  for (auto it = map_.begin(); it != map_.end() && evicted < k;) {
+    if (it->second->last_touch <= cutoff) {
       it = map_.erase(it);
-    else
+      ++evicted;
+    } else {
       ++it;
+    }
   }
 }
 
@@ -176,6 +183,16 @@ void VoxelPlaneMap::slide(const Vec3& center, double half_extent) {
     else
       ++it;
   }
+}
+
+bool VoxelPlaneMap::has_planes() const {
+  for (const auto& kv : map_) {
+    const VoxelCell* cell = kv.second.get();
+    if (cell->plane.valid) return true;
+    for (const auto& ch : cell->children)
+      if (ch && ch->plane.valid) return true;
+  }
+  return false;
 }
 
 size_t VoxelPlaneMap::num_planes() const {

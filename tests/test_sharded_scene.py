@@ -82,7 +82,13 @@ def test_sharded_insert_fuse_matches_single_device(rng):
             jnp.asarray(fm), mesh, rcap=1024, bcap=512,
         )
 
-    got = _aggregate(ss.to_scene(shard))
+    gathered, row_map = ss.to_scene(shard)
+    # compaction: exactly the used rows, at the front, none dropped
+    n = int(gathered.num)
+    assert (np.asarray(gathered.count)[:n] > 0).all()
+    assert (np.asarray(gathered.count)[n:] == 0).all()
+    assert int((np.asarray(row_map) >= 0).sum()) == n
+    got = _aggregate(gathered)
     want = _aggregate(ref)
     assert set(got) == set(want)
     for k in want:
@@ -152,6 +158,12 @@ def test_sharded_mapper_end_to_end(rng):
     sm = ss.ShardedMapper(cfg, clip_p, sam_p, mesh)
     sm.process_batch([ds[i] for i in range(len(ds))])
     mapped = sm.finalize()
+
+    # instance rows reference the compacted scene: every row id < num
+    rows_np = np.asarray(mapped.instances.rows)
+    valid_rows = rows_np[np.asarray(mapped.instances.valid)]
+    live = valid_rows[valid_rows < 2**31 - 1]
+    assert live.size and live.max() < int(mapped.scene.num)
 
     # per-voxel-key point/color aggregates identical
     def agg(scene):
