@@ -32,8 +32,25 @@ def run(cfg: cfgmod.Config, dataset=None, models=None) -> Path:
     clip_params, sam_params, cv, sv = models if models is not None else load_models(cfg)
     dataset = dataset if dataset is not None else load_dataset(cfg)
     t0 = time.time()
-    mapper = Mapper(cfg, clip_params, sam_params, clip_variant=cv, sam_variant=sv)
-    mapped = mapper.run(dataset)
+    import jax
+
+    n_dev = len(jax.devices())
+    if cfg.mesh.model == 1 and n_dev > 1 and (cfg.mesh.data < 0 or cfg.mesh.data > 1):
+        # multi-chip path: DP extraction + sharded scene fusion
+        from ..memory.sharded_scene import ShardedMapper
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(cfg.mesh)
+        mapper = ShardedMapper(cfg, clip_params, sam_params, mesh,
+                               clip_variant=cv, sam_variant=sv)
+        frames = [dataset[i] for i in range(0, len(dataset), cfg.pipeline.skip_frames)]
+        bsz = mesh.shape["data"]
+        for i in range(0, len(frames), bsz):
+            mapper.process_batch(frames[i : i + bsz])
+        mapped = mapper.finalize()
+    else:
+        mapper = Mapper(cfg, clip_params, sam_params, clip_variant=cv, sam_variant=sv)
+        mapped = mapper.run(dataset)
     map_time = time.time() - t0
     n_frames = len(mapped.keyframes)
     print(f"mapped {n_frames} keyframes in {map_time:.1f}s "

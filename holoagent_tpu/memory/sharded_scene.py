@@ -422,15 +422,18 @@ class ShardedMapper:
         self._kf_feats = []
 
     def process_batch(self, frames) -> None:
-        """Integrate a batch of frames (len divisible by the mesh data axis)."""
-        import numpy as np
-
+        """Integrate a batch of frames.  Extraction pads the batch up to the
+        mesh's data-axis multiple (repeating the last frame); only the real
+        frames insert into the scene."""
         from ..ops.backproject import backproject
         from ..perception.extractor import extract_frames_dp
         from ..utils.camera import Pinhole
 
         cfg = self.cfg
-        images = jnp.asarray(np.stack([f.rgb for f in frames]))
+        nd = self.mesh.shape["data"]
+        n_real = len(frames)
+        padded = list(frames) + [frames[-1]] * ((-n_real) % nd)
+        images = jnp.asarray(np.stack([f.rgb for f in padded]))
         ff = extract_frames_dp(
             self.clip_params, self.sam_params, images, self.cv, self.sv,
             self.mesh,
@@ -442,7 +445,7 @@ class ShardedMapper:
             masked_weight=cfg.pipeline.clip_masked_weight,
             bbox_margin=float(cfg.pipeline.clip_bbox_margin),
         )
-        for j, frame in enumerate(frames):
+        for j, frame in enumerate(frames[:n_real]):
             cam = Pinhole.from_matrix(frame.k)
             pts, cols, valid = backproject(
                 jnp.asarray(frame.depth), jnp.asarray(frame.rgb), cam,
