@@ -35,12 +35,21 @@ def run(cfg: cfgmod.Config, dataset=None, models=None) -> Path:
     import jax
 
     n_dev = len(jax.devices())
-    if cfg.mesh.model == 1 and n_dev > 1 and (cfg.mesh.data < 0 or cfg.mesh.data > 1):
+    sm = getattr(cfg.pipeline, "sharded_mapping", "auto")
+    auto_sharded = (
+        cfg.mesh.model == 1 and n_dev > 1 and (cfg.mesh.data < 0 or cfg.mesh.data > 1)
+    )
+    use_sharded = sm == "on" or (sm == "auto" and auto_sharded)
+    if use_sharded:
         # multi-chip path: DP extraction + sharded scene fusion
         from ..memory.sharded_scene import ShardedMapper
         from ..parallel import make_mesh
 
         mesh = make_mesh(cfg.mesh)
+        print(f"mapper: ShardedMapper over mesh {dict(mesh.shape)} "
+              f"(pipeline.sharded_mapping={sm}; instance-merge order differs "
+              f"from the single-device Mapper — set sharded_mapping: off for "
+              f"single-device-reproducible runs)")
         mapper = ShardedMapper(cfg, clip_params, sam_params, mesh,
                                clip_variant=cv, sam_variant=sv)
         frames = [dataset[i] for i in range(0, len(dataset), cfg.pipeline.skip_frames)]
@@ -49,6 +58,8 @@ def run(cfg: cfgmod.Config, dataset=None, models=None) -> Path:
             mapper.process_batch(frames[i : i + bsz])
         mapped = mapper.finalize()
     else:
+        print(f"mapper: single-device Mapper (pipeline.sharded_mapping={sm}, "
+              f"{n_dev} device(s) visible)")
         mapper = Mapper(cfg, clip_params, sam_params, clip_variant=cv, sam_variant=sv)
         mapped = mapper.run(dataset)
     map_time = time.time() - t0

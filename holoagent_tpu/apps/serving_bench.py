@@ -73,7 +73,9 @@ def run(variant: str = "vlm-small", batch: int = 8, requests: int = 16,
     while not all(r._done.is_set() for r in reqs):
         b.step()
     wall = time.time() - t0
-    gen_tokens = sum(new_tokens for _ in reqs)  # slots run to budget or eot
+    # actual tokens decoded per request (a slot stopping early on EOT must
+    # not inflate the published wall throughput)
+    gen_tokens = sum(r.generated for r in reqs)
 
     res = {
         "variant": variant,

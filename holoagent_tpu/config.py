@@ -125,6 +125,12 @@ class PipelineConfig:
     # (a 640x480 frame at the 10 m depth cut can touch ~40k 5 cm voxels, so
     # raise it for long-range outdoor scans; close-range indoor fits 16k)
     frame_voxel_capacity: int = 1 << 15
+    # multi-device mapping routing: "auto" uses the ShardedMapper whenever >1
+    # device is visible (and mesh.model == 1), "on" forces it, "off" keeps the
+    # single-device Mapper (bit-reproducible merge order) regardless of
+    # devices.  The sharded instance fold is order-different from the
+    # single-device path, so reproducible runs need a visible opt-out.
+    sharded_mapping: str = "auto"
     mask_point_capacity: int = 1 << 14  # max points per 3-D instance mask
     instance_capacity: int = 512  # max instances tracked during merging
     frame_point_capacity: int = 1 << 18  # max points backprojected per frame

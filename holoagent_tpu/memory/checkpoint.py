@@ -46,9 +46,12 @@ def load_mapper_state(path: str | Path) -> Tuple[SceneState, InstanceSet]:
         **{k: jax.numpy.asarray(v) for k, v in scene_d.items() if k != "grid"},
     )
     inst_d = {k: jax.numpy.asarray(v) for k, v in restored["instances"].items()}
-    if "ckeys" not in inst_d:
-        # checkpoints written before the coarse-key merge upgrade: backfill
-        # empty coarse sets (merge degrades to exact-row overlap for them)
+    backfill = "ckeys" not in inst_d
+    if backfill:
+        # checkpoints written before the coarse-key merge upgrade carry no
+        # coarse sets; place empty ones so the NamedTuple constructs, then
+        # recompute the real sets from the scene below (the production merge
+        # fold is coarse_only=True, under which empty sets would never merge)
         i_cap, k_cap = inst_d["rows"].shape
         # the live pipeline sizes coarse sets at half the row capacity
         inst_d["ckeys"] = jax.numpy.full(
@@ -56,6 +59,10 @@ def load_mapper_state(path: str | Path) -> Tuple[SceneState, InstanceSet]:
         )
         inst_d["ccount"] = jax.numpy.zeros((i_cap,), jax.numpy.int32)
     inst = InstanceSet(**inst_d)
+    if backfill:
+        from .instances import recompute_coarse_keys
+
+        inst = recompute_coarse_keys(scene, inst)
     return scene, inst
 
 

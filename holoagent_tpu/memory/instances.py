@@ -145,6 +145,38 @@ def frame_instances(
     )
 
 
+@jax.jit
+def recompute_coarse_keys(scene, inst: InstanceSet) -> InstanceSet:
+    """Rebuild the 2x-coarse key sets from the scene's voxel positions.
+
+    The production merge fold runs ``coarse_only=True`` (mapping.py,
+    ShardedMapper), under which an instance without coarse keys has overlap 0
+    against everything and can never merge.  Checkpoints written before the
+    coarse-key upgrade carry none (memory/checkpoint.py backfill), so resumed
+    runs would silently fragment objects; recomputing from the scene restores
+    the exact sets a fresh run would hold (rows ARE scene voxel rows, and the
+    coarse key of a row depends only on its mean position)."""
+    from ..ops import voxel as vox
+
+    i_cap, k_cap = inst.rows.shape
+    vrows = inst.rows != I32_MAX
+    safe = jnp.clip(inst.rows, 0, scene.key.shape[0] - 1)
+    pts = scene.points()[safe]  # (I, K, 3)
+    cgrid = vox.GridSpec(voxel_size=scene.grid.voxel_size * 2.0, origin=scene.grid.origin)
+    ck = vox.keys_of(pts.reshape(-1, 3), vrows.reshape(-1), cgrid)
+    groups = jnp.broadcast_to(
+        jnp.arange(i_cap, dtype=jnp.int32)[:, None], (i_cap, k_cap)
+    ).reshape(-1)
+    valid = (vrows & inst.valid[:, None]).reshape(-1)
+    ckeys, ccounts = group_unique(
+        groups, ck, valid, num_groups=i_cap, capacity=k_cap // 2
+    )
+    return inst._replace(
+        ckeys=jnp.where(inst.valid[:, None], ckeys, I32_MAX),
+        ccount=jnp.where(inst.valid, ccounts, 0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Merge round
 # ---------------------------------------------------------------------------

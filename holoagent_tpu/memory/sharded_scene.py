@@ -451,14 +451,19 @@ class ShardedMapper:
                 jnp.asarray(frame.depth), jnp.asarray(frame.rgb), cam,
                 jnp.asarray(frame.pose), 1e-3, cfg.main.depth_cut,
             )
+            # pixels shard over the data axis, so the documented
+            # pipeline.frame_voxel_capacity knob splits per shard (ceil) —
+            # without this, deep/long-range frames silently overflow to the
+            # trash row at the hard-coded default on the multi-chip path
+            fcap_local = -(-cfg.pipeline.frame_voxel_capacity // nd)
             self.scene, rows = insert_points_sharded(
-                self.scene, pts, cols, valid, self.mesh
+                self.scene, pts, cols, valid, self.mesh, fcap=fcap_local
             )
             m = ff.masks.shape[1]
             masks_flat = ff.masks[j].reshape(m, -1)
             self.scene = fuse_pixel_features_sharded(
                 self.scene, rows, masks_flat, ff.valid[j], ff.f_masks[j],
-                self.mesh,
+                self.mesh, rcap=fcap_local,
             )
             from . import instances as inst_mod
 

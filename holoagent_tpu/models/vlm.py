@@ -385,7 +385,7 @@ def prefill_sp(
         embeddings = jnp.pad(embeddings, ((0, 0), (0, pad), (0, 0)))
     tp = t + pad
     x = embeddings.astype(dtype) + params["pos"][:tp].astype(dtype)
-    x = jax.device_put(x, NamedSharding(mesh, P(None, "data", None)))
+    x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(None, "data", None)))
     blocks = jax.tree.map(lambda a: a.astype(dtype), params["blocks"])
     dh = w // v.heads
 
@@ -434,14 +434,20 @@ def prefill_sp(
     cache_k = jnp.zeros((v.layers, b, v.max_seq, v.heads, dh), dtype)
     cache_v = jnp.zeros((v.layers, b, v.max_seq, v.heads, dh), dtype)
     cache_k = cache_k.at[:, :, :tp].set(
-        jax.device_put(jnp.stack(ks).astype(dtype), rep)
+        jax.lax.with_sharding_constraint(jnp.stack(ks).astype(dtype), rep)
     )
     cache_v = cache_v.at[:, :, :tp].set(
-        jax.device_put(jnp.stack(vs).astype(dtype), rep)
+        jax.lax.with_sharding_constraint(jnp.stack(vs).astype(dtype), rep)
     )
     return logits, KVCache(
         k=cache_k, v=cache_v, length=valid_len.astype(jnp.int32)
     )
+
+
+# jitted: the eager per-layer loop otherwise dispatches hundreds of ops per
+# long-prompt admit (seconds through an RPC-tunneled device at ~30 ms/op);
+# v/mesh/dtype are hashable statics, so one compile per (variant, mesh)
+prefill_sp = jax.jit(prefill_sp, static_argnames=("v", "mesh", "dtype"))
 
 
 def _prefill_llama(params, embeddings, valid_len, cache, v, dtype):

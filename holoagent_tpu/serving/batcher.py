@@ -34,6 +34,7 @@ class GenRequest:
     # filled by the batcher:
     _done: threading.Event = field(default_factory=threading.Event)
     _result: Optional[str] = None
+    generated: int = 0  # actual tokens decoded (incl. the stopping EOT)
 
     def result(self, timeout: Optional[float] = None) -> str:
         self._done.wait(timeout)
@@ -180,6 +181,7 @@ class ContinuousBatcher:
         slot = self.slots[i]
         req = slot.request
         ids = [t for t in slot.out_ids if t != self.tok.eot]
+        req.generated = len(slot.out_ids)
         req._result = self.tok.decode(ids).strip()
         req._done.set()
         slot.request = None

@@ -41,6 +41,57 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert int(sc3.num) > int(sc2.num)
 
 
+def test_checkpoint_backfills_coarse_keys(tmp_path, rng):
+    """Pre-coarse-key checkpoints must merge identically after restore: the
+    production merge fold runs coarse_only=True, so restored instances need
+    their coarse sets recomputed from the scene (empty sets would give
+    overlap 0 against everything and silently fragment objects)."""
+    import orbax.checkpoint as ocp
+
+    from holoagent_tpu.memory.instances import I32_MAX, merge_round
+    from holoagent_tpu.ops import voxel as vox
+
+    sc = scene_mod.init_scene(GridSpec.centered(0.1), 256, 8)
+    # clustered points: coarse (2x) cells number ~1/4 the fine voxels, as in
+    # production, so the half-capacity coarse sets hold every key
+    pts = jnp.asarray(rng.uniform(-0.2, 0.2, (100, 3)).astype(np.float32))
+    sc, rows = scene_mod.insert_points(sc, pts, jnp.zeros((100, 3)), jnp.ones(100, bool))
+    uniq = np.unique(np.asarray(rows))
+    uniq = uniq[uniq >= 0][:16]
+    # two instances over the SAME scene rows: must merge under coarse_only
+    inst = empty_instances(8, 16, 8)
+    r = np.full((8, 16), I32_MAX, np.int32)
+    r[0, : len(uniq)] = uniq
+    r[1, : len(uniq)] = uniq
+    pmean = np.asarray(sc.points())[uniq]
+    inst = inst._replace(
+        rows=jnp.asarray(r),
+        count=jnp.asarray([len(uniq), len(uniq), 0, 0, 0, 0, 0, 0], np.int32),
+        valid=jnp.asarray([True, True] + [False] * 6),
+        bbox_min=jnp.asarray(np.tile(pmean.min(0), (8, 1)).astype(np.float32)),
+        bbox_max=jnp.asarray(np.tile(pmean.max(0), (8, 1)).astype(np.float32)),
+        weight=jnp.asarray([1.0, 1.0] + [0.0] * 6),
+    )
+    # write a pre-upgrade checkpoint: same schema, no ckeys/ccount entries
+    state = {"scene": sc._asdict(), "instances": {
+        k: v for k, v in inst._asdict().items() if k not in ("ckeys", "ccount")
+    }}
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save((tmp_path / "old_ckpt").resolve(), state, force=True)
+    ckptr.wait_until_finished()
+    sc2, inst2 = load_mapper_state(tmp_path / "old_ckpt")
+    assert int(inst2.ccount[0]) > 0 and int(inst2.ccount[1]) > 0
+    # the recomputed coarse keys match keys_of on the member positions
+    cgrid = GridSpec(voxel_size=sc2.grid.voxel_size * 2.0, origin=sc2.grid.origin)
+    expect = np.unique(np.asarray(
+        vox.keys_of(jnp.asarray(pmean), jnp.ones(len(uniq), bool), cgrid)
+    ))
+    got = np.asarray(inst2.ckeys[0])[: int(inst2.ccount[0])]
+    np.testing.assert_array_equal(np.sort(got), np.sort(expect))
+    merged = merge_round(inst2, 0.5, 0.01, out_cap=8, coarse_only=True)
+    assert int(merged.valid.sum()) == 1
+
+
 def test_event_log(tmp_path):
     log = EventLog(tmp_path / "events.jsonl", component="mapper")
     log.emit("frame_integrated", frame=3, voxels=1234)
