@@ -25,7 +25,8 @@ from pathlib import Path
 
 
 def run(variant: str = "vlm-small", batch: int = 8, requests: int = 16,
-        new_tokens: int = 32, out_path: str | None = None) -> dict:
+        new_tokens: int = 32, out_path: str | None = None,
+        chunk: int = 8) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -64,7 +65,8 @@ def run(variant: str = "vlm-small", batch: int = 8, requests: int = 16,
     prefill_s = time_device_fn(pre, [emb], iters=4)
 
     # --- end-to-end continuous batching loop from this host
-    b = ContinuousBatcher(vlm_params, clip_params, vv, max_batch=batch)
+    b = ContinuousBatcher(vlm_params, clip_params, vv, max_batch=batch,
+                          chunk=chunk)
     reqs = [
         b.submit(GenRequest(f"where is object number {i}?", max_new_tokens=new_tokens))
         for i in range(requests)
@@ -80,6 +82,7 @@ def run(variant: str = "vlm-small", batch: int = 8, requests: int = 16,
     res = {
         "variant": variant,
         "max_batch": batch,
+        "decode_chunk": chunk,
         "requests": requests,
         "new_tokens_per_request": new_tokens,
         "decode_step_ms": round(step_s * 1e3, 2),
@@ -103,9 +106,11 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--new-tokens", type=int, default=32)
+    ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
-    run(args.variant, args.batch, args.requests, args.new_tokens, args.out)
+    run(args.variant, args.batch, args.requests, args.new_tokens, args.out,
+        chunk=args.chunk)
 
 
 if __name__ == "__main__":

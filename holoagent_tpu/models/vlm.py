@@ -598,6 +598,41 @@ def decode_step(
     return logits, cache
 
 
+@partial(jax.jit, static_argnames=("v", "steps", "dtype"))
+def decode_chunk(
+    params: Params,
+    tokens: jnp.ndarray,  # (B,) int32 current tokens
+    cache: KVCache,
+    active: jnp.ndarray,  # (B,) bool
+    v: VLMVariant,
+    steps: int = 8,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
+    """`steps` greedy autoregressive advances for all active slots in ONE
+    device program (`lax.scan` over the KV cache).
+
+    Through an RPC-tunneled device every dispatch pays the host round trip
+    (~30 ms here), so one-token-per-dispatch decoding runs at wall ~1/RTT
+    tok/s regardless of device speed; chunking K steps into one program makes
+    continuous-batching admission granularity K tokens (fine for K << the
+    32-token budgets of the slow-path calls, reference graph.py:2292-2482)
+    while the wall rate approaches the on-device rate.  Slots that emit EOT
+    mid-chunk keep advancing on garbage; the host discards their surplus
+    tokens and the slot's cache resets at finish, so results are unchanged
+    (token-parity test: tests/test_vlm.py).
+
+    Returns (toks (steps, B) int32, last_tokens (B,), cache)."""
+
+    def body(carry, _):
+        cur, c = carry
+        logits, c = decode_step(params, cur, c, active, v, dtype=dtype)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, c), nxt
+
+    (last, cache), toks = jax.lax.scan(body, (tokens, cache), None, length=steps)
+    return toks, last, cache
+
+
 def convert_hf_llava(state_dict, v: VLMVariant, dtype=jnp.float32) -> Params:
     """Convert a HuggingFace LLaVA-family checkpoint into ``arch="llama"``
     params.

@@ -62,11 +62,27 @@ class GenerativeVLM:
         self.batcher = batcher
         self.max_new_tokens = max_new_tokens
 
+    def _ask_many(self, calls) -> List[str]:
+        """Submit [(prompt, images|None), ...] CONCURRENTLY and drive the
+        engine until all finish — per-image slow-path checks ride one
+        continuous batch instead of serial generate() round trips (the
+        reference waits on one HTTPS call per image, graph.py:2350-2438)."""
+        from ..serving.batcher import GenRequest
+
+        reqs = []
+        for prompt, images in calls:
+            imgs = None
+            if images is not None:
+                imgs = np.stack([np.asarray(im, np.float32) for im in images])
+            reqs.append(self.batcher.submit(
+                GenRequest(prompt, imgs, self.max_new_tokens)
+            ))
+        while not all(r._done.is_set() for r in reqs):
+            self.batcher.step()
+        return [r.result().lower() for r in reqs]
+
     def _ask(self, prompt: str, images) -> str:
-        imgs = None
-        if images is not None:
-            imgs = np.stack([np.asarray(im, np.float32) for im in images])
-        return self.batcher.generate(prompt, imgs, self.max_new_tokens).lower()
+        return self._ask_many([(prompt, images)])[0]
 
     def detect_object(self, image, label) -> bool:
         out = self._ask(
@@ -90,8 +106,23 @@ class GenerativeVLM:
         return 0
 
     def detect_and_select_best(self, images, label):
-        checks = [self.detect_object(im, label) for im in images]
-        best = self.choose_frame(images, f"a clear view of the {label}")
+        if not len(images):
+            return [], None
+        calls = [
+            (f"is there a {label} in this image? answer yes or no.", [im])
+            for im in images
+        ]
+        calls.append((
+            f"which image best matches: a clear view of the {label}? answer "
+            f"with the image number between 0 and {len(images) - 1}.",
+            list(images),
+        ))
+        outs = self._ask_many(calls)
+        checks = ["yes" in o for o in outs[:-1]]
+        import re
+
+        m = re.findall(r"\d+", outs[-1])
+        best = int(m[0]) if m and int(m[0]) < len(images) else 0
         return checks, best
 
 

@@ -73,6 +73,9 @@ class ContinuousBatcher:
         # prompts longer than sp_threshold tokens (SURVEY.md §5.7 gallery
         # prompts); decode stays single-program on the replicated cache
         sp_threshold: int = 512,
+        chunk: int = 8,  # decode steps per device dispatch (vlm.decode_chunk);
+        # admission granularity becomes `chunk` tokens — 1 restores the
+        # classic per-token loop
     ):
         self.params = vlm_params
         self.clip_params = clip_params
@@ -82,6 +85,7 @@ class ContinuousBatcher:
         self.dtype = dtype
         self.mesh = mesh
         self.sp_threshold = sp_threshold
+        self.chunk = max(1, int(chunk))
         self.cache = vlm_mod.init_cache(variant, max_batch, dtype)
         self.slots = [_Slot() for _ in range(max_batch)]
         self.current = jnp.zeros((max_batch,), jnp.int32)
@@ -192,26 +196,32 @@ class ContinuousBatcher:
         )
 
     def step(self) -> bool:
-        """Admit new requests and advance every active slot one token.
-        Returns True if any work was done."""
+        """Admit new requests and advance every active slot up to `chunk`
+        tokens in one device dispatch (vlm.decode_chunk).  Returns True if
+        any work was done."""
         with self._lock:
             admitted = self._admit()
             active = np.array([s.active for s in self.slots])
             if not active.any():
                 return admitted
-            logits, self.cache = vlm_mod.decode_step(
+            toks, self.current, self.cache = vlm_mod.decode_chunk(
                 self.params, self.current, self.cache,
-                jnp.asarray(active), self.v, dtype=self.dtype,
+                jnp.asarray(active), self.v, steps=self.chunk,
+                dtype=self.dtype,
             )
-            nxt = np.asarray(jnp.argmax(logits, axis=-1))
+            toks = np.asarray(toks)  # (chunk, B)
             self.steps += 1
             for i, slot in enumerate(self.slots):
                 if not slot.active:
                     continue
-                tok = int(nxt[i])
-                slot.out_ids.append(tok)
-                slot.remaining -= 1
-                self.current = self.current.at[i].set(tok)
-                if tok == self.tok.eot or slot.remaining <= 0:
-                    self._finish(i)
+                for t in toks[:, i]:
+                    tok = int(t)
+                    slot.out_ids.append(tok)
+                    slot.remaining -= 1
+                    if tok == self.tok.eot or slot.remaining <= 0:
+                        # surplus chunk tokens past EOT/budget are discarded;
+                        # _finish resets the slot's cache length so the next
+                        # admit prefills from scratch
+                        self._finish(i)
+                        break
             return True

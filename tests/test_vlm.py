@@ -50,6 +50,66 @@ def test_prefill_decode_consistency(models):
     assert t2 == t2_ref
 
 
+def test_decode_chunk_matches_stepwise(models):
+    """decode_chunk (K steps in one lax.scan dispatch, the serving fast path)
+    must produce exactly the per-token decode_step greedy sequence."""
+    vlm_p, clip_p = models
+    tok = SimpleTokenizer()
+    ids = np.asarray([tok.sot] + tok.encode("a red chair"), np.int32)
+    emb, n = vlm_mod.build_prompt_embeddings(
+        vlm_p, clip_p, ids, None, TV, max_len=32, dtype=jnp.float32
+    )
+    k = 6
+    # per-token reference
+    cache = vlm_mod.init_cache(TV, 2, jnp.float32)
+    active = jnp.asarray([True, False])
+    logits, cache = vlm_mod.prefill(
+        vlm_p, jnp.stack([emb, emb]), jnp.asarray([n, n]), cache, TV,
+        dtype=jnp.float32,
+    )
+    cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    cache = vlm_mod.KVCache(k=cache.k, v=cache.v,
+                            length=jnp.where(active, cache.length, 0))
+    ref = []
+    c2, cur2 = cache, cur
+    for _ in range(k):
+        lg, c2 = vlm_mod.decode_step(vlm_p, cur2, c2, active, TV, dtype=jnp.float32)
+        cur2 = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        ref.append(int(cur2[0]))
+    toks, last, c3 = vlm_mod.decode_chunk(
+        vlm_p, cur, cache, active, TV, steps=k, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(toks)[:, 0], np.asarray(ref))
+    assert int(last[0]) == ref[-1]
+    # inactive slot untouched
+    assert int(c3.length[1]) == 0
+    np.testing.assert_array_equal(np.asarray(c3.length), np.asarray(c2.length))
+
+
+def test_batcher_chunked_continuous():
+    """The chunked batcher serves multiple requests to completion with
+    admission between chunks (continuous batching at K-token granularity)."""
+    from holoagent_tpu.serving.batcher import ContinuousBatcher, GenRequest
+
+    vlm_p = vlm_mod.init_vlm(jax.random.key(0), TV)
+    clip_p = clip_mod.init_clip(jax.random.key(1), clip_mod.VARIANTS["test-tiny"])
+    b = ContinuousBatcher(vlm_p, clip_p, TV, max_batch=2, chunk=4,
+                          dtype=jnp.float32)
+    r1 = b.submit(GenRequest("where is the chair", max_new_tokens=10))
+    r2 = b.submit(GenRequest("go to the kitchen", max_new_tokens=7))
+    r3 = b.submit(GenRequest("find the plant", max_new_tokens=5))  # waits for a slot
+    while not all(r._done.is_set() for r in (r1, r2, r3)):
+        b.step()
+    for r in (r1, r2, r3):
+        assert r.generated > 0 and r.generated <= r.max_new_tokens
+        assert r._result is not None
+    # chunked sequence equals the per-token sequence for the same prompt
+    b1 = ContinuousBatcher(vlm_p, clip_p, TV, max_batch=1, chunk=1,
+                           dtype=jnp.float32)
+    ref = b1.generate("where is the chair", max_new_tokens=10)
+    assert ref == r1.result()
+
+
 def test_multi_image_prompt(models):
     vlm_p, clip_p = models
     tok = SimpleTokenizer()
