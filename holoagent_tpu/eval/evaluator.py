@@ -173,6 +173,40 @@ class HMSGEvaluator:
         res["rec_at_50"] = float(recs[5])
         res["prec_curve"] = precs
         res["rec_curve"] = recs
+        # ----- per-GT split/merge diagnostic (the reference discards the
+        # Hungarian assignment, hm3dsem_evaluator.py:401-556; keeping it shows
+        # WHICH objects fragment or leak so the merge fold can be tuned)
+        claim_thresh = 0.25
+        assigned = {int(g): int(p) for p, g in zip(row, col)}
+        pred_claims = (ovl_m > claim_thresh).sum(axis=1)  # GTs per pred
+        diag = []
+        for gi, go in enumerate(gt_objs):
+            claimants = np.nonzero(ovl_m[:, gi] > claim_thresh)[0]
+            pi = assigned.get(gi, -1)
+            ov = float(ovl_m[pi, gi]) if pi >= 0 else 0.0
+            if pi < 0 or ov <= claim_thresh:
+                status = "miss"
+            elif len(claimants) > 1:
+                status = "split"  # extra fragments also cover this GT
+            elif pred_claims[pi] > 1:
+                status = "merged"  # its pred leaks onto other GTs too
+            elif ov <= 0.5:
+                status = "weak"
+            else:
+                status = "ok"
+            diag.append({
+                "gt": getattr(go, "category", str(gi)),
+                "matched_overlap": round(ov, 3),
+                "n_claimant_preds": int(len(claimants)),
+                "status": status,
+            })
+        res["per_gt"] = diag
+        res["n_split"] = sum(d["status"] == "split" for d in diag)
+        res["n_merged"] = sum(d["status"] == "merged" for d in diag)
+        res["n_miss"] = sum(d["status"] == "miss" for d in diag)
+        # predictions claiming no GT at all (clutter fragments -> fp at every
+        # threshold; these are what depress precision when recall is 1.0)
+        res["n_unclaimed_pred"] = int(np.sum((ovl_m > claim_thresh).sum(axis=1) == 0))
         # semantic top-k over matched pairs (reference :557-589)
         if gt_text_feats is not None and len(gt_classes):
             success = {k: 0 for k in top_k_spec}

@@ -208,6 +208,26 @@ def _bbox_iou(bmin, bmax, pad: float = 0.0) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-10)
 
 
+def _bbox_containment(bmin, bmax, pad: float = 0.0) -> jnp.ndarray:
+    """(I,3)x2 -> (I,I) intersection volume over the SMALLER padded box.
+
+    A sliver fragment (one face of an object seen edge-on: ~zero own volume)
+    sitting inside its parent has bbox IoU ~ vol(sliver)/vol(parent) -> 0 and
+    would never pass an IoU-only gate, yet its voxel-overlap ratio is ~1.
+    Containment of the smaller box is the box-level analog of the reference's
+    max-of-directions overlap ratio (graph_utils.py:620-664: fraction of the
+    SMALLER cloud with neighbors in the larger), so the merge gate accepts
+    either."""
+    bmin = bmin - pad
+    bmax = bmax + pad
+    lo = jnp.maximum(bmin[:, None], bmin[None, :])
+    hi = jnp.minimum(bmax[:, None], bmax[None, :])
+    inter = jnp.prod(jnp.maximum(hi - lo, 0.0), axis=-1)
+    vol = jnp.prod(jnp.maximum(bmax - bmin, 0.0), axis=-1)
+    vmin = jnp.minimum(vol[:, None], vol[None, :])
+    return inter / jnp.maximum(vmin, 1e-10)
+
+
 def _connected_components(adj: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
     """Min-label propagation with pointer jumping. adj must be symmetric with
     a true diagonal on valid entries. Returns root label per node."""
@@ -258,8 +278,12 @@ def merge_round(
         cnt = jnp.maximum(sig.sum(-1), 1.0)
         ratio = jnp.maximum(inter / jnp.minimum(cnt[:, None], cnt[None, :]), cratio)
     iou = _bbox_iou(inst.bbox_min, inst.bbox_max, pad=bbox_pad)
+    cont = _bbox_containment(inst.bbox_min, inst.bbox_max, pad=bbox_pad)
     vv = inst.valid[:, None] & inst.valid[None, :]
-    adj = vv & (iou > iou_thresh) & (ratio > overlap_thresh)
+    # gate: boxes overlap appreciably OR the smaller box sits mostly inside
+    # the larger (sliver fragments — see _bbox_containment); the voxel
+    # overlap ratio still decides the actual merge
+    adj = vv & ((iou > iou_thresh) | (cont > 0.5)) & (ratio > overlap_thresh)
     adj = adj | (jnp.eye(i_cap, dtype=bool) & inst.valid[:, None])
     root = _connected_components(adj)
 

@@ -71,6 +71,36 @@ def test_merge_bbox_gate():
     assert int(out2.num()) == 2  # bbox gate blocks the merge
 
 
+def test_merge_sliver_containment_gate():
+    """A sliver fragment (near-zero bbox volume: one face of an object seen
+    edge-on) fully row-contained in its parent must merge even though its
+    bbox IoU against the parent is ~0 — the gate accepts smaller-box
+    containment (the box analog of the reference's max-of-directions overlap,
+    graph_utils.py:620-664)."""
+    inst = _mk_inst([[1, 2, 3, 4, 5, 6, 7, 8], [7, 8]])
+    bmin = np.asarray(inst.bbox_min).copy()
+    bmax = np.asarray(inst.bbox_max).copy()
+    # parent: a 1x1x1 box; sliver: a 2 cm-thin slab on its far face,
+    # bbox IoU ~ 0.02/1 = 0.02 < iou_thresh 0.05
+    bmin[0], bmax[0] = [0, 0, 0], [1, 1, 1]
+    bmin[1], bmax[1] = [0.98, 0, 0], [1.0, 1, 1]
+    inst = inst._replace(bbox_min=jnp.asarray(bmin), bbox_max=jnp.asarray(bmax))
+    out = inst_mod.merge_round(inst, 0.7, 0.05, out_cap=2)
+    assert int(out.num()) == 1
+
+    # but a DISJOINT small box next to the parent (lamp beside the table,
+    # no shared rows) must NOT merge even though containment-gated pairs
+    # are considered: the voxel overlap ratio still decides
+    inst2 = _mk_inst([[1, 2, 3, 4, 5, 6, 7, 8], [100, 101]])
+    bmin2 = np.asarray(inst2.bbox_min).copy()
+    bmax2 = np.asarray(inst2.bbox_max).copy()
+    bmin2[0], bmax2[0] = [0, 0, 0], [1, 1, 1]
+    bmin2[1], bmax2[1] = [0.5, 0.5, 0.9], [0.6, 0.6, 1.0]  # inside parent box
+    inst2 = inst2._replace(bbox_min=jnp.asarray(bmin2), bbox_max=jnp.asarray(bmax2))
+    out2 = inst_mod.merge_round(inst2, 0.7, 0.05, out_cap=2)
+    assert int(out2.num()) == 2
+
+
 def test_transitive_merge_chain():
     # A-B overlap, B-C overlap, A-C don't: one component of 3
     inst = _mk_inst([[1, 2, 3, 4], [3, 4, 5, 6], [5, 6, 7, 8]])
