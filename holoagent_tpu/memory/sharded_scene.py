@@ -333,6 +333,28 @@ def fuse_pixel_features_sharded(
     return scene._replace(sum_feat=sfeat2, feat_count=fcnt2)
 
 
+def wire_bytes_per_frame(mesh, d: int, fcap: int = 1 << 14, bcap: int = 1 << 12) -> dict:
+    """Per-device all_to_all bytes ONE frame's insert+fuse puts on the ICI.
+
+    Accounts the actual padded exchange buffers (all_to_all moves the whole
+    fixed-shape buffer regardless of fill):
+
+      insert: key i32 + Σp 3×f32 + Σc 3×f32 + w f32 forward, assigned rows
+              i32 back  → n·bcap·36 B
+      fuse:   row i32 + feature-sum d×f32 + weight f32 forward → n·bcap·(8+4d) B
+
+    This quantifies the module-docstring claim that the exchange unit is
+    frame-voxel aggregates rather than pixels (sharded_scene.py header): the
+    comparable pixel volume is H·W·(rgb+depth+D-feature) floats per frame."""
+    n = mesh.shape["data"]
+    return {
+        "data_axis": n,
+        "insert_bytes": n * bcap * 36,
+        "fuse_bytes": n * bcap * (8 + 4 * d),
+        "total_bytes": n * bcap * (44 + 4 * d),
+    }
+
+
 def to_scene(sharded: ShardedScene) -> Tuple[SceneState, jnp.ndarray]:
     """Gather the shards into a plain SceneState, COMPACTING the used rows to
     the front: the sharded layout leaves each shard's unused tail inside the
