@@ -13,6 +13,18 @@ glue instead).
 from .costmap import Costmap
 from .planner import astar_plan
 from .controller import DWAController
+from .localizer import ParticleLocalizer, simulate_scan
+from .rpp import RPPController
+def make_controller(name: str, costmap, **kwargs):
+    """Controller-family selector (the reference picks its controller plugin
+    by name in g1.yaml:50-55: DWB there; RPP/MPPI are sibling packages)."""
+    if name in ("dwb", "dwa"):
+        return DWAController(costmap, **kwargs)
+    if name == "rpp":
+        return RPPController(costmap, **kwargs)
+    raise KeyError(f"unknown controller family {name!r} (dwb | rpp)")
+
+
 from .behaviors import (
     BTNavigator,
     BackupRecovery,
