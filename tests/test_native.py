@@ -571,3 +571,16 @@ def test_livo_fused_pipeline(rng):
     err = np.linalg.norm(est[1:] - gt[1:], axis=1)
     assert err.max() < 0.3, (err, tracked)
     assert max(tracked) > 10  # the visual map engaged
+
+
+def test_lio_throughput_sustains_sensor_rate():
+    """The condensed native pipeline must sustain the Livox MID-360 sensor
+    rate (10 Hz sweeps, ~200k pts/s) on the host core — the reference's
+    processing is sensor-rate under a 5 kHz spin cap (LIVMapper.cpp:1889-1909).
+    Floors are ~4x below the measured numbers (45 sweeps/s, 0.3 ms VIO frame,
+    results/lio_bench.json) to stay robust under CI contention."""
+    from holoagent_tpu.apps.lio_bench import run
+
+    res = run(sweeps=8, out_path=None)
+    assert res["lio_sweeps_per_s"] >= 10.0, res
+    assert res["vio_ms_per_frame"] < 5.0, res
