@@ -132,6 +132,7 @@ def encode_image(
     normalize: bool = True,
     remat: bool = False,
     impl: str = "xla",  # "flash": Pallas blockwise attention (TPU only)
+    qmm: str = "xla",  # int8 matmul path: "pallas" = fused quant kernel
 ) -> jnp.ndarray:
     """Image tower: patchify -> pre-LN ViT -> cls token -> projection.
 
@@ -156,7 +157,7 @@ def encode_image(
     if "blocks_q8" in v:
         # int8 tower (see quantize_clip): W8A8 matmuls on the MXU at 2x the
         # bf16 peak; attention contractions stay bf16
-        x = tfm.run_stack_q8(x, v["blocks_q8"], variant.v_heads, impl=impl)
+        x = tfm.run_stack_q8(x, v["blocks_q8"], variant.v_heads, impl=impl, qmm=qmm)
     else:
         blocks = jax.tree.map(lambda a: a.astype(dtype), v["blocks"])
         x = tfm.run_stack(x, blocks, variant.v_heads, remat=remat, impl=impl)
@@ -291,7 +292,8 @@ _encode_text_jit = jax.jit(encode_text, static_argnames=("variant", "dtype", "no
 # VLM backends, serving).  Eager tower calls dispatch op-by-op — through the
 # sandbox's RPC tunnel that is ~30 ms per op across hundreds of ops.
 encode_image_jit = jax.jit(
-    encode_image, static_argnames=("variant", "dtype", "normalize", "remat", "impl")
+    encode_image,
+    static_argnames=("variant", "dtype", "normalize", "remat", "impl", "qmm"),
 )
 encode_text_jit = _encode_text_jit
 

@@ -93,6 +93,24 @@ def matmul_int8(x: jnp.ndarray, w_q: jnp.ndarray, w_s: jnp.ndarray) -> jnp.ndarr
     return acc.astype(jnp.float32) * a_s * w_s
 
 
+def _q8_mm(x, q, s, b, act=None, qmm: str = "xla"):
+    """Dispatch one W8A8 matmul (+bias, +optional gelu): the XLA two-pass
+    path or the fused Pallas kernel (ops/quant_matmul) when qmm="pallas" and
+    the shapes are MXU-aligned (the tiny test towers are not)."""
+    k, n = q.shape
+    if qmm == "pallas" and k % 128 == 0 and n % 128 == 0:
+        from ..ops.quant_matmul import batched_quant_matmul
+
+        return batched_quant_matmul(
+            x, q, s, b, act="gelu" if act is not None else "none",
+            out_dtype=x.dtype,
+        )
+    out = matmul_int8(x, q, s) + b.astype(jnp.float32)
+    if act is not None:
+        out = act(out)
+    return out.astype(x.dtype)
+
+
 def quantize_block_stack(stacked: Params) -> Params:
     """Quantize a stacked block pytree's matmul weights (wqkv/wo/w1/w2) to
     int8 + scales; norms and biases stay float."""
@@ -187,10 +205,11 @@ def attention_q8(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
     impl: str = "xla",
+    qmm: str = "xla",
 ) -> jnp.ndarray:
     b, t, w = x.shape
     dh = w // num_heads
-    qkv = (matmul_int8(x, p["wqkv_q8"], p["wqkv_s"]) + p["bqkv"].astype(jnp.float32)).astype(x.dtype)
+    qkv = _q8_mm(x, p["wqkv_q8"], p["wqkv_s"], p["bqkv"], qmm=qmm)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, t, num_heads, dh)
     k = k.reshape(b, t, num_heads, dh)
@@ -212,16 +231,18 @@ def attention_q8(
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(b, t, w)
-    return (matmul_int8(out, p["wo_q8"], p["wo_s"]) + p["bo"].astype(jnp.float32)).astype(x.dtype)
+    return _q8_mm(out, p["wo_q8"], p["wo_s"], p["bo"], qmm=qmm)
 
 
-def block_q8(x, p: Params, num_heads: int, mask=None, act=jax.nn.gelu, impl: str = "xla"):
+def block_q8(x, p: Params, num_heads: int, mask=None, act=jax.nn.gelu, impl: str = "xla",
+             qmm: str = "xla"):
     """Pre-LN block over int8-quantized matmul weights (attention contractions
     stay bf16: they carry <10% of the FLOPs)."""
-    x = x + attention_q8(layer_norm(x, p["ln1_g"], p["ln1_b"]), p, num_heads, mask, impl=impl)
+    x = x + attention_q8(layer_norm(x, p["ln1_g"], p["ln1_b"]), p, num_heads, mask,
+                         impl=impl, qmm=qmm)
     h = layer_norm(x, p["ln2_g"], p["ln2_b"])
-    mid = act(matmul_int8(h, p["w1_q8"], p["w1_s"]) + p["b1"].astype(jnp.float32)).astype(x.dtype)
-    x = x + (matmul_int8(mid, p["w2_q8"], p["w2_s"]) + p["b2"].astype(jnp.float32)).astype(x.dtype)
+    mid = _q8_mm(h, p["w1_q8"], p["w1_s"], p["b1"], act=act, qmm=qmm)
+    x = x + _q8_mm(mid, p["w2_q8"], p["w2_s"], p["b2"], qmm=qmm)
     return x
 
 
@@ -231,11 +252,12 @@ def run_stack_q8(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
     impl: str = "xla",
+    qmm: str = "xla",
 ) -> jnp.ndarray:
     """Scan the int8-quantized stacked blocks (see quantize_block_stack)."""
 
     def body(h, layer_params):
-        return block_q8(h, layer_params, num_heads, mask, impl=impl), None
+        return block_q8(h, layer_params, num_heads, mask, impl=impl, qmm=qmm), None
 
     out, _ = jax.lax.scan(body, x, stacked_q8)
     return out

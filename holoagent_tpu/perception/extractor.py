@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..models import clip as clip_mod
 from ..models import sam as sam_mod
+from ..ops import masks as mask_ops
 from ..ops.crop_resize import crop_and_resize, expand_boxes
 
 
@@ -60,6 +61,7 @@ def _l2(x, axis=-1, eps=1e-9):
         "dtype",
         "impl",
         "clip_impl",
+        "clip_qmm",
     ),
 )
 def extract_frame_features(
@@ -80,6 +82,8 @@ def extract_frame_features(
     clip_impl: str = "xla",  # CLIP tower attention impl (separate: the
     # 129-crop 257-token batch favors XLA inside this program — the whole-
     # block flash path wins standalone but loses fused, measured on v5e)
+    clip_qmm: str = "xla",  # int8 matmul path ("pallas" = ops/quant_matmul
+    # fused dynamic-quant kernel; no-op for bf16 towers)
 ) -> FrameFeatures:
     h, w, _ = image01.shape
     gen = sam_mod.generate_masks(
@@ -95,6 +99,13 @@ def extract_frame_features(
         impl=impl,
     )
     masks, valid, boxes = gen["masks"], gen["valid"], gen["boxes"]
+    # make the mask set pixel-disjoint: smallest covering mask wins each
+    # pixel (the reference's filter_masks containment-carving,
+    # sam_utils.py:10-33, generalized to partial overlaps) — without this a
+    # background mask that covers an object merges with it downstream at
+    # overlap ~1 and instance folds collapse (ops/masks.to_disjoint)
+    masks = mask_ops.to_disjoint(masks, valid)
+    valid = valid & masks.any(axis=(-1, -2))
     eboxes = expand_boxes(boxes, bbox_margin, h, w)
     size = clip_variant.image_size
     crops_plain = crop_and_resize(image01, eboxes, size)
@@ -105,7 +116,7 @@ def extract_frame_features(
     std = jnp.asarray(clip_mod.IMAGE_STD, stack.dtype)
     stack = (stack - mean) / std
     feats = clip_mod.encode_image(
-        clip_params, stack, clip_variant, dtype=dtype, impl=clip_impl
+        clip_params, stack, clip_variant, dtype=dtype, impl=clip_impl, qmm=clip_qmm
     )
     feats = feats.astype(jnp.float32)
     m = max_masks
