@@ -46,18 +46,22 @@ def load_mapper_state(path: str | Path) -> Tuple[SceneState, InstanceSet]:
         **{k: jax.numpy.asarray(v) for k, v in scene_d.items() if k != "grid"},
     )
     inst_d = {k: jax.numpy.asarray(v) for k, v in restored["instances"].items()}
-    backfill = "ckeys" not in inst_d
+    backfill = "ckeys" not in inst_d or "dsig" not in inst_d
     if backfill:
-        # checkpoints written before the coarse-key merge upgrade carry no
-        # coarse sets; place empty ones so the NamedTuple constructs, then
-        # recompute the real sets from the scene below (the production merge
-        # fold is coarse_only=True, under which empty sets would never merge)
+        # checkpoints written before the coarse-key / dilated-signature merge
+        # upgrades lack those fields; place empty ones so the NamedTuple
+        # constructs, then recompute the real sets from the scene below (the
+        # production merge fold is coarse_only=True, under which empty sets
+        # would never merge)
+        from .instances import SIG_BUCKETS
+
         i_cap, k_cap = inst_d["rows"].shape
         # the live pipeline sizes coarse sets at half the row capacity
-        inst_d["ckeys"] = jax.numpy.full(
+        inst_d.setdefault("ckeys", jax.numpy.full(
             (i_cap, k_cap // 2), 2**31 - 1, jax.numpy.int32
-        )
-        inst_d["ccount"] = jax.numpy.zeros((i_cap,), jax.numpy.int32)
+        ))
+        inst_d.setdefault("ccount", jax.numpy.zeros((i_cap,), jax.numpy.int32))
+        inst_d["dsig"] = jax.numpy.zeros((i_cap, SIG_BUCKETS), jax.numpy.float32)
     inst = InstanceSet(**inst_d)
     if backfill:
         from .instances import recompute_coarse_keys

@@ -30,6 +30,51 @@ from ..ops.compact import group_unique, I32_MAX
 
 SIG_BUCKETS = 4096
 
+# coarse-cell edge = COARSE_FACTOR x voxel for the radius-tolerant overlap
+# sets (reference neighbor radius 1.5 x voxel, graph_utils.py:620-664; a
+# same-cell test needs cells ~2x the radius to catch boundary-straddling
+# neighbor pairs without merging genuinely separate adjacent objects)
+COARSE_FACTOR = 2.0
+
+# neighbor offsets for the dilated coarse signature (26-connected + center):
+# key arithmetic on the packed (x<<20 | y<<9 | z) layout — border wraps leak
+# into the adjacent field for cells at coordinate 0/max, which lands in a
+# pseudo-random bucket (noise comparable to the hash's own collisions)
+from ..ops.voxel import BITS_Y, BITS_Z  # noqa: E402
+
+_NEIGHBOR_OFFSETS = jnp.asarray(
+    [
+        (dx << (BITS_Y + BITS_Z)) + (dy << BITS_Z) + dz
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+    ],
+    jnp.int32,
+)
+
+
+def _dilated_signature(ckeys: jnp.ndarray) -> jnp.ndarray:
+    """(I, Kc) coarse key sets -> (I, SIG_BUCKETS) occupancy of the sets
+    DILATED by one coarse cell (26-neighborhood).
+
+    Carried on the InstanceSet and unioned by elementwise max when instances
+    merge, this gives the merge round the reference's actual overlap
+    semantics — |cells(B) ∩ dilate(cells(A))| / |cells(B)|, i.e. the fraction
+    of the one set lying within a cell-radius of the other
+    (graph_utils.py:620-664 counts neighbors within 1.5 x voxel; one coarse
+    cell = 2 x voxel) — without ever materializing the dilated key sets."""
+    i, kc = ckeys.shape
+    valid = ckeys != I32_MAX
+    nk = ckeys[:, :, None] + _NEIGHBOR_OFFSETS[None, None, :]  # (I, Kc, 27)
+    shift = 32 - int(SIG_BUCKETS).bit_length() + 1
+    bucket = (nk.astype(jnp.uint32) * jnp.uint32(2654435761)) >> shift
+    bucket = jnp.where(valid[:, :, None], bucket.astype(jnp.int32), SIG_BUCKETS)
+    sig = jnp.zeros((i, SIG_BUCKETS + 1), jnp.float32)
+    sig = sig.at[
+        jnp.arange(i)[:, None, None], bucket
+    ].max(valid[:, :, None].astype(jnp.float32))
+    return sig[:, :SIG_BUCKETS]
+
 
 class InstanceSet(NamedTuple):
     rows: jnp.ndarray  # (I, K) int32 sorted unique scene rows, I32_MAX pad
@@ -46,6 +91,10 @@ class InstanceSet(NamedTuple):
     # points — no per-merge gather through the scene key table.
     ckeys: jnp.ndarray  # (I, K) int32 sorted unique coarse keys, I32_MAX pad
     ccount: jnp.ndarray  # (I,) int32
+    # signature of the 26-neighborhood-DILATED coarse cell set (see
+    # _dilated_signature): unions exactly by elementwise max on merge
+    # (dilation distributes over set union)
+    dsig: jnp.ndarray  # (I, SIG_BUCKETS) f32 0/1
 
     @property
     def capacity(self) -> Tuple[int, int]:
@@ -74,6 +123,7 @@ def empty_instances(i_cap: int, k_cap: int, d: int) -> InstanceSet:
         # half capacity keeps the union sort cheap with ample headroom
         ckeys=jnp.full((i_cap, k_cap // 2), I32_MAX, jnp.int32),
         ccount=jnp.zeros((i_cap,), jnp.int32),
+        dsig=jnp.zeros((i_cap, SIG_BUCKETS), jnp.float32),
     )
 
 
@@ -116,7 +166,9 @@ def frame_instances(
     if grid is not None:
         from ..ops import voxel as vox
 
-        cgrid = vox.GridSpec(voxel_size=grid.voxel_size * 2.0, origin=grid.origin)
+        cgrid = vox.GridSpec(
+            voxel_size=grid.voxel_size * COARSE_FACTOR, origin=grid.origin
+        )
         ck_pix = vox.keys_of(pts_d, rows_d >= 0, cgrid)
         cvals = jnp.broadcast_to(ck_pix[None, :], (m, pd)).reshape(-1)
         ckeys, ccounts = group_unique(
@@ -124,9 +176,11 @@ def frame_instances(
         )
         ckeys = jnp.where(ok[:, None], ckeys, I32_MAX)
         ccounts = jnp.where(ok, ccounts, 0)
+        dsig = _dilated_signature(ckeys)
     else:
         ckeys = jnp.full((m, k_cap // 2), I32_MAX, jnp.int32)
         ccounts = jnp.zeros((m,), jnp.int32)
+        dsig = jnp.zeros((m, SIG_BUCKETS), jnp.float32)
     # bbox from masked world points (full resolution for fidelity)
     sel = masks & (pix_rows >= 0)[None, :]
     big = jnp.float32(jnp.inf)
@@ -142,6 +196,7 @@ def frame_instances(
         valid=ok,
         ckeys=ckeys,
         ccount=ccounts,
+        dsig=dsig,
     )
 
 
@@ -156,13 +211,15 @@ def recompute_coarse_keys(scene, inst: InstanceSet) -> InstanceSet:
     runs would silently fragment objects; recomputing from the scene restores
     the exact sets a fresh run would hold (rows ARE scene voxel rows, and the
     coarse key of a row depends only on its mean position)."""
-    from ..ops import voxel as vox
-
     i_cap, k_cap = inst.rows.shape
     vrows = inst.rows != I32_MAX
     safe = jnp.clip(inst.rows, 0, scene.key.shape[0] - 1)
     pts = scene.points()[safe]  # (I, K, 3)
-    cgrid = vox.GridSpec(voxel_size=scene.grid.voxel_size * 2.0, origin=scene.grid.origin)
+    from ..ops import voxel as vox
+
+    cgrid = vox.GridSpec(
+        voxel_size=scene.grid.voxel_size * COARSE_FACTOR, origin=scene.grid.origin
+    )
     ck = vox.keys_of(pts.reshape(-1, 3), vrows.reshape(-1), cgrid)
     groups = jnp.broadcast_to(
         jnp.arange(i_cap, dtype=jnp.int32)[:, None], (i_cap, k_cap)
@@ -171,9 +228,11 @@ def recompute_coarse_keys(scene, inst: InstanceSet) -> InstanceSet:
     ckeys, ccounts = group_unique(
         groups, ck, valid, num_groups=i_cap, capacity=k_cap // 2
     )
+    ckeys = jnp.where(inst.valid[:, None], ckeys, I32_MAX)
     return inst._replace(
-        ckeys=jnp.where(inst.valid[:, None], ckeys, I32_MAX),
+        ckeys=ckeys,
         ccount=jnp.where(inst.valid, ccounts, 0),
+        dsig=_dilated_signature(ckeys),
     )
 
 
@@ -183,9 +242,18 @@ def recompute_coarse_keys(scene, inst: InstanceSet) -> InstanceSet:
 
 
 def _signatures(rows: jnp.ndarray, valid_rows: jnp.ndarray) -> jnp.ndarray:
-    """(I, K) row sets -> (I, B) binary occupancy signatures (f32)."""
+    """(I, K) row sets -> (I, B) binary occupancy signatures (f32).
+
+    Bucket = the HIGH log2(B) bits of the Knuth multiplicative hash.  Taking
+    the product modulo B instead would keep only its low bits, which depend
+    only on the key's low bits — packed voxel keys put z and the low y coords
+    there, so all cells sharing a height/depth pattern would collide
+    regardless of x, inflating every intersection estimate and over-merging
+    spatially disjoint instances (observed: whole scenes collapsing to one
+    instance on generated-mask runs)."""
     i, k = rows.shape
-    bucket = (rows.astype(jnp.uint32) * jnp.uint32(2654435761)) % SIG_BUCKETS
+    shift = 32 - int(SIG_BUCKETS).bit_length() + 1  # B a power of two
+    bucket = (rows.astype(jnp.uint32) * jnp.uint32(2654435761)) >> shift
     bucket = jnp.where(valid_rows, bucket.astype(jnp.int32), SIG_BUCKETS)
     sig = jnp.zeros((i, SIG_BUCKETS + 1), jnp.float32)
     sig = sig.at[jnp.arange(i)[:, None], bucket].max(valid_rows.astype(jnp.float32))
@@ -258,10 +326,12 @@ def merge_round(
     gate by bbox IoU, estimate overlap via signature matmul, merge connected
     components, compact the survivors (largest first) into `out_cap` lanes.
 
-    The overlap ratio is the max of the exact same-row ratio and the
-    2x-coarse-cell ratio over the stored ckeys (radius-tolerant, reference
-    graph_utils.py:620-664 semantics); sets without coarse keys (hand-built
-    fixtures) degrade to exact rows."""
+    The overlap ratio follows the reference's max-of-directions neighbor
+    formula (graph_utils.py:620-664): fraction of the one instance's coarse
+    cells lying within a one-cell radius of the other — computed as
+    sig(cells_i) . dsig_j (the stored dilated signature) per direction, with
+    the plain same-cell ratio as a floor (covers hand-built sets whose dsig
+    is empty).  coarse_only=False additionally uses the exact-row ratio."""
     i_cap, k_cap = inst.rows.shape
     vrows = inst.rows != I32_MAX
     vck = inst.ckeys != I32_MAX
@@ -270,6 +340,13 @@ def merge_round(
     ccnt = jnp.maximum(csig.sum(-1), 1.0)
     has_c = (vck.any(-1))[:, None] & (vck.any(-1))[None, :]
     cratio = jnp.where(has_c, cinter / jnp.minimum(ccnt[:, None], ccnt[None, :]), 0.0)
+    # reference semantics: dinter[i, j] = |cells_i ∩ dilate(cells_j)|;
+    # direction i->j ratio = dinter[i, j] / |cells_i|; take the max direction
+    dinter = jnp.einsum(
+        "ib,jb->ij", csig, inst.dsig, preferred_element_type=jnp.float32
+    )
+    dratio = jnp.maximum(dinter / ccnt[:, None], dinter.T / ccnt[None, :])
+    cratio = jnp.where(has_c, jnp.maximum(cratio, dratio), 0.0)
     if coarse_only:
         ratio = cratio
     else:
@@ -312,6 +389,11 @@ def merge_round(
         jnp.full((i_cap + 1, 3), -jnp.inf).at[safe_root].max(inst.bbox_max)[:i_cap]
     )
     is_root = inst.valid & (root == jnp.arange(i_cap))
+    # dilated signatures union exactly by max (dilation distributes over
+    # set union)
+    dsig_u = (
+        jnp.zeros((i_cap + 1, SIG_BUCKETS)).at[safe_root].max(inst.dsig)[:i_cap]
+    )
 
     # compact: biggest instances first into out_cap lanes
     order_key = jnp.where(is_root, counts_u, -1)
@@ -327,6 +409,7 @@ def merge_round(
         valid=keep,
         ckeys=jnp.where(keep[:, None], ckeys_u[order], I32_MAX),
         ccount=jnp.where(keep, ccounts_u[order], 0),
+        dsig=jnp.where(keep[:, None], dsig_u[order], 0.0),
     )
 
 

@@ -93,6 +93,66 @@ def nms(
     return keep
 
 
+def subtract_contained(
+    masks: jnp.ndarray,  # (M, H, W) bool
+    valid: jnp.ndarray,  # (M,)
+    thresh: float = 0.9,
+) -> jnp.ndarray:
+    """Carve contained masks out of their containers (the reference
+    sam_utils.py:10-33 `filter_masks` behavior: when mask i contains mask j,
+    mask j is SUBTRACTED from mask i, keeping the fine object and turning the
+    coarse parent into its complement).
+
+    This is load-bearing for the instance merge fold: the fold's overlap
+    ratio is intersection over the SMALLER set (reference
+    graph_utils.py:620-664), so an unsubtracted background mask that contains
+    an object mask merges with it at ratio ~1, and a chain of such
+    containments collapses the whole scene into one instance.  Containment is
+    tested at ratio `thresh` rather than exactly (upsampled mask boundaries
+    are not pixel-exact).  One-shot over all pairs: a parent subtracts every
+    (transitively) contained child at once."""
+    m = masks.shape[0]
+    mf = masks.reshape(m, -1).astype(jnp.float32)
+    inter = jnp.einsum("mp,np->mn", mf, mf, preferred_element_type=jnp.float32)
+    area = jnp.maximum(mf.sum(-1), 1.0)
+    child = inter / area[None, :]  # child[i, j] = |i ∩ j| / |j|
+    smaller = area[None, :] < area[:, None]
+    eye = jnp.eye(m, dtype=bool)
+    is_child = (
+        (child > thresh) & smaller & ~eye & valid[None, :] & valid[:, None]
+    )
+    carve = (
+        jnp.einsum("mn,np->mp", is_child.astype(jnp.float32), mf,
+                   preferred_element_type=jnp.float32) > 0.5
+    )
+    return (masks.reshape(m, -1) & ~carve).reshape(masks.shape)
+
+
+def to_disjoint(
+    masks: jnp.ndarray,  # (M, H, W) bool
+    valid: jnp.ndarray,  # (M,)
+) -> jnp.ndarray:
+    """Make the mask set pixel-disjoint: every covered pixel goes to its
+    SMALLEST covering mask (finest structure wins; the parent keeps its
+    complement).  Strictly generalizes `subtract_contained` — partial-overlap
+    blobs also lose the pixels a finer mask claims, which is what keeps one
+    sloppy background blob from bridging two objects in the instance merge
+    fold (overlap ratio is intersection over the smaller set, reference
+    graph_utils.py:620-664, so a single bridging mask chains instances
+    permanently).  The oracle/GT mask sets are disjoint by construction; this
+    restores that property for generated masks."""
+    m = masks.shape[0]
+    flat = masks.reshape(m, -1)
+    area = jnp.where(valid, flat.sum(-1).astype(jnp.float32), jnp.inf)
+    big = jnp.float32(jnp.inf)
+    key = jnp.where(flat & valid[:, None], area[:, None], big)  # (M, P)
+    owner = jnp.argmin(key, axis=0)  # (P,)
+    owned = jnp.take_along_axis(key, owner[None], axis=0)[0] < big
+    lane = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 0)
+    out = flat & owned[None, :] & (lane == owner[None, :])
+    return out.reshape(masks.shape)
+
+
 def containment_filter(
     masks: jnp.ndarray,  # (M, H, W) bool
     valid: jnp.ndarray,  # (M,)

@@ -143,3 +143,58 @@ def test_seq_merge_step_across_frames():
     out = inst_mod.seq_merge_step(g, f, overlap_thresh=0.7, iou_thresh=0.01)
     assert out.rows.shape[0] == 4  # capacity preserved
     assert int(out.num()) == 2
+
+
+def test_merge_dilated_neighbor_semantics():
+    """The reference's overlap counts points within 1.5x voxel as shared
+    (graph_utils.py:620-664): a fragment whose cells sit in ADJACENT coarse
+    cells of the main body (no same-cell intersection at all) must still
+    merge via the dilated signature; a fragment several cells away must not."""
+    from holoagent_tpu.memory.instances import frame_instances
+    from holoagent_tpu.ops.voxel import GridSpec
+
+    grid = GridSpec.centered(0.08)
+    cell = 0.16  # coarse cell = 2 x voxel
+    ox = float(np.asarray(grid.origin)[0])
+    # first coarse-cell boundary after x = 1.0: the fragment starts exactly
+    # there, so main and fragment occupy adjacent but DIFFERENT coarse cells
+    b = ox + np.ceil((1.0 - ox) / cell) * cell
+    # synth pixel world: 3 masks over a 1-D strip of points
+    n = 160
+    xs = np.linspace(0.0, 2.4, n)
+    pts = np.stack([xs, np.zeros(n), np.zeros(n)], -1).astype(np.float32)
+    rows = np.arange(n, dtype=np.int32)  # fake distinct scene rows
+    masks = np.zeros((3, n), bool)
+    masks[0] = xs < b - 0.01           # main, ends just before the boundary
+    masks[1] = (xs >= b + 0.01) & (xs < b + 0.14)  # near fragment, next cell
+    masks[2] = xs >= b + 6 * cell      # far fragment, 6+ cells away
+    f = np.eye(3, 4, dtype=np.float32)
+    inst = frame_instances(
+        jnp.asarray(masks), jnp.ones(3, bool), jnp.asarray(f),
+        jnp.asarray(rows), jnp.asarray(pts), min_rows=2, k_cap=256, grid=grid,
+    )
+    # no same-cell coarse intersection between 0 and 1
+    a = np.asarray(inst.ckeys[0]); b = np.asarray(inst.ckeys[1])
+    a = set(a[a != int(I32_MAX)].tolist()); b = set(b[b != int(I32_MAX)].tolist())
+    assert not (a & b)
+    out = inst_mod.merge_round(inst, 0.75, 0.0, out_cap=3, coarse_only=True,
+                               bbox_pad=0.08)
+    assert int(out.num()) == 2  # main+near merged; far separate
+
+
+def test_to_disjoint_smallest_wins():
+    from holoagent_tpu.ops.masks import to_disjoint
+
+    m = np.zeros((3, 8, 8), bool)
+    m[0, :, :] = True          # background blob
+    m[1, 2:5, 2:5] = True      # object
+    m[2, 3:5, 3:5] = True      # finer detail inside the object
+    out = np.asarray(to_disjoint(jnp.asarray(m), jnp.ones(3, bool)))
+    # disjoint, union preserved
+    assert (out.sum(0) <= 1).all()
+    assert (out.any(0) == m.any(0)).all()
+    # finest mask keeps its pixels; object keeps its complement of detail;
+    # background keeps the rest
+    assert out[2, 3:5, 3:5].all()
+    assert out[1, 2, 2] and not out[1, 3, 3]
+    assert out[0, 0, 0] and not out[0, 3, 3]
