@@ -40,7 +40,16 @@ LAYOUTS = {
 }
 
 
-def run_one(seed: int, cfg=None, layout: str = "two_room"):
+def run_one(seed: int, cfg=None, layout: str = "two_room",
+            perception: str = "oracle", towers=None):
+    """One mapping+eval run.
+
+    perception="oracle": GT masks + one-hot embeddings (pipeline-only).
+    perception="neural": the REAL extractor path — SAM automatic mask
+    generation, ConceptFusion fusion, CLIP retrieval — with the
+    fixture-trained tiny towers passed as ``towers=(clip_params,
+    sam_params)`` (training.perception), and label features from the trained
+    CLIP text tower (multi-template, the production query path)."""
     from .. import config as cfgmod
     from ..dataloader.synthetic import SyntheticDataset, SyntheticScene
     from ..eval import HMSGEvaluator, gt_from_synthetic
@@ -73,30 +82,86 @@ def run_one(seed: int, cfg=None, layout: str = "two_room"):
     cv = clip_mod.VARIANTS["test-tiny"]
     d = cv.embed_dim
 
-    mapper = Mapper(cfg, clip_params=None, sam_params=None, clip_variant=cv,
-                    sam_variant=None)
-    for i in range(0, len(ds), cfg.pipeline.skip_frames):
-        frame = ds[i]
-        inst_img, lab_img = ds.gt(i)
-        ff = oracle_frame_features(inst_img, lab_img, labels, d, max_masks=16)
-        mapper.process_frame(frame, ff=ff)
-    mapped = mapper.finalize()
+    if perception == "neural":
+        import jax.numpy as jnp
 
-    label_feats = onehot_label_feats(labels, d)
+        from ..models import sam as sam_mod
+        from ..models.tokenizer import SimpleTokenizer
+
+        clip_params, sam_params = towers
+        sv = sam_mod.VARIANTS["fixture-tiny"]
+        # tiny-backbone operating point: the 16x16 decoder grid needs
+        # forgiving quality gates (the production thresholds assume ViT-H)
+        cfg.models.sam.points_per_side = 8
+        cfg.models.sam.pred_iou_thresh = 0.5
+        cfg.models.sam.stability_score_thresh = 0.55
+        cfg.models.sam.min_mask_region_area = 60
+        cfg.models.sam.max_masks = 16
+        cfg.models.clip.dtype = "float32"
+        # the production 50 px crop margin assumes VGA frames; at the
+        # fixtures' 160 px width it would swallow the whole frame
+        cfg.pipeline.clip_bbox_margin = 8.0
+        mapper = Mapper(cfg, clip_params=clip_params, sam_params=sam_params,
+                        clip_variant=cv, sam_variant=sv)
+        for i in range(0, len(ds), cfg.pipeline.skip_frames):
+            mapper.process_frame(ds[i])  # full extractor path
+        mapped = mapper.finalize()
+        label_feats = np.asarray(clip_mod.text_features_multi_template(
+            clip_params, SimpleTokenizer(), labels, cv, dtype=jnp.float32
+        ), np.float32)
+    else:
+        mapper = Mapper(cfg, clip_params=None, sam_params=None, clip_variant=cv,
+                        sam_variant=None)
+        for i in range(0, len(ds), cfg.pipeline.skip_frames):
+            frame = ds[i]
+            inst_img, lab_img = ds.gt(i)
+            ff = oracle_frame_features(inst_img, lab_img, labels, d, max_masks=16)
+            mapper.process_frame(frame, ff=ff)
+        mapped = mapper.finalize()
+        label_feats = onehot_label_feats(labels, d)
     graph = HMSGraph.build(mapped, cfg, label_feats, labels)
     ev = HMSGEvaluator(gt)
     m = ev.evaluate_all(graph, gt_text_feats=label_feats, gt_classes=labels)
     return m
 
 
+def _train_towers(steps_clip: int = 400, steps_sam: int = 2500, seed: int = 0):
+    """Fixture-train the tiny perception towers for the neural row
+    (training.perception); trajectories use held-out seeds 100/101."""
+    from ..dataloader.synthetic import SyntheticDataset, SyntheticScene
+    from ..training.perception import train_tiny_clip, train_tiny_sam
+
+    tr = [
+        SyntheticDataset(scene=SyntheticScene.two_room(), num_frames=16,
+                         hw=(120, 160), seed=100, gaze_heights=(0.8, 2.2)),
+        SyntheticDataset(scene=SyntheticScene.three_room(), num_frames=16,
+                         hw=(120, 160), seed=101, gaze_heights=(0.8, 2.2)),
+    ]
+    labels = tr[0].scene.labels()
+    clip_params, _ = train_tiny_clip(tr, labels, steps=steps_clip, seed=seed)
+    sam_params, _ = train_tiny_sam(
+        tr, steps=steps_sam, seed=seed, variant_name="fixture-tiny", lr=2e-3
+    )
+    return clip_params, sam_params
+
+
 def run(seeds: int = 3, out_md: str | None = "EVAL.md",
-        out_json: str | None = None) -> dict:
+        out_json: str | None = None, neural: bool = True,
+        neural_seeds: int = 1) -> dict:
     t0 = time.time()
     all_m = [
         run_one(s, layout=layout)
         for layout in LAYOUTS
         for s in range(seeds)
     ]
+    neural_m = []
+    if neural:
+        towers = _train_towers()
+        neural_m = [
+            run_one(s, layout=layout, perception="neural", towers=towers)
+            for layout in LAYOUTS
+            for s in range(neural_seeds)
+        ]
     wall = time.time() - t0
 
     def agg(path):
@@ -122,55 +187,80 @@ def run(seeds: int = 3, out_md: str | None = "EVAL.md",
         ("semantic top-3", ("objects", "semantic_top_k", 3)),
         ("semantic AUC", ("objects", "semantic_auc")),
     ]
+    def agg_over(ms, path):
+        vals = []
+        for m in ms:
+            v = m
+            try:
+                for k in path:
+                    v = v[k]
+            except KeyError:  # e.g. no matched objects -> no semantic block
+                continue
+            vals.append(float(v))
+        if not vals:
+            return 0.0, 0.0
+        return float(np.mean(vals)), float(np.std(vals))
+
     table = {name: agg(path) for name, path in rows}
+    ntable = {name: agg_over(neural_m, path) for name, path in rows} if neural_m else {}
     summary = {
         "seeds": seeds,
         "wall_seconds": round(wall, 1),
         "metrics": {k: {"mean": m, "std": s} for k, (m, s) in table.items()},
+        "metrics_neural": {k: {"mean": m, "std": s} for k, (m, s) in ntable.items()},
         "per_seed": json.loads(json.dumps(all_m, default=float)),
+        "per_seed_neural": json.loads(json.dumps(neural_m, default=float)),
     }
     if out_json:
         Path(out_json).write_text(json.dumps(summary, indent=2, default=float))
     if out_md:
         lines = [
-            "# EVAL.md — HMSG accuracy protocol (synthetic scenes, oracle perception)",
+            "# EVAL.md — HMSG accuracy protocol (synthetic scenes)",
             "",
             "Built by `python -m holoagent_tpu.apps.eval_protocol`: the production",
             "mapping pipeline (voxel fusion → instance merge → floor/room",
-            "segmentation → object association) over procedural multi-room scenes with",
-            "ground-truth masks and one-hot label embeddings standing in for",
-            "SAM/CLIP (no checkpoints are reachable in this sandbox — see",
-            "perception/oracle.py).  Scored with the reference's metric suite",
+            "segmentation → object association) over procedural multi-room scenes,",
+            "scored with the reference's metric suite",
             "(reference fsr_vln/memory/hmsg/eval/hm3dsem_evaluator.py:193-589):",
             "floor bounds, room precision/recall at 0.5 BEV overlap, object",
             "instance AUC over the overlap sweep with Hungarian matching, and",
-            "semantic top-k.",
+            "semantic top-k.  Two perception rows:",
             "",
-            f"{seeds} trajectories (seeds 0..{seeds - 1}) over each of the "
-            f"{len(LAYOUTS)} layouts ({', '.join(LAYOUTS)}), evaluated in "
-            f"{wall:.1f}s total (evaluator is the packed-voxel-key",
-            "vectorized path).",
+            "* **oracle** — GT masks + one-hot label embeddings",
+            "  (perception/oracle.py): isolates the pipeline itself (no",
+            "  pretrained checkpoints can exist in this sandbox).",
+            "* **neural** — the REAL extractor path end to end: SAM automatic",
+            "  mask generation, ConceptFusion fusion, and CLIP multi-template",
+            "  text retrieval, with tiny towers trained ON THE FIXTURES",
+            "  (training/perception.py: contrastive CLIP on GT object crops,",
+            "  SAM-style promptable-mask supervision on held-out trajectories).",
+            "  This row measures the neural machinery, not pretrained-scale",
+            "  accuracy — with real checkpoints (`models.clip.checkpoint` /",
+            "  `models.sam.checkpoint`) the same runner measures full",
+            "  open-vocabulary accuracy.",
             "",
-            "| metric | mean | std |",
-            "|---|---|---|",
+            f"Oracle: {seeds} trajectories (seeds 0..{seeds - 1}) x "
+            f"{len(LAYOUTS)} layouts ({', '.join(LAYOUTS)}); neural: "
+            f"{max(1, len(neural_m))} runs.  Total {wall:.1f}s.",
+            "",
+            "| metric | oracle mean | oracle std | neural mean | neural std |",
+            "|---|---|---|---|---|",
         ]
         for name, (mean, std) in table.items():
-            lines.append(f"| {name} | {mean:.3f} | {std:.3f} |")
+            if ntable:
+                nm, ns = ntable[name]
+                lines.append(f"| {name} | {mean:.3f} | {std:.3f} | {nm:.3f} | {ns:.3f} |")
+            else:
+                lines.append(f"| {name} | {mean:.3f} | {std:.3f} | — | — |")
         lines += [
             "",
             "The per-GT split/merge diagnostic (evaluator.py keeps the Hungarian",
             "assignment the reference discards) attributes any AUC shortfall to",
-            "specific objects.  Residual splits are reference-faithful: for the one",
-            "fragment the merge fold keeps separate (a sofa end face never observed",
-            "within the neighbor radius of the main body's points), the reference's",
-            "own max-of-directions neighbor ratio at 1.5x voxel",
-            "(graph_utils.py:620-664) evaluates to 0.64 — below its 0.75 merge",
-            "threshold — and our coarse-cell ratio measures 0.63 for the same pair.",
-            "",
-            "With real checkpoints (`models.clip.checkpoint` /",
-            "`models.sam.checkpoint`) the same runner measures full",
-            "open-vocabulary accuracy; these numbers isolate the geometry and",
-            "graph-construction fidelity of the framework itself.",
+            "specific objects.  The merge fold's overlap follows the reference's",
+            "max-of-directions neighbor formula (graph_utils.py:620-664) via",
+            "dilated coarse-cell signatures (memory/instances.py), which closed",
+            "every oracle split; 0.95 is the AUC ceiling of the 11-point overlap",
+            "sweep (accuracy is 0 at threshold 1.0 by construction).",
             "",
         ]
         Path(out_md).write_text("\n".join(lines))
@@ -184,8 +274,11 @@ def main(argv=None):
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--out", default="EVAL.md")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--no-neural", action="store_true")
+    ap.add_argument("--neural-seeds", type=int, default=1)
     args = ap.parse_args(argv)
-    run(args.seeds, args.out, args.json)
+    run(args.seeds, args.out, args.json, neural=not args.no_neural,
+        neural_seeds=args.neural_seeds)
 
 
 if __name__ == "__main__":

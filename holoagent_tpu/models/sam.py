@@ -63,6 +63,14 @@ VARIANTS = {
         global_idx=(1,), window=2, out_chans=32, decoder_dim=32,
         decoder_heads=2, decoder_mlp=64,
     ),
+    # fixture-trainable variant (training.perception): 128px / 16x16 token
+    # grid -> 64x64 decoder masks — enough boundary resolution to segment the
+    # 15-30 px fixture objects the 4x4 test-tiny grid cannot resolve
+    "fixture-tiny": SAMVariant(
+        "fixture-tiny", img_size=128, patch=8, width=64, depth=3, heads=2,
+        global_idx=(2,), window=4, out_chans=32, decoder_dim=32,
+        decoder_heads=2, decoder_mlp=128,
+    ),
 }
 
 

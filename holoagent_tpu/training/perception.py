@@ -1,0 +1,228 @@
+"""Fixture-trained tiny perception towers for the NEURAL accuracy row.
+
+No pretrained checkpoints can exist in this sandbox (no egress), so the
+published accuracy protocol (apps/eval_protocol.py) was oracle-perception
+only: GT masks + one-hot embeddings, which exercises the pipeline but not the
+neural extractor.  This module trains the test-tiny towers ON THE SYNTHETIC
+FIXTURES so the same protocol can measure the real extractor path —
+SAM automatic mask generation, ConceptFusion fusion, CLIP text retrieval —
+end to end (the checkpoint-backed eval intent of the reference's harness,
+reference fsr_vln/memory/hmsg/eval/hm3dsem_evaluator.py:193-589):
+
+  * `train_tiny_clip`: symmetric InfoNCE (training.contrastive) over GT
+    object crops paired with the retrieval prompt templates, so crop
+    embeddings align with `text_features_multi_template` queries.
+  * `train_tiny_sam`: SAM-style promptable-mask supervision — point prompts
+    sampled inside GT instances, min-over-mask-tokens BCE+dice at the
+    decoder's 4g x 4g grid, and IoU-head regression to the actual overlap
+    (the official SAM training recipe's loss structure, scaled to tiny).
+
+Everything runs in float32 on whatever backend is active (CPU-friendly:
+the test-tiny towers are 2-layer / 64-wide).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import clip as clip_mod
+from ..models import sam as sam_mod
+from ..models.tokenizer import SimpleTokenizer
+from . import contrastive
+
+
+# ---------------------------------------------------------------------------
+# Data: GT object crops from the synthetic fixtures
+# ---------------------------------------------------------------------------
+
+
+def collect_crops(datasets, labels: Sequence[str], size: int, margin: int = 4):
+    """All GT instance crops across the datasets' frames.
+
+    Returns (crops (N, size, size, 3) float01, label_ids (N,))."""
+    crops, ids = [], []
+    for ds in datasets:
+        for i in range(len(ds)):
+            frame = ds[i]
+            inst, lab = ds.gt(i)
+            for iid in np.unique(inst):
+                if iid < 0:
+                    continue
+                m = inst == iid
+                if m.sum() < 30:
+                    continue
+                ys, xs = np.nonzero(m)
+                y0, y1 = max(ys.min() - margin, 0), min(ys.max() + margin, m.shape[0])
+                x0, x1 = max(xs.min() - margin, 0), min(xs.max() + margin, m.shape[1])
+                crop = frame.rgb[y0:y1, x0:x1]
+                crop = np.asarray(
+                    jax.image.resize(jnp.asarray(crop), (size, size, 3), "linear")
+                )
+                lab_id = int(np.bincount(lab[m].ravel()).argmax()) % len(labels)
+                crops.append(crop)
+                ids.append(lab_id)
+    return np.stack(crops).astype(np.float32), np.asarray(ids, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# CLIP
+# ---------------------------------------------------------------------------
+
+
+def train_tiny_clip(
+    datasets,
+    labels: Sequence[str],
+    steps: int = 400,
+    seed: int = 0,
+    variant_name: str = "test-tiny",
+    lr: float = 3e-3,
+):
+    """Contrastive training of the tiny towers on fixture crops.  Batches hold
+    one crop per DISTINCT label (duplicate labels would be false negatives in
+    the symmetric InfoNCE)."""
+    cv = clip_mod.VARIANTS[variant_name]
+    tok = SimpleTokenizer()
+    rng = np.random.default_rng(seed)
+    crops, ids = collect_crops(datasets, labels, cv.image_size)
+    by_label = [np.nonzero(ids == c)[0] for c in range(len(labels))]
+    present = [c for c in range(len(labels)) if len(by_label[c])]
+    mean = np.asarray(clip_mod.IMAGE_MEAN, np.float32)
+    std = np.asarray(clip_mod.IMAGE_STD, np.float32)
+
+    params = clip_mod.init_clip(jax.random.key(seed), cv, dtype=jnp.float32)
+    tx, opt_state = contrastive.init_train_state(params, lr=lr)
+    step = contrastive.make_train_step(cv, tx, dtype=jnp.float32)
+
+    templates = clip_mod.TEMPLATES
+    tokens_by = {
+        (c, t): tok([templates[t].format(labels[c])])[0]
+        for c in present
+        for t in range(len(templates))
+    }
+    losses = []
+    for s in range(steps):
+        batch_c = rng.permutation(present)
+        imgs = np.stack(
+            [crops[rng.choice(by_label[c])] for c in batch_c]
+        )
+        ti = rng.integers(0, len(templates))
+        toks = np.stack([tokens_by[(c, ti)] for c in batch_c])
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray((imgs - mean) / std), jnp.asarray(toks)
+        )
+        losses.append(float(loss))
+    return params, losses
+
+
+# ---------------------------------------------------------------------------
+# SAM
+# ---------------------------------------------------------------------------
+
+
+def _sam_loss(params, img, points01, gt16, v: sam_mod.SAMVariant):
+    """img (S, S, 3) normalized; points01 (P, 2); gt16 (P, 4g, 4g) float.
+    min-over-tokens (BCE + dice) + IoU-head regression (SAM's loss shape)."""
+    emb = sam_mod.encode_image(params["encoder"], img[None], v, dtype=jnp.float32)[0]
+    g = emb.shape[0]
+    pe = sam_mod.image_pe(params["prompt"], g).astype(emb.dtype)
+    p = points01.shape[0]
+    pts = jnp.stack([points01, jnp.zeros_like(points01)], axis=1)
+    labs = jnp.stack(
+        [jnp.ones((p,), jnp.int32), -jnp.ones((p,), jnp.int32)], axis=1
+    )
+    sparse = sam_mod.encode_points(params["prompt"], pts, labs).astype(emb.dtype)
+    logits, iou_pred = sam_mod.decode_masks(
+        params["decoder"], emb, pe, sparse,
+        params["prompt"]["no_mask"].astype(emb.dtype), v,
+    )
+    logits = logits[:, 1:]  # the multimask tokens generate_masks consumes
+    iou_pred = iou_pred[:, 1:]
+    tgt = gt16[:, None]  # (P, 1, 4g, 4g)
+    bce = optax.sigmoid_binary_cross_entropy(logits, jnp.broadcast_to(tgt, logits.shape))
+    bce = bce.mean(axis=(-1, -2))  # (P, nm-1)
+    prob = jax.nn.sigmoid(logits)
+    inter = (prob * tgt).sum(axis=(-1, -2))
+    dice = 1.0 - (2 * inter + 1.0) / (prob.sum(axis=(-1, -2)) + tgt.sum(axis=(-1, -2)) + 1.0)
+    tok_loss = bce + dice  # (P, nm-1)
+    best = jnp.argmin(tok_loss, axis=1)
+    mask_loss = jnp.take_along_axis(tok_loss, best[:, None], axis=1).mean()
+    # IoU regression against the achieved overlap of each token's binarization
+    binm = logits > 0.0
+    bi = (binm * (tgt > 0.5)).sum(axis=(-1, -2))
+    bu = (binm | (tgt > 0.5)).sum(axis=(-1, -2))
+    iou_t = jax.lax.stop_gradient(bi / jnp.maximum(bu, 1.0))
+    iou_loss = ((iou_pred - iou_t) ** 2).mean()
+    return mask_loss + iou_loss
+
+
+def train_tiny_sam(
+    datasets,
+    steps: int = 400,
+    prompts_per_step: int = 8,
+    seed: int = 0,
+    variant_name: str = "test-tiny",
+    lr: float = 1e-3,
+):
+    """Supervised promptable-mask training on fixture GT instances."""
+    v = sam_mod.VARIANTS[variant_name]
+    rng = np.random.default_rng(seed)
+    params = sam_mod.init_sam(jax.random.key(seed), v, dtype=jnp.float32)
+    tx = optax.adamw(lr, weight_decay=0.01)
+    opt_state = tx.init(params)
+    g4 = 4 * (v.img_size // v.patch)
+
+    @jax.jit
+    def step(params, opt_state, img, points01, gt16):
+        loss, grads = jax.value_and_grad(_sam_loss)(params, img, points01, gt16, v)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # pre-extract once: preprocessed image + per-instance (pixel coords,
+    # 4g-resolution GT mask) — the training loop is then pure indexing
+    frames = []
+    for ds in datasets:
+        for i in range(len(ds)):
+            frame = ds[i]
+            inst, _ = ds.gt(i)
+            h, w = inst.shape
+            entries = []
+            for iid in np.unique(inst):
+                if iid < 0:
+                    continue
+                m = inst == iid
+                if m.sum() < 30:
+                    continue
+                ys, xs = np.nonzero(m)
+                gt16 = np.asarray(jax.image.resize(
+                    jnp.asarray(m, jnp.float32), (g4, g4), "linear"
+                )) > 0.5
+                entries.append((
+                    np.stack([xs / w, ys / h], -1).astype(np.float32),
+                    gt16.astype(np.float32),
+                ))
+            if entries:
+                x = np.asarray(
+                    sam_mod.preprocess(jnp.asarray(frame.rgb)[None], v.img_size)[0]
+                )
+                frames.append((x, entries))
+    losses = []
+    for s in range(steps):
+        x, entries = frames[rng.integers(0, len(frames))]
+        pts, gts = [], []
+        for _ in range(prompts_per_step):
+            coords, gt16 = entries[rng.integers(0, len(entries))]
+            pts.append(coords[rng.integers(0, len(coords))])
+            gts.append(gt16)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(x),
+            jnp.asarray(np.asarray(pts, np.float32)),
+            jnp.asarray(np.asarray(gts, np.float32)),
+        )
+        losses.append(float(loss))
+    return params, losses
