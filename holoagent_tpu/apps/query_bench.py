@@ -67,10 +67,35 @@ def run(
     dataset=None,
     vlm_kind: str = "clip",
     warmup: bool = True,
+    pad_gallery: int = 0,
 ):
     graph = HMSGraph.load(graph_dir)
     clip_params, _, cv, _ = load_models(cfg)
     tok = tokenizer()
+    if pad_gallery:
+        # widen the object gallery to production scale with distractor
+        # objects (label-text embeddings + noise): the fixture graphs hold
+        # <10 objects, far below the hundreds of instances a building-scale
+        # HMSG carries (reference 8-scene HM3D battery), and retrieval
+        # latency/recall must be measured against a realistic gallery
+        import numpy as _np
+
+        from ..memory.nodes import Object as _Obj
+        from ..utils.labels import get_label_feats as _glf
+
+        lf, classes = _glf(clip_params, tok, cv, "SCANNET20")
+        lf = _np.asarray(lf, _np.float32)
+        rng = _np.random.default_rng(7)
+        base_room = graph.rooms[0].room_id if graph.rooms else "room_0"
+        for i in range(pad_gallery):
+            e = lf[i % len(lf)] + rng.normal(0, 0.05, lf.shape[1]).astype(_np.float32)
+            e /= max(_np.linalg.norm(e), 1e-9)
+            graph.objects.append(_Obj(
+                object_id=f"distractor_{i}", room_id=base_room,
+                name=str(classes[i % len(classes)]),
+                pcd_points=rng.uniform(20.0, 60.0, (4, 3)),
+                embedding=e,
+            ))
     provider = None
     if use_slow:
         import jax
@@ -125,6 +150,7 @@ def run(
         # latency distribution (BASELINE.md target: < 1 s p50)
         "p50_total_time": float(np.percentile(totals, 50)) if totals else 0.0,
         "p95_total_time": float(np.percentile(totals, 95)) if totals else 0.0,
+        "gallery_size": len(graph.objects),
         "results": results,
     }
     # reference schema alias (visualize_query_graph_icra_ic4f.py:293-325)
@@ -143,12 +169,13 @@ def main(argv=None):
     ap.add_argument("--slow", action="store_true")
     ap.add_argument("--vlm", default="clip", choices=("clip", "generative", "null"))
     ap.add_argument("--out", default=None)
+    ap.add_argument("--pad-gallery", type=int, default=0)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
     cfg = cfgmod.load(args.config, args.overrides) if args.config else cfgmod.Config()
     instructions = json.loads(Path(args.instructions).read_text())
     run(args.graph, instructions, cfg, use_slow=args.slow, out_path=args.out,
-        vlm_kind=args.vlm)
+        vlm_kind=args.vlm, pad_gallery=args.pad_gallery)
 
 
 if __name__ == "__main__":

@@ -109,10 +109,28 @@ class RuleParser:
             room = None
         if "floor" not in self.spec:
             floor = None
+        # canonicalize zh nouns to the English label vocabulary the CLIP
+        # label features are built from (the role GPT translation plays in
+        # the reference's zh parse, llm_utils.py:310-466); unknown nouns pass
+        # through for open-vocabulary retrieval
+        room = _ZH_LEXICON.get(room, room)
+        obj = _ZH_LEXICON.get(obj, obj)
         return ParsedQuery(floor=floor, room=room, object=obj)
 
 
 _ZH_HINT = re.compile(r"[一-鿿]")
+
+# zh noun -> English canonical label (fixture + common indoor vocabulary)
+_ZH_LEXICON = {
+    "床": "bed", "椅子": "chair", "桌子": "table", "沙发": "sofa",
+    "冰箱": "refrigerator", "马桶": "toilet", "浴缸": "bathtub",
+    "电视": "tv", "台灯": "lamp", "灯": "lamp", "植物": "plant",
+    "镜子": "mirror", "门": "door", "窗户": "window", "水槽": "sink",
+    "书架": "bookshelf", "柜子": "cabinet", "枕头": "pillow",
+    "卧室": "bedroom", "客厅": "living room", "浴室": "bathroom",
+    "厨房": "kitchen", "餐厅": "dining room", "走廊": "hallway",
+    "卫生间": "bathroom", "洗手间": "bathroom", "书房": "office",
+}
 _ZH_DIGITS = {
     "一": 1, "二": 2, "三": 3, "四": 4, "五": 5,
     "六": 6, "七": 7, "八": 8, "九": 9,

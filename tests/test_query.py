@@ -260,15 +260,18 @@ def test_rule_parser_chinese():
     """zh query shapes (the reference's zh prompt variants,
     llm_utils.py:310-466)."""
     p = RuleParser()
-    assert p("去二楼的厨房找椅子").astuple() == ("2", "厨房", "椅子")
-    assert p("在卧室里找台灯").astuple() == (None, "卧室", "台灯")
-    assert p("带我去沙发").astuple() == (None, None, "沙发")
+    # known nouns canonicalize to the English label vocabulary (the role GPT
+    # translation plays in the reference's zh parse); unknown nouns pass
+    # through for open-vocabulary retrieval
+    assert p("去二楼的厨房找椅子").astuple() == ("2", "kitchen", "chair")
+    assert p("在卧室里找台灯").astuple() == (None, "bedroom", "lamp")
+    assert p("带我去沙发").astuple() == (None, None, "sofa")
     assert p("请帮我去三楼的会议室找投影仪").astuple() == ("3", "会议室", "投影仪")
-    assert p("在客厅里的电视。").astuple() == (None, "客厅", "电视")
+    assert p("在客厅里的电视。").astuple() == (None, "living room", "tv")
     # politeness prefixes and compound numerals
-    assert p("请在卧室里找台灯").astuple() == (None, "卧室", "台灯")
-    assert p("帮我在厨房找勺子").astuple() == (None, "厨房", "勺子")
-    assert p("去十二楼找椅子").astuple() == ("12", None, "椅子")
+    assert p("请在卧室里找台灯").astuple() == (None, "bedroom", "lamp")
+    assert p("帮我在厨房找勺子").astuple() == (None, "kitchen", "勺子")
+    assert p("去十二楼找椅子").astuple() == ("12", None, "chair")
     assert p("去二十三层的办公室找打印机").astuple() == ("23", "办公室", "打印机")
 
 
