@@ -4,10 +4,12 @@ The reference vendors ROS 2 Nav2 and configures NavFn global planning + DWB
 local control for the robot (reference nav_agent/.../g1_navigation2/param/
 g1.yaml:50-286).  This package provides the same planning/control capability
 as self-contained components: an inflated costmap from the scene's occupancy
-raster, A* global planning on it, and a dynamic-window trajectory-rollout
-local controller — so the framework can close the loop without a vendored
-navigation stack (deployments with ROS 2 keep using Nav2 through the agent
-glue instead).
+raster, A* global planning on it, two local controller families (the
+dynamic-window trajectory-rollout DWB role and the regulated-pure-pursuit RPP
+role, selectable via make_controller), and an AMCL-role particle-filter
+localizer with kidnapped-robot recovery — so the framework can close the loop
+without a vendored navigation stack (deployments with ROS 2 keep using Nav2
+through the agent glue instead).
 """
 
 from .costmap import Costmap
