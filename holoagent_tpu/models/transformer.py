@@ -156,8 +156,9 @@ def attention(
     if impl == "flash":
         from ..ops.flash_attention import flash_attention
 
-        # non-128-multiple T (CLIP: 257 tokens) runs as ONE whole block —
-        # no pad-to-384, scores stay in VMEM
+        # non-128-multiple T (CLIP: 257 tokens) runs as ONE whole block:
+        # measured on v5e, whole-block beats 128-blocks ~3x at these shapes
+        # (the kernel's grid-step count dominates, see _flash_kernel)
         bq = 128 if t % 128 == 0 else (t if t <= 512 else 128)
         out = flash_attention(
             q.transpose(0, 2, 1, 3),

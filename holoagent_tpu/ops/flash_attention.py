@@ -20,45 +20,71 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool, scale: float):
-    _, bq, _ = q_ref.shape
-    d = v_ref.shape[2]  # true head dim (q/k may carry a padding-bias column)
-    t = k_ref.shape[1]
-    qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool, scale: float,
+    t_valid: int,
+):
+    """Head-folded flash block: refs are (1, HB, bq|tp, d); a static python
+    loop over the HB heads runs each head's online-softmax sweep inside ONE
+    grid step.  Folding heads into the block is what makes the kernel win at
+    encoder shapes (CLIP: 129x16 heads x 257 tokens): one-(batch,head)-per-
+    step grids pay per-step overhead on ~8 MFLOP dots — measured 152 ms for
+    the 24-layer stack vs 128 ms XLA; head-folded: see bench notes.
 
-    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
-    acc = jnp.zeros((bq, d), jnp.float32)
-
+    Dots stay in the input dtype (bf16 on the MXU, f32 accumulation) — same
+    numerics as the XLA preferred_element_type=f32 path; upcasting to f32
+    before the dot quarters the MXU rate (the mistake _flash2d_kernel's
+    docstring records for the SAM kernel)."""
+    _, hb, bq, _ = q_ref.shape
+    d = v_ref.shape[3]  # true head dim (q/k may carry a padding-bias column)
+    t = k_ref.shape[2]
+    qi = pl.program_id(2)
     num_kb = t // block_k
 
-    def body(kb, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
-        if causal:
-            q_idx = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+    for h in range(hb):  # static unroll over the head chunk
+        q = q_ref[0, h]
+
+        m = jnp.full((bq, 1), NEG_INF, jnp.float32)
+        l = jnp.zeros((bq, 1), jnp.float32)
+        acc = jnp.zeros((bq, d), jnp.float32)
+
+        def body(kb, carry, h=h):
+            m, l, acc = carry
+            k = k_ref[0, h, pl.ds(kb * block_k, block_k), :]
+            v = v_ref[0, h, pl.ds(kb * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale  # (bq, bk) f32
             k_idx = kb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, block_k), 1
             )
-            s = jnp.where(q_idx >= k_idx, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-        return m_new, l, acc
+            if causal:
+                q_idx = qi * bq + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_k), 0
+                )
+                s = jnp.where(q_idx >= k_idx, s, NEG_INF)
+            if t_valid != t:
+                # T padded to the block multiple: mask the phantom keys
+                # (cheaper than the padding-bias-column trick, which widens
+                # the head dim to 65 and pads the k/q lane dim to 128)
+                s = jnp.where(k_idx < t_valid, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            return m_new, l, acc
 
-    if causal:
-        # only blocks up to and including the diagonal contribute
-        last = (qi + 1) * bq  # first k index beyond this q block
-        num_needed = pl.cdiv(last, block_k)
-        m, l, acc = jax.lax.fori_loop(0, num_needed, body, (m, l, acc))
-    else:
-        m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        if causal:
+            # only blocks up to and including the diagonal contribute
+            last = (qi + 1) * bq  # first k index beyond this q block
+            num_needed = pl.cdiv(last, block_k)
+            m, l, acc = jax.lax.fori_loop(0, num_needed, body, (m, l, acc))
+        else:
+            m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
+        o_ref[0, h] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def _flash2d_kernel(
@@ -198,43 +224,37 @@ def flash_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, t, d = q.shape
-    # pad T to a block multiple; padded keys are masked out by construction
-    # (their scores only matter if a padded q row reads them — those rows are
-    # dropped on return; padded K/V columns DO contribute, so mask them)
+    # pad T to a block multiple; phantom keys are masked inside the kernel
+    # (k_idx < t), phantom q rows are dropped on return
     tp = ((t + block_k - 1) // block_k) * block_k
     if tp != t:
         pad = tp - t
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        # push padded keys out of the softmax by a large negative key bias:
-        # implemented by giving padded keys a huge negative component against
-        # an appended constant query dim
-        qe = jnp.concatenate([q, jnp.ones(q.shape[:-1] + (1,), q.dtype)], axis=-1)
-        key_bias = jnp.broadcast_to(
-            jnp.where((jnp.arange(tp) < t)[None, None, :, None], 0.0, NEG_INF / 2),
-            k.shape[:-1] + (1,),
-        ).astype(q.dtype)
-        ke = jnp.concatenate([k, key_bias], axis=-1)
-        q, k = qe, ke
-        d_eff = d + 1
-    else:
-        d_eff = d
     scale = d**-0.5  # scale by the true head dim
-    qf = q.reshape(b * h, tp, d_eff)
-    kf = k.reshape(b * h, tp, d_eff)
-    vf = v.reshape(b * h, tp, d)
-    grid = (b * h, tp // block_q)
+    # head-chunk size: fold as many heads per grid step as keep the K/V
+    # panels within ~8 MB of VMEM (grid-step overhead dominates at encoder
+    # shapes, so fewer/fatter steps win — see _flash_kernel docstring)
+    lane_d = max(d, 128)  # lane padding: the (·, d) panels occupy >=128 lanes
+    kv_bytes_per_head = 2 * tp * lane_d * q.dtype.itemsize
+    hb = max(1, min(h, (8 << 20) // max(1, kv_bytes_per_head)))
+    while h % hb:
+        hb -= 1
+    grid = (b, h // hb, tp // block_q)
     out = pl.pallas_call(
-        partial(_flash_kernel, block_k=block_k, causal=causal, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+        partial(
+            _flash_kernel, block_k=block_k, causal=causal, scale=scale,
+            t_valid=t,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, tp, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_eff), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, tp, d_eff), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, tp, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, hb, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, hb, tp, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, hb, tp, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        out_specs=pl.BlockSpec((1, hb, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
         interpret=interpret,
-    )(qf, kf, vf)
-    return out.reshape(b, h, tp, d)[:, :, :t]
+    )(q, k, v)
+    return out[:, :, :t]
