@@ -67,6 +67,12 @@ def run(variant: str = "vlm-small", batch: int = 8, requests: int = 16,
     # --- end-to-end continuous batching loop from this host
     b = ContinuousBatcher(vlm_params, clip_params, vv, max_batch=batch,
                           chunk=chunk)
+    # steady-state measurement: one throwaway request compiles the admission
+    # wave + decode chunk programs before the clock starts
+    warm = b.submit(GenRequest("warm up", max_new_tokens=min(8, new_tokens)))
+    while not warm._done.is_set():
+        b.step()
+    b.steps = 0
     reqs = [
         b.submit(GenRequest(f"where is object number {i}?", max_new_tokens=new_tokens))
         for i in range(requests)

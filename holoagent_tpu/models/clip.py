@@ -119,6 +119,12 @@ def preprocess(images: jnp.ndarray, size: int = 224) -> jnp.ndarray:
     return (out - mean) / std
 
 
+# jitted entry for eager callers (serving admission): the center-crop/resize/
+# normalize chain is ~4 dispatches eager — one compile per (batch, H, W)
+# amortizes it to a single dispatch (gallery frames share one shape)
+preprocess_jit = jax.jit(preprocess, static_argnames=("size",))
+
+
 # ---------------------------------------------------------------------------
 # Towers
 # ---------------------------------------------------------------------------

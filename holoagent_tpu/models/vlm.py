@@ -202,6 +202,40 @@ def encode_images(
 encode_images_jit = jax.jit(encode_images, static_argnames=("v", "dtype"))
 
 
+@partial(jax.jit, static_argnames=("t", "v", "dtype"))
+def image_text_prompt_embeddings(
+    vlm_params: Params,
+    clip_params: Params,
+    ids: jnp.ndarray,  # (T_ids,) int32 text tokens, host-padded
+    n_text: jnp.ndarray,  # () int32 valid text tokens
+    images: jnp.ndarray,  # (N, S, S, 3) preprocessed
+    t: int,  # static output length
+    v: VLMVariant,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[image blocks..., text tokens] prompt embeddings in ONE device program
+    (the eager build_prompt_embeddings issues ~4 dispatches per request —
+    tower encode, gather, concat, pad — each a full RPC round trip on a
+    tunneled device; multimodal admission waves were paying it per image
+    request).  Returns ((t, W) embeddings, () valid length); one compile per
+    (gallery size N, bucket t)."""
+    blocks = encode_images(vlm_params, clip_params, images, v, dtype=dtype)
+    img = blocks.reshape(-1, blocks.shape[-1])  # (N*T_img, W)
+    n_img = img.shape[0]
+    txt = vlm_params["tok_emb"][ids].astype(dtype)  # (T_ids, W)
+    tid = ids.shape[0]
+    emb = jnp.zeros((t, img.shape[-1]), dtype)
+    emb = jax.lax.dynamic_update_slice(emb, img[: min(n_img, t)], (0, 0))
+    # text goes at offset n_img (static); mask positions past n_img + n_text
+    if n_img < t:
+        emb = jax.lax.dynamic_update_slice(
+            emb, txt[: min(tid, t - n_img)], (n_img, 0)
+        )
+    n = jnp.minimum(n_img + n_text, t).astype(jnp.int32)
+    pos_ok = jnp.arange(t) < n
+    return jnp.where(pos_ok[:, None], emb, 0), n
+
+
 # ---------------------------------------------------------------------------
 # Prefill / decode with KV cache
 # ---------------------------------------------------------------------------
@@ -631,6 +665,62 @@ def decode_chunk(
 
     (last, cache), toks = jax.lax.scan(body, (tokens, cache), None, length=steps)
     return toks, last, cache
+
+
+@partial(jax.jit, static_argnames=("v", "dtype"))
+def text_prompt_embeddings(
+    params: Params,
+    ids: jnp.ndarray,  # (B, T) int32, padded with any id past ns
+    ns: jnp.ndarray,  # (B,) int32 valid lengths
+    v: VLMVariant,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Batched text-only prompt embeddings: ONE gather for a whole admission
+    wave (the per-request eager gather/concat/pad of build_prompt_embeddings
+    costs ~3 device dispatches per request — a full RPC round trip each when
+    the device sits behind a tunnel).  Positions >= ns zero out."""
+    emb = params["tok_emb"][ids].astype(dtype)  # (B, T, W)
+    t = ids.shape[1]
+    pos_ok = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], t), 1) < ns[:, None]
+    return jnp.where(pos_ok[..., None], emb, 0)
+
+
+@partial(jax.jit, static_argnames=("v", "dtype"))
+def admit_wave(
+    params: Params,
+    emb: jnp.ndarray,  # (B, T, W) prompt embeddings; zeros on non-admitted rows
+    ns: jnp.ndarray,  # (B,) int32 valid lengths (>=1 on admitted rows)
+    admit: jnp.ndarray,  # (B,) bool rows being (re)admitted this wave
+    cache: KVCache,
+    current: jnp.ndarray,  # (B,) int32 current tokens of live slots
+    v: VLMVariant,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One-dispatch admission for the continuous batcher: prefill EVERY
+    admitted slot's prompt, write its K/V rows, set its cache length, and
+    compute its first greedy token — in a single device program.
+
+    The per-slot alternative (prefill, two full-cache scatters, and a
+    blocking argmax fetch per request — ~6 dispatches each) made admission,
+    not decode, the wall-clock bottleneck of the serving engine once
+    decode_chunk amortized the decode loop (measured: 16 text requests =
+    21 s wall with per-slot admits, RPC-tunneled device).  Slots not in
+    `admit` keep their cache rows, length, and current token bit-exactly.
+
+    Returns (current' (B,), cache')."""
+    logits, pref = prefill(
+        params, emb, jnp.maximum(ns, 1).astype(jnp.int32), cache, v, dtype=dtype
+    )
+    sel = admit[None, :, None, None, None]
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return (
+        jnp.where(admit, nxt, current),
+        KVCache(
+            k=jnp.where(sel, pref.k, cache.k),
+            v=jnp.where(sel, pref.v, cache.v),
+            length=jnp.where(admit, ns.astype(jnp.int32), cache.length),
+        ),
+    )
 
 
 def convert_hf_llava(state_dict, v: VLMVariant, dtype=jnp.float32) -> Params:

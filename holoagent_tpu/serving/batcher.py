@@ -15,7 +15,7 @@ import queue
 import threading
 import time
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -123,7 +123,13 @@ class ContinuousBatcher:
     # ----------------------------------------------------------------- core
 
     def _admit(self) -> bool:
-        admitted = False
+        """Admit queued requests into free slots as ONE batched device
+        dispatch (vlm.admit_wave): the whole wave's prompts prefill, write
+        their cache rows, and produce their first greedy tokens in a single
+        program + a single host fetch.  The per-slot alternative costs ~6
+        dispatches per request and dominated serving wall time on an
+        RPC-tunneled device (see vlm.admit_wave docstring)."""
+        wave: List[tuple] = []  # (slot index, request)
         for i, slot in enumerate(self.slots):
             if slot.active:
                 continue
@@ -131,55 +137,126 @@ class ContinuousBatcher:
                 req = self.queue.get_nowait()
             except queue.Empty:
                 break
+            wave.append((i, req))
+        if not wave:
+            return False
+
+        b = self.max_batch
+        ns = np.zeros((b,), np.int32)
+        admit = np.zeros((b,), bool)
+        wave_ids: Dict[int, np.ndarray] = {}
+        wave_imgs: Dict[int, Any] = {}  # preprocessed image stacks
+        any_images = False
+        for i, req in wave:
             ids = [self.tok.sot] + self.tok.encode(req.prompt)
-            images = None
-            if req.images is not None and len(req.images):
+            max_len = self.v.max_seq - req.max_new_tokens - 1
+            has_img = req.images is not None and len(req.images) > 0
+            if has_img:
+                any_images = True
                 from ..models import clip as clip_mod
 
                 cv = clip_mod.VARIANTS[self.v.clip_variant]
-                images = clip_mod.preprocess(
+                wave_imgs[i] = clip_mod.preprocess_jit(
                     jnp.asarray(req.images, jnp.float32), size=cv.image_size
                 )
-            emb, n = vlm_mod.build_prompt_embeddings(
-                self.params, self.clip_params, np.asarray(ids, np.int32), images,
-                self.v, max_len=self.v.max_seq - req.max_new_tokens - 1,
-                dtype=self.dtype,
-            )
-            # per-slot prefill (batch of 1 into this slot's cache rows);
-            # long prompts go sequence-parallel over the mesh when attached
-            if (
-                self.mesh is not None
-                and n >= self.sp_threshold
-                and self.v.arch == "gpt"
-            ):
-                logits, sub_cache = vlm_mod.prefill_sp(
-                    self.params, emb[None], jnp.asarray([n], jnp.int32),
-                    self.v, self.mesh, dtype=self.dtype,
-                )
+                n_img = len(req.images) * self.v.image_tokens
+                ids = ids[: max(0, max_len - n_img)]
+                wave_ids[i] = np.asarray(ids, np.int32)
+                ns[i] = min(n_img + len(ids), max_len)
             else:
-                sub_cache = vlm_mod.KVCache(
-                    k=self.cache.k[:, i : i + 1],
-                    v=self.cache.v[:, i : i + 1],
-                    length=self.cache.length[i : i + 1],
-                )
-                logits, sub_cache = vlm_mod.prefill(
-                    self.params, emb[None], jnp.asarray([n], jnp.int32),
-                    sub_cache, self.v, dtype=self.dtype,
-                )
+                ids = ids[:max_len]
+                wave_ids[i] = np.asarray(ids, np.int32)
+                ns[i] = len(ids)
+            admit[i] = True
+
+        # bucket the wave's prompt length (64-token steps) so prefill cost
+        # tracks the actual prompts, not the worst-case budget
+        t = max(64, int(-(-int(ns.max()) // 64) * 64))
+        t = min(t, self.v.max_seq - 1)
+        ns = np.minimum(ns, t)
+
+        # long prompts still go sequence-parallel per-request when a mesh is
+        # attached (SURVEY.md §5.7); route them out of the batched wave
+        sp_rows = [
+            (i, req) for i, req in wave
+            if self.mesh is not None and ns[i] >= self.sp_threshold
+            and self.v.arch == "gpt"
+        ]
+        for i, req in sp_rows:
+            n = int(ns[i])
+            emb = self._row_emb(i, t, ns, wave_ids, wave_imgs)
+            logits, sub_cache = vlm_mod.prefill_sp(
+                self.params, emb[None], jnp.asarray([n], jnp.int32),
+                self.v, self.mesh, dtype=self.dtype,
+            )
             self.cache = vlm_mod.KVCache(
                 k=self.cache.k.at[:, i].set(sub_cache.k[:, 0]),
                 v=self.cache.v.at[:, i].set(sub_cache.v[:, 0]),
                 length=self.cache.length.at[i].set(n),
             )
-            nxt = int(jnp.argmax(logits[0]))
-            self.current = self.current.at[i].set(nxt)
+            self.current = self.current.at[i].set(
+                jnp.argmax(logits[0]).astype(jnp.int32)
+            )
+            admit[i] = False
+
+        batched = [(i, req) for i, req in wave if admit[i]]
+        if batched:
+            if any_images and wave_imgs:
+                zero = jnp.zeros((t, self.v.width), self.dtype)
+                rows = [
+                    self._row_emb(i, t, ns, wave_ids, wave_imgs)
+                    if (i in wave_imgs or i in wave_ids) and admit[i]
+                    else zero
+                    for i in range(b)
+                ]
+                emb_wave = jnp.stack(rows)
+            else:
+                ids_pad = np.zeros((b, t), np.int32)
+                for i in wave_ids:
+                    ids_pad[i, : ns[i]] = wave_ids[i][: ns[i]]
+                emb_wave = vlm_mod.text_prompt_embeddings(
+                    self.params, jnp.asarray(ids_pad), jnp.asarray(ns), self.v,
+                    dtype=self.dtype,
+                )
+            self.current, self.cache = vlm_mod.admit_wave(
+                self.params, emb_wave, jnp.asarray(ns), jnp.asarray(admit),
+                self.cache, self.current, self.v, dtype=self.dtype,
+            )
+
+        first = np.asarray(self.current)  # ONE blocking fetch per wave
+        for i, req in wave:
+            slot = self.slots[i]
+            nxt = int(first[i])
             slot.request = req
             slot.remaining = req.max_new_tokens - 1
             slot.out_ids = [nxt]
-            admitted = True
             if nxt == self.tok.eot or slot.remaining <= 0:
                 self._finish(i)
-        return admitted
+        return True
+
+    def _row_emb(self, i, t, ns, wave_ids, wave_imgs):
+        """One slot's (t, W) prompt embeddings in a single device dispatch
+        (vlm.image_text_prompt_embeddings / text_prompt_embeddings)."""
+        n = int(ns[i])
+        ids = wave_ids.get(i, np.zeros((0,), np.int32))
+        if i in wave_imgs:
+            # ids bucket to 64 so the jitted builder compiles once per
+            # (gallery size, bucket), not per prompt length
+            tid = max(64, -(-len(ids) // 64) * 64)
+            pad = np.zeros((tid,), np.int32)
+            pad[: len(ids)] = ids
+            emb, _ = vlm_mod.image_text_prompt_embeddings(
+                self.params, self.clip_params, jnp.asarray(pad),
+                jnp.int32(len(ids)), wave_imgs[i], t, self.v,
+                dtype=self.dtype,
+            )
+            return emb
+        pad = np.zeros((t,), np.int32)
+        pad[:n] = ids[:n]
+        return vlm_mod.text_prompt_embeddings(
+            self.params, jnp.asarray(pad)[None], jnp.asarray([n], jnp.int32),
+            self.v, dtype=self.dtype,
+        )[0]
 
     def _finish(self, i: int):
         slot = self.slots[i]
@@ -189,11 +266,9 @@ class ContinuousBatcher:
         req._result = self.tok.decode(ids).strip()
         req._done.set()
         slot.request = None
-        self.cache = vlm_mod.KVCache(
-            k=self.cache.k,
-            v=self.cache.v,
-            length=self.cache.length.at[i].set(0),
-        )
+        # no device-side cache reset: decode_chunk's `active` mask freezes the
+        # slot and admit_wave overwrites its rows + length on readmission —
+        # an eager length reset here would cost a device dispatch per request
 
     def step(self) -> bool:
         """Admit new requests and advance every active slot up to `chunk`
