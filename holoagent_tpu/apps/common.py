@@ -33,9 +33,13 @@ def load_models(cfg: Config):
 def load_dataset(cfg: Config):
     name = cfg.main.dataset
     if name == "synthetic":
-        from ..dataloader.synthetic import SyntheticDataset
+        from ..dataloader.synthetic import SyntheticDataset, SyntheticScene
 
+        scene = None
+        if cfg.main.layout != "two_room":
+            scene = getattr(SyntheticScene, cfg.main.layout)(cfg.main.seed)
         return SyntheticDataset(
+            scene=scene,
             seed=cfg.main.seed,
             num_frames=cfg.main.num_frames,
             hw=(cfg.main.frame_h, cfg.main.frame_w),

@@ -37,6 +37,7 @@ class MainConfig:
     frame_h: int = 120
     frame_w: int = 160
     num_frames: int = 24
+    layout: str = "two_room"  # synthetic fixture layout (two_room | three_room)
 
 
 @dataclass
