@@ -119,12 +119,19 @@ def main():
     instances = inst_mod.empty_instances(256, 2048, cv.embed_dim)
     stride = max(1, (480 * 640) // 32768)
 
+    import sys as _sys
+
+    def _mark(msg):
+        print(f"# bench: {msg}", file=_sys.stderr, flush=True)
+
+    _mark("init done; warming rtt probe")
     # tunnel round-trip floor (cached trivial program)
     trivial = jax.jit(lambda x: x + 1.0)
     xs = jnp.zeros((8, 128))
     _sync(trivial(xs))
     rtt = _time_dispatch(lambda: trivial(xs), iters=8)
 
+    _mark("rtt %.1f ms; warming pipeline programs" % (rtt * 1e3))
     # warm up + materialize intermediates the later stages need
     pts, cols, valid = backproject(depth, rgb, cam, pose, 1e-3, 10.0)
     # fcap 16k: the synthetic indoor frame touches ~5k 5 cm voxels (the
@@ -144,6 +151,7 @@ def main():
         inst_mod.seq_merge_step(instances, finst, 0.75, 0.05, bbox_pad=0.025, coarse_only=True).count
     )
 
+    _mark("warm-up done; timing device stages")
     from holoagent_tpu.utils.benchtime import time_device_fn
 
     device_stages = {
@@ -171,24 +179,27 @@ def main():
     }
     stage_s = {}
     for name, (fn, args) in device_stages.items():
+        _mark(f"stage {name}")
         stage_s[name] = max(time_device_fn(fn, args, iters=10), 1e-4)
     _sync(
         extract_frame_features(
             clip_q8, sam_params, rgb, cv, sv,
-            points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash",
+            points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash", clip_impl="flash",
         ).f_masks
     )
+    _mark("stage extract (int8 flash)")
     stage_s["extract"] = max(
         _time_dispatch(
             lambda: extract_frame_features(
                 clip_q8, sam_params, rgb, cv, sv,
                 points_per_side=12, max_masks=64, dtype=jnp.bfloat16,
-                impl="flash",
+                impl="flash", clip_impl="flash",
             ).f_masks
         )
         - rtt,
         1e-4,
     )
+    _mark("stage extract bf16")
     extract_bf16 = max(
         _time_dispatch(
             lambda: extract_frame_features(
@@ -221,14 +232,15 @@ def main():
     _sync(
         extract_frame_features(
             clip_q8, sam_h, rgb, cv, svh,
-            points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash",
+            points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash", clip_impl="flash",
         ).f_masks
     )
+    _mark("stage extract vit_h")
     extract_h = max(
         _time_dispatch(
             lambda: extract_frame_features(
                 clip_q8, sam_h, rgb, cv, svh,
-                points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash",
+                points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash", clip_impl="flash",
             ).f_masks
         )
         - rtt,

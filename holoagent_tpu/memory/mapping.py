@@ -232,6 +232,7 @@ class Mapper:
             bbox_margin=float(p.clip_bbox_margin),
             dtype=self._dtype,
             impl=p.extract_impl,
+            clip_impl=getattr(p, "extract_clip_impl", "xla"),
         )
         masks_flat = ff.masks.reshape(ff.masks.shape[0], -1)
         scene = scene_mod.fuse_pixel_features(

@@ -79,9 +79,10 @@ def extract_frame_features(
     bbox_margin: float = 50.0,  # reference config clip_bbox_margin
     dtype=jnp.bfloat16,
     impl: str = "xla",  # "flash" -> Pallas rel-pos flash attn in SAM layers
-    clip_impl: str = "xla",  # CLIP tower attention impl (separate: the
-    # 129-crop 257-token batch favors XLA inside this program — the whole-
-    # block flash path wins standalone but loses fused, measured on v5e)
+    clip_impl: str = "xla",  # CLIP tower attention impl ("flash": the
+    # head-folded whole-block kernel — fused extract 253 -> 234 ms on v5e
+    # since the round-3 kernel rework; default stays "xla" for CPU tests,
+    # bench.py passes "flash")
     clip_qmm: str = "xla",  # int8 matmul path ("pallas" = ops/quant_matmul
     # fused dynamic-quant kernel; no-op for bf16 towers)
 ) -> FrameFeatures:
