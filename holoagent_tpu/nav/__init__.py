@@ -7,7 +7,8 @@ as self-contained components: an inflated costmap from the scene's occupancy
 raster, A* global planning on it, two local controller families (the
 dynamic-window trajectory-rollout DWB role and the regulated-pure-pursuit RPP
 role, selectable via make_controller), and an AMCL-role particle-filter
-localizer with kidnapped-robot recovery — so the framework can close the loop
+localizer with kidnapped-robot recovery, plus data-driven XML behavior trees
+(bt_xml.py, the nav2_bt_navigator role) — so the framework can close the loop
 without a vendored navigation stack (deployments with ROS 2 keep using Nav2
 through the agent glue instead).
 """
@@ -27,6 +28,7 @@ def make_controller(name: str, costmap, **kwargs):
     raise KeyError(f"unknown controller family {name!r} (dwb | rpp)")
 
 
+from .bt_xml import XMLNavigator, parse_bt_xml, DEFAULT_TREE_XML
 from .behaviors import (
     BTNavigator,
     BackupRecovery,
