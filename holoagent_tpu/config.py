@@ -121,6 +121,12 @@ class PipelineConfig:
     extract_clip_impl: str = "xla"
     # pixel decimation for instance-set extraction (0 = auto: ~32k pixels)
     instance_pixel_stride: int = 0
+    # frames per extract dispatch (Mapper.run): >1 batches SAM+CLIP
+    # extraction across frames in ONE device program — the per-frame
+    # program's matmuls are MXU-starved (K=1024 panels, measured ~35-90
+    # TF/s on v5e) and batching multiplies their row count; the per-frame
+    # fusion/merge stages are unchanged (same results, frame order kept)
+    extract_frames_per_dispatch: int = 1
     # fixed-capacity budgets (TPU-native: padded buffers, no dynamic shapes)
     point_capacity: int = 1 << 20  # max fused scene points
     # unique voxels one frame's insert may touch (overflow drops to the trash

@@ -258,8 +258,43 @@ class Mapper:
 
     def run(self, dataset: RGBDDataset) -> "MappedScene":
         skip = self.cfg.pipeline.skip_frames
-        for i in range(0, len(dataset), skip):
-            self.process_frame(dataset[i])
+        bsz = max(1, getattr(self.cfg.pipeline, "extract_frames_per_dispatch", 1))
+        idxs = list(range(0, len(dataset), skip))
+        if bsz == 1:
+            for i in idxs:
+                self.process_frame(dataset[i])
+            return self.finalize()
+        # batched extraction: one SAM+CLIP dispatch covers bsz frames (the
+        # matmul row counts multiply by bsz — see extractor.
+        # extract_frames_batched), then the per-frame fusion/merge stages
+        # run in the original frame order (identical results to bsz=1)
+        from ..perception.extractor import extract_frames_batched
+
+        p = self.cfg.pipeline
+        for s in range(0, len(idxs), bsz):
+            frames = [dataset[i] for i in idxs[s : s + bsz]]
+            if len(frames) > 1:
+                imgs = jnp.stack([jnp.asarray(f.rgb) for f in frames])
+                ffb = extract_frames_batched(
+                    self.clip_params, self.sam_params, imgs,
+                    self.clip_variant, self.sam_variant,
+                    points_per_side=self.cfg.models.sam.points_per_side,
+                    pred_iou_thresh=self.cfg.models.sam.pred_iou_thresh,
+                    stability_thresh=self.cfg.models.sam.stability_score_thresh,
+                    min_area=float(self.cfg.models.sam.min_mask_region_area),
+                    max_masks=self.cfg.models.sam.max_masks,
+                    masked_weight=p.clip_masked_weight,
+                    bbox_margin=float(p.clip_bbox_margin),
+                    dtype=self._dtype,
+                    impl=p.extract_impl,
+                    clip_impl=getattr(p, "extract_clip_impl", "xla"),
+                )
+                for j, frame in enumerate(frames):
+                    self.process_frame(
+                        frame, ff=jax.tree.map(lambda a: a[j], ffb)
+                    )
+            else:
+                self.process_frame(frames[0])
         return self.finalize()
 
     # -- finalize ------------------------------------------------------------

@@ -155,13 +155,13 @@ def per_pixel_features(ff: FrameFeatures, dtype=jnp.float16) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "clip_variant", "sam_variant", "points_per_side", "max_masks",
-        "dtype", "impl",
+        "dtype", "impl", "clip_impl", "clip_qmm",
     ),
 )
 def _extract_batch(
     clip_params, sam_params, images01, clip_variant, sam_variant,
     points_per_side, pred_iou_thresh, stability_thresh, min_area, max_masks,
-    masked_weight, bbox_margin, dtype, impl,
+    masked_weight, bbox_margin, dtype, impl, clip_impl="xla", clip_qmm="xla",
 ):
     def one(img):
         return extract_frame_features.__wrapped__(
@@ -170,9 +170,36 @@ def _extract_batch(
             stability_thresh=stability_thresh, min_area=min_area,
             max_masks=max_masks, masked_weight=masked_weight,
             bbox_margin=bbox_margin, dtype=dtype, impl=impl,
+            clip_impl=clip_impl, clip_qmm=clip_qmm,
         )
 
     return jax.vmap(one)(images01)
+
+
+def extract_frames_batched(
+    clip_params, sam_params, images01, clip_variant, sam_variant,
+    points_per_side: int = 12, pred_iou_thresh: float = 0.88,
+    stability_thresh: float = 0.95, min_area: float = 100.0,
+    max_masks: int = 64, masked_weight: float = 0.4418,
+    bbox_margin: float = 50.0, dtype=jnp.bfloat16, impl: str = "xla",
+    clip_impl: str = "xla", clip_qmm: str = "xla",
+) -> FrameFeatures:
+    """Single-device multi-frame extraction: F frames in ONE dispatch.
+
+    The per-frame program's matmuls are MXU-starved at one frame (the CLIP
+    crop batch's K=1024 panels reach only ~35-90 TF/s on v5e, measured), and
+    each dispatch pays fixed scheduling cost; batching F frames multiplies
+    every matmul's row count by F and amortizes the fixed work, which is
+    where the mapping pipeline's throughput headroom lives (the reference
+    processes frames strictly one at a time on GPU,
+    fsr_vln/memory/hmsg/graph/graph.py:380-388).  Returns FrameFeatures with
+    a leading frame axis."""
+    return _extract_batch(
+        clip_params, sam_params, images01, clip_variant, sam_variant,
+        points_per_side, pred_iou_thresh, stability_thresh, min_area,
+        max_masks, masked_weight, bbox_margin, dtype, impl,
+        clip_impl=clip_impl, clip_qmm=clip_qmm,
+    )
 
 
 def extract_frames_dp(

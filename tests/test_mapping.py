@@ -110,3 +110,26 @@ def test_hierarchical_merge_matches_scene(mapped):
     assert 0.3 * n_seq <= n_hier <= 3 * n_seq + 2, (n_seq, n_hier)
     # scene fusion identical regardless of merge schedule
     assert int(ms.scene.num) == int(ms_seq.scene.num)
+
+
+def test_batched_extract_matches_per_frame(mapped):
+    """pipeline.extract_frames_per_dispatch=2 (one SAM+CLIP dispatch per 2
+    frames, vmapped extract) produces the same scene/instances as per-frame
+    extraction — batching changes dispatch granularity only."""
+    ms_one, ds = mapped
+    cfg = _tiny_cfg(extract_frames_per_dispatch=2)
+    clip_p = clip_mod.init_clip(jax.random.key(0), clip_mod.VARIANTS["test-tiny"])
+    sam_p = sam_mod.init_sam(jax.random.key(1), sam_mod.VARIANTS["test-tiny"])
+    ms = Mapper(cfg, clip_p, sam_p).run(ds)
+    n1, n2 = int(ms_one.scene.num), int(ms.scene.num)
+    assert n1 == n2
+    np.testing.assert_allclose(
+        np.sort(np.asarray(ms_one.scene.points())[:n1], axis=0),
+        np.sort(np.asarray(ms.scene.points())[:n2], axis=0),
+        atol=1e-4,
+    )
+    # feature fusion identical (same extraction math, vmapped)
+    fc1 = np.asarray(ms_one.scene.feat_count)[:n1]
+    fc2 = np.asarray(ms.scene.feat_count)[:n2]
+    assert fc1.sum() == fc2.sum()
+    assert int(ms.instances.num()) == int(ms_one.instances.num())
