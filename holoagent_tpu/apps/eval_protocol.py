@@ -92,11 +92,11 @@ def run_one(seed: int, cfg=None, layout: str = "two_room",
         sv = sam_mod.VARIANTS["fixture-tiny"]
         # tiny-backbone operating point: the 16x16 decoder grid needs
         # forgiving quality gates (the production thresholds assume ViT-H)
-        cfg.models.sam.points_per_side = 8
-        cfg.models.sam.pred_iou_thresh = 0.5
-        cfg.models.sam.stability_score_thresh = 0.55
+        cfg.models.sam.points_per_side = 12
+        cfg.models.sam.pred_iou_thresh = 0.45
+        cfg.models.sam.stability_score_thresh = 0.5
         cfg.models.sam.min_mask_region_area = 60
-        cfg.models.sam.max_masks = 16
+        cfg.models.sam.max_masks = 24
         cfg.models.clip.dtype = "float32"
         # the production 50 px crop margin assumes VGA frames; at the
         # fixtures' 160 px width it would swallow the whole frame

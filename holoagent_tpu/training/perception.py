@@ -42,11 +42,20 @@ from . import contrastive
 # ---------------------------------------------------------------------------
 
 
-def collect_crops(datasets, labels: Sequence[str], size: int, margin: int = 4):
+def collect_crops(datasets, labels: Sequence[str], size: int, margin: int = 4,
+                  masked: bool = False):
     """All GT instance crops across the datasets' frames.
 
-    Returns (crops (N, size, size, 3) float01, label_ids (N,))."""
-    crops, ids = [], []
+    masked=True additionally returns background-zeroed variants of each crop
+    — the extractor encodes BOTH plain and masked crops and blends them at
+    clip_masked_weight (reference sam_clip_feats_extractor.py:149-162), so
+    the tower must be trained on both renderings or masked inputs are
+    out-of-distribution (measured: plain-trained tiny tower drops 0.97 ->
+    0.69 top-1 on masked crops).
+
+    Returns (crops (N, size, size, 3) float01, label_ids (N,)) or
+    (crops, crops_masked, label_ids)."""
+    crops, crops_m, ids = [], [], []
     for ds in datasets:
         for i in range(len(ds)):
             frame = ds[i]
@@ -61,13 +70,21 @@ def collect_crops(datasets, labels: Sequence[str], size: int, margin: int = 4):
                 y0, y1 = max(ys.min() - margin, 0), min(ys.max() + margin, m.shape[0])
                 x0, x1 = max(xs.min() - margin, 0), min(xs.max() + margin, m.shape[1])
                 crop = frame.rgb[y0:y1, x0:x1]
-                crop = np.asarray(
+                crops.append(np.asarray(
                     jax.image.resize(jnp.asarray(crop), (size, size, 3), "linear")
-                )
+                ))
+                if masked:
+                    cm = crop * m[y0:y1, x0:x1, None]
+                    crops_m.append(np.asarray(
+                        jax.image.resize(jnp.asarray(cm), (size, size, 3), "linear")
+                    ))
                 lab_id = int(np.bincount(lab[m].ravel()).argmax()) % len(labels)
-                crops.append(crop)
                 ids.append(lab_id)
-    return np.stack(crops).astype(np.float32), np.asarray(ids, np.int32)
+    out_ids = np.asarray(ids, np.int32)
+    if masked:
+        return (np.stack(crops).astype(np.float32),
+                np.stack(crops_m).astype(np.float32), out_ids)
+    return np.stack(crops).astype(np.float32), out_ids
 
 
 # ---------------------------------------------------------------------------
@@ -89,7 +106,9 @@ def train_tiny_clip(
     cv = clip_mod.VARIANTS[variant_name]
     tok = SimpleTokenizer()
     rng = np.random.default_rng(seed)
-    crops, ids = collect_crops(datasets, labels, cv.image_size)
+    crops, crops_masked, ids = collect_crops(
+        datasets, labels, cv.image_size, masked=True
+    )
     by_label = [np.nonzero(ids == c)[0] for c in range(len(labels))]
     present = [c for c in range(len(labels)) if len(by_label[c])]
     mean = np.asarray(clip_mod.IMAGE_MEAN, np.float32)
@@ -108,8 +127,11 @@ def train_tiny_clip(
     losses = []
     for s in range(steps):
         batch_c = rng.permutation(present)
+        # half the draws use the masked rendering (the extractor blends
+        # plain/masked at ~0.56/0.44, sam_clip_feats_extractor.py:159-162)
+        src = [crops_masked if rng.random() < 0.5 else crops for _ in batch_c]
         imgs = np.stack(
-            [crops[rng.choice(by_label[c])] for c in batch_c]
+            [src[j][rng.choice(by_label[c])] for j, c in enumerate(batch_c)]
         )
         ti = rng.integers(0, len(templates))
         toks = np.stack([tokens_by[(c, ti)] for c in batch_c])
