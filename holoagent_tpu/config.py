@@ -121,6 +121,12 @@ class PipelineConfig:
     extract_clip_impl: str = "xla"
     # pixel decimation for instance-set extraction (0 = auto: ~32k pixels)
     instance_pixel_stride: int = 0
+    # tiered extraction: size the CLIP crop batch to the frame's actual
+    # valid-mask count (two dispatches: mask stage -> host reads the count ->
+    # CLIP stage at the smallest capacity tier that fits).  The reference
+    # encodes only the actual masks per frame; this is the fixed-shape
+    # equivalent (extractor.extract_frame_features_tiered)
+    extract_tiering: bool = False
     # frames per extract dispatch (Mapper.run): >1 batches SAM+CLIP
     # extraction across frames in ONE device program — the per-frame
     # program's matmuls are MXU-starved (K=1024 panels, measured ~35-90

@@ -26,7 +26,10 @@ from ..ops.backproject import backproject
 from ..ops.density import radius_density_keep
 from ..ops.features import dominant_feature
 from ..ops.voxel import GridSpec
-from ..perception.extractor import extract_frame_features
+from ..perception.extractor import (
+    extract_frame_features,
+    extract_frame_features_tiered,
+)
 from ..utils.camera import Pinhole
 from . import instances as inst_mod
 from . import scene as scene_mod
@@ -220,20 +223,26 @@ class Mapper:
         scene, pix_rows = scene_mod.insert_points(
             self.scene, pts, cols, valid, fcap=p.frame_voxel_capacity
         )
-        ff = ff if ff is not None else extract_frame_features(
-            self.clip_params, self.sam_params, rgb,
-            self.clip_variant, self.sam_variant,
-            points_per_side=self.cfg.models.sam.points_per_side,
-            pred_iou_thresh=self.cfg.models.sam.pred_iou_thresh,
-            stability_thresh=self.cfg.models.sam.stability_score_thresh,
-            min_area=float(self.cfg.models.sam.min_mask_region_area),
-            max_masks=self.cfg.models.sam.max_masks,
-            masked_weight=p.clip_masked_weight,
-            bbox_margin=float(p.clip_bbox_margin),
-            dtype=self._dtype,
-            impl=p.extract_impl,
-            clip_impl=getattr(p, "extract_clip_impl", "xla"),
-        )
+        if ff is None:
+            extract_fn = (
+                extract_frame_features_tiered
+                if getattr(p, "extract_tiering", False)
+                else extract_frame_features
+            )
+            ff = extract_fn(
+                self.clip_params, self.sam_params, rgb,
+                self.clip_variant, self.sam_variant,
+                points_per_side=self.cfg.models.sam.points_per_side,
+                pred_iou_thresh=self.cfg.models.sam.pred_iou_thresh,
+                stability_thresh=self.cfg.models.sam.stability_score_thresh,
+                min_area=float(self.cfg.models.sam.min_mask_region_area),
+                max_masks=self.cfg.models.sam.max_masks,
+                masked_weight=p.clip_masked_weight,
+                bbox_margin=float(p.clip_bbox_margin),
+                dtype=self._dtype,
+                impl=p.extract_impl,
+                clip_impl=getattr(p, "extract_clip_impl", "xla"),
+            )
         masks_flat = ff.masks.reshape(ff.masks.shape[0], -1)
         scene = scene_mod.fuse_pixel_features(
             scene, pix_rows, masks_flat, ff.valid, ff.f_masks

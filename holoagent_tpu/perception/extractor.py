@@ -135,6 +135,123 @@ def extract_frame_features(
     )
 
 
+# ---------------------------------------------------------------------------
+# Tiered extraction: crop capacity sized to the frame's actual mask count
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sam_variant", "points_per_side", "max_masks", "dtype", "impl",
+    ),
+)
+def _mask_stage(
+    sam_params, image01, sam_variant, points_per_side, pred_iou_thresh,
+    stability_thresh, min_area, max_masks, dtype, impl,
+):
+    gen = sam_mod.generate_masks(
+        sam_params, image01, sam_variant,
+        points_per_side=points_per_side, pred_iou_thresh=pred_iou_thresh,
+        stability_thresh=stability_thresh, min_area=min_area,
+        max_masks=max_masks, dtype=dtype, impl=impl,
+    )
+    masks = mask_ops.to_disjoint(gen["masks"], gen["valid"])
+    valid = gen["valid"] & masks.any(axis=(-1, -2))
+    return masks, valid, gen["boxes"], valid.sum()
+
+
+@partial(
+    jax.jit,
+    static_argnames=("clip_variant", "tier", "dtype", "clip_impl", "clip_qmm"),
+)
+def _clip_stage(
+    clip_params, image01, masks, valid, boxes, clip_variant, tier,
+    masked_weight, bbox_margin, dtype, clip_impl, clip_qmm,
+):
+    h, w, _ = image01.shape
+    m = masks.shape[0]
+    # stable valid-first permutation: the first `tier` slots hold every valid
+    # mask whenever valid_count <= tier (the host guarantees that)
+    order = jnp.argsort(~valid)
+    sel = order[:tier]
+    masks_t, boxes_t, valid_t = masks[sel], boxes[sel], valid[sel]
+    eboxes = expand_boxes(boxes_t, bbox_margin, h, w)
+    size = clip_variant.image_size
+    crops_plain = crop_and_resize(image01, eboxes, size)
+    crops_masked = crop_and_resize(image01, eboxes, size, masks=masks_t)
+    frame = jax.image.resize(image01[None], (1, size, size, 3), method="cubic")
+    stack = jnp.concatenate([crops_plain, crops_masked, frame], axis=0)
+    mean = jnp.asarray(clip_mod.IMAGE_MEAN, stack.dtype)
+    std = jnp.asarray(clip_mod.IMAGE_STD, stack.dtype)
+    stack = (stack - mean) / std
+    feats = clip_mod.encode_image(
+        clip_params, stack, clip_variant, dtype=dtype, impl=clip_impl,
+        qmm=clip_qmm,
+    ).astype(jnp.float32)
+    f_plain, f_masked, f_g = feats[:tier], feats[tier : 2 * tier], feats[2 * tier]
+    f_l = _l2(masked_weight * f_masked + (1.0 - masked_weight) * f_plain)
+    phi = jnp.einsum("md,d->m", f_l, f_g, preferred_element_type=jnp.float32)
+    w_i = jax.nn.softmax(jnp.where(valid_t, phi, -jnp.inf))[:, None]
+    w_i = jnp.where(valid_t[:, None], w_i, 0.0)
+    f_p = _l2(w_i * f_g[None, :] + (1.0 - w_i) * f_l)
+    f_p = jnp.where(valid_t[:, None], f_p, 0.0)
+    f_full = jnp.zeros((m, f_p.shape[-1]), f_p.dtype).at[sel].set(f_p)
+    return f_full, f_g
+
+
+def extract_frame_features_tiered(
+    clip_params: Dict[str, Any],
+    sam_params: Dict[str, Any],
+    image01: jnp.ndarray,
+    clip_variant: clip_mod.CLIPVariant,
+    sam_variant: sam_mod.SAMVariant,
+    points_per_side: int = 12,
+    pred_iou_thresh: float = 0.88,
+    stability_thresh: float = 0.95,
+    min_area: float = 100.0,
+    max_masks: int = 64,
+    masked_weight: float = 0.4418,
+    bbox_margin: float = 50.0,
+    dtype=jnp.bfloat16,
+    impl: str = "xla",
+    clip_impl: str = "xla",
+    clip_qmm: str = "xla",
+    tiers: Tuple[int, ...] = (16, 32),
+) -> FrameFeatures:
+    """Two-dispatch extraction with crop capacity sized to the frame.
+
+    The single-program path always encodes 2*max_masks+1 CLIP crops — the
+    worst case — but real frames at the reference's filter settings
+    (pred_iou 0.88 / stability 0.95, sam_clip_feats_extractor.py:117) carry
+    far fewer masks, and the reference itself only encodes the actual mask
+    count.  The TPU-native equivalent of that dynamic batch is a small set
+    of fixed CAPACITY TIERS: the mask stage runs first, the host fetches the
+    valid count (one scalar), and the CLIP+fusion stage dispatches at the
+    smallest tier that fits.  Identical results to the single-program path
+    (the fusion softmax only ever sees valid rows); the only cost is one
+    extra dispatch round-trip, repaid several times over by the smaller crop
+    batch (CLIP time scales linearly in the tier).
+    """
+    masks, valid, boxes, nv = _mask_stage(
+        sam_params, image01, sam_variant, points_per_side, pred_iou_thresh,
+        stability_thresh, min_area, max_masks, dtype, impl,
+    )
+    n = int(nv)  # host sync: one scalar through the tunnel
+    tier = max_masks
+    for t in sorted(tiers):
+        if t >= n and t <= max_masks:
+            tier = t
+            break
+    f_masks, f_g = _clip_stage(
+        clip_params, image01, masks, valid, boxes, clip_variant, tier,
+        masked_weight, bbox_margin, dtype, clip_impl, clip_qmm,
+    )
+    return FrameFeatures(
+        masks=masks, valid=valid, boxes=boxes, f_masks=f_masks, f_global=f_g
+    )
+
+
 def per_pixel_features(ff: FrameFeatures, dtype=jnp.float16) -> jnp.ndarray:
     """Materialize the (H, W, D) per-pixel feature image (the reference's
     `outfeat`, sam_clip_feats_extractor.py:178-190): at each pixel, the

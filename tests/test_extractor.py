@@ -99,3 +99,37 @@ def test_extract_frames_dp_over_mesh(rng):
     np.testing.assert_array_equal(
         np.asarray(batched.masks[0]), np.asarray(single.masks)
     )
+
+
+def test_tiered_extract_matches_single_program(models):
+    """extract_frame_features_tiered (mask stage -> host tier pick -> CLIP
+    stage at the tier capacity) must produce the same FrameFeatures as the
+    single-program path whenever the valid count fits a tier."""
+    from holoagent_tpu.perception.extractor import extract_frame_features_tiered
+
+    clip_p, sam_p = models
+    img = jnp.asarray(np.random.default_rng(1).uniform(size=(48, 64, 3)), jnp.float32)
+    kw = dict(
+        points_per_side=4, pred_iou_thresh=-10.0, stability_thresh=0.0,
+        min_area=0.0, max_masks=8, dtype=jnp.float32,
+    )
+    ff1 = extract_frame_features(clip_p, sam_p, img, CT, ST, **kw)
+    nv = int(np.asarray(ff1.valid).sum())
+    ff2 = extract_frame_features_tiered(
+        clip_p, sam_p, img, CT, ST, tiers=(max(nv, 2), 8), **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ff1.masks), np.asarray(ff2.masks))
+    np.testing.assert_array_equal(np.asarray(ff1.valid), np.asarray(ff2.valid))
+    np.testing.assert_allclose(
+        np.asarray(ff1.f_masks), np.asarray(ff2.f_masks), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ff1.f_global), np.asarray(ff2.f_global), atol=2e-5
+    )
+    # degenerate tier (smaller than the valid count) falls back to max_masks
+    ff3 = extract_frame_features_tiered(
+        clip_p, sam_p, img, CT, ST, tiers=(1,), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(ff1.f_masks), np.asarray(ff3.f_masks), atol=2e-5
+    )
