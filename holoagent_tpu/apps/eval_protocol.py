@@ -276,7 +276,16 @@ def main(argv=None):
     ap.add_argument("--json", default=None)
     ap.add_argument("--no-neural", action="store_true")
     ap.add_argument("--neural-seeds", type=int, default=1)
+    ap.add_argument("--platform", default="cpu", choices=("cpu", "default"))
     args = ap.parse_args(argv)
+    if args.platform == "cpu":
+        # the protocol's accuracy numbers are the contract — pin to CPU
+        # float32 (the tunnel TPU's default matmul precision is low and
+        # tiny-tower training there drifts: measured AUC 0.45 -> 0.09 on the
+        # same seed when this app ran on the default device)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     run(args.seeds, args.out, args.json, neural=not args.no_neural,
         neural_seeds=args.neural_seeds)
 
