@@ -286,9 +286,12 @@ def main():
         1e-4,
     )
     fps_h_full64 = 1.0 / (total - stage_s["extract"] + extract_h)
-    # tiered vit_h: the vit_h mask stage + the same tier-32 CLIP stage
+    # tiered vit_h: the W8A8 vit_h mask stage (models.sam.quantize_sam — the
+    # int8 operating point the CLIP tower already uses) + the same tier-32
+    # CLIP stage
+    sam_h_q8 = sam_mod.quantize_sam(sam_h)
     mask_h_fn = lambda: _mask_stage(  # noqa: E731
-        sam_h, rgb, svh, 12, -10.0, 0.0, 100.0, 64, jnp.bfloat16, "flash"
+        sam_h_q8, rgb, svh, 12, -10.0, 0.0, 100.0, 64, jnp.bfloat16, "flash"
     )[0]
     _sync(mask_h_fn())
     _mark("stage extract tiered vit_h: mask stage")

@@ -27,6 +27,8 @@ def load_models(cfg: Config):
         sam_params = sam_mod.load_checkpoint(cfg.models.sam.checkpoint, sv)
     else:
         sam_params = sam_mod.init_sam(jax.random.key(cfg.main.seed + 1), sv)
+    if cfg.models.sam.quant:
+        sam_params = sam_mod.quantize_sam(sam_params)
     return clip_params, sam_params, cv, sv
 
 

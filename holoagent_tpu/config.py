@@ -67,6 +67,7 @@ class SamConfig:
     max_masks: int = 64  # fixed-capacity mask budget per frame (padded)
     image_size: int = 1024
     dtype: str = "bfloat16"
+    quant: bool = False  # int8 (W8A8) encoder matmuls (models.sam.quantize_sam)
 
 
 @dataclass

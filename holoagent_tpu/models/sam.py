@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import transformer as tfm
+
 from ..ops import masks as mask_ops
 
 Params = Dict[str, Any]
@@ -151,10 +153,16 @@ def _attention_2d(
     (N = 4096 at 1024 px) where the XLA path materializes ~1 GB/layer."""
     b, h, w, c = x.shape
     hd = c // heads
-    qkv = (
-        jnp.einsum("bhwc,cd->bhwd", x, p["qkv"]["w"], preferred_element_type=jnp.float32)
-        + p["qkv"]["b"].astype(jnp.float32)
-    ).astype(x.dtype)
+    if "w_q8" in p["qkv"]:  # quantize_sam W8A8 path
+        qkv = (
+            tfm.matmul_int8(x, p["qkv"]["w_q8"], p["qkv"]["w_s"])
+            + p["qkv"]["b"].astype(jnp.float32)
+        ).astype(x.dtype)
+    else:
+        qkv = (
+            jnp.einsum("bhwc,cd->bhwd", x, p["qkv"]["w"], preferred_element_type=jnp.float32)
+            + p["qkv"]["b"].astype(jnp.float32)
+        ).astype(x.dtype)
     qkv = qkv.reshape(b, h * w, 3, heads, hd).transpose(2, 0, 3, 1, 4)  # (3,B,heads,N,hd)
     q, k, val = qkv[0], qkv[1], qkv[2]
     # decomposed relative position: bias(nq, nk) = q . rel_h + q . rel_w
@@ -193,6 +201,11 @@ def _attention_2d(
             "bhnm,bhmd->bhnd", probs, val, preferred_element_type=jnp.float32
         )
     out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, h, w, c)
+    if "w_q8" in p["proj"]:
+        return (
+            tfm.matmul_int8(out, p["proj"]["w_q8"], p["proj"]["w_s"])
+            + p["proj"]["b"].astype(jnp.float32)
+        ).astype(x.dtype)
     return (
         jnp.einsum("bhwc,cd->bhwd", out, p["proj"]["w"], preferred_element_type=jnp.float32)
         + p["proj"]["b"].astype(jnp.float32)
@@ -247,7 +260,17 @@ def encode_image(
     ).astype(dtype)
     x = x + params["pos"].astype(dtype)
     for i, blk in enumerate(params["blocks"]):
-        bp = jax.tree.map(lambda a: a.astype(dtype), blk)
+        # int8 weights and their f32 scales (quantize_sam) must not be cast
+        # to the compute dtype; everything else runs in `dtype`
+        bp = jax.tree_util.tree_map_with_path(
+            lambda path, a: (
+                a
+                if a.dtype == jnp.int8
+                or any(getattr(k, "key", None) == "w_s" for k in path)
+                else a.astype(dtype)
+            ),
+            blk,
+        )
         shortcut = x
         xn = _ln(x, blk["norm1_g"].astype(jnp.float32), blk["norm1_b"].astype(jnp.float32))
         if i in v.global_idx:
@@ -258,19 +281,29 @@ def encode_image(
             att = _window_unpartition(aw, v.window, padded, (g, g))
         x = shortcut + att
         xn = _ln(x, blk["norm2_g"].astype(jnp.float32), blk["norm2_b"].astype(jnp.float32))
-        hmid = (
-            jnp.einsum(
-                "bhwc,cd->bhwd", xn, bp["lin1"]["w"], preferred_element_type=jnp.float32
+        if "w_q8" in bp["lin1"]:
+            hmid = tfm.matmul_int8(
+                xn, bp["lin1"]["w_q8"], bp["lin1"]["w_s"]
+            ) + bp["lin1"]["b"].astype(jnp.float32)
+            hmid = jax.nn.gelu(hmid).astype(dtype)
+            x = x + (
+                tfm.matmul_int8(hmid, bp["lin2"]["w_q8"], bp["lin2"]["w_s"])
+                + bp["lin2"]["b"].astype(jnp.float32)
+            ).astype(dtype)
+        else:
+            hmid = (
+                jnp.einsum(
+                    "bhwc,cd->bhwd", xn, bp["lin1"]["w"], preferred_element_type=jnp.float32
+                )
+                + bp["lin1"]["b"].astype(jnp.float32)
             )
-            + bp["lin1"]["b"].astype(jnp.float32)
-        )
-        hmid = jax.nn.gelu(hmid).astype(dtype)
-        x = x + (
-            jnp.einsum(
-                "bhwd,dc->bhwc", hmid, bp["lin2"]["w"], preferred_element_type=jnp.float32
-            )
-            + bp["lin2"]["b"].astype(jnp.float32)
-        ).astype(dtype)
+            hmid = jax.nn.gelu(hmid).astype(dtype)
+            x = x + (
+                jnp.einsum(
+                    "bhwd,dc->bhwc", hmid, bp["lin2"]["w"], preferred_element_type=jnp.float32
+                )
+                + bp["lin2"]["b"].astype(jnp.float32)
+            ).astype(dtype)
     # neck: 1x1 conv -> LN -> 3x3 conv -> LN (channel-last)
     x = jnp.einsum(
         "bhwc,ijcd->bhwd",
@@ -547,6 +580,26 @@ def init_sam(key: jax.Array, v: SAMVariant, dtype=jnp.float32) -> Params:
         "prompt": init_prompt_encoder(k2, v, dtype),
         "decoder": init_decoder(k3, v, dtype),
     }
+
+
+def quantize_sam(params: Params) -> Params:
+    """Per-output-channel W8A8 quantization of the image encoder's matmul
+    weights (qkv/proj/lin1/lin2 per block — ~99% of the encoder FLOPs; the
+    patch embed, rel-pos tables, neck, prompt encoder, and mask decoder stay
+    float).  encode_image/_attention_2d dispatch on the presence of "w_q8".
+    Companion of clip.quantize_clip for the mapping pipeline's int8
+    operating point (the ViT-H encoder is the mask stage's whole cost,
+    reference graph.py:98-200 loads SAM ViT-H)."""
+    enc = dict(params["encoder"])
+    blocks = []
+    for blk in enc["blocks"]:
+        nb = dict(blk)
+        for name in ("qkv", "proj", "lin1", "lin2"):
+            q, s = tfm.quantize_weight_int8(blk[name]["w"].astype(jnp.float32))
+            nb[name] = {"b": blk[name]["b"], "w_q8": q, "w_s": s.reshape(1, -1)}
+        blocks.append(nb)
+    enc["blocks"] = blocks
+    return {**params, "encoder": enc}
 
 
 # SAM pixel normalization (ImageNet stats, applied to [0,255])

@@ -146,3 +146,27 @@ def test_crop_and_resize_matches_numpy_bilinear(rng):
             + img[yi1][:, xi1] * (yf[:, None] * xf[None, :])[..., None]
         )
         np.testing.assert_allclose(out[m], ref, atol=2e-5, rtol=1e-4)
+
+
+def test_quantize_sam_encoder_close(params):
+    """W8A8 encoder (quantize_sam) tracks the float encoder closely and the
+    auto-mask generator produces near-identical masks."""
+    q8 = sam_mod.quantize_sam(params)
+    x = jnp.asarray(np.random.default_rng(3).uniform(size=(1, TINY.img_size, TINY.img_size, 3)), jnp.float32)
+    e_f = np.asarray(sam_mod.encode_image(params["encoder"], x, TINY, dtype=jnp.float32))
+    e_q = np.asarray(sam_mod.encode_image(q8["encoder"], x, TINY, dtype=jnp.float32))
+    # int8 weight + dynamic activation quant: ~1-2% relative error budget
+    rel = np.linalg.norm(e_f - e_q) / max(np.linalg.norm(e_f), 1e-9)
+    assert rel < 0.08, rel
+
+    img = jnp.asarray(np.random.default_rng(0).uniform(size=(48, 64, 3)), jnp.float32)
+    kw = dict(points_per_side=4, pred_iou_thresh=-10.0, stability_thresh=0.0,
+              min_area=0.0, max_masks=8, dtype=jnp.float32)
+    m_f = sam_mod.generate_masks(params, img, TINY, **kw)
+    m_q = sam_mod.generate_masks(q8, img, TINY, **kw)
+    a = np.asarray(m_f["masks"])[np.asarray(m_f["valid"])]
+    b = np.asarray(m_q["masks"])[np.asarray(m_q["valid"])]
+    # mask sets agree: best-pair IoU per float mask is high
+    for mk in a:
+        ious = [(mk & other).sum() / max((mk | other).sum(), 1) for other in b]
+        assert max(ious, default=0.0) > 0.8
