@@ -137,7 +137,9 @@ def _train_towers(steps_clip: int = 400, steps_sam: int = 2500, seed: int = 0):
         SyntheticDataset(scene=SyntheticScene.three_room(), num_frames=16,
                          hw=(120, 160), seed=101, gaze_heights=(0.8, 2.2)),
     ]
-    labels = tr[0].scene.labels()
+    # the UNION label list (three_room's covers both layouts); per-dataset
+    # GT ids are remapped through names inside collect_crops
+    labels = tr[1].scene.labels()
     clip_params, _ = train_tiny_clip(tr, labels, steps=steps_clip, seed=seed)
     sam_params, _ = train_tiny_sam(
         tr, steps=steps_sam, seed=seed, variant_name="fixture-tiny", lr=2e-3

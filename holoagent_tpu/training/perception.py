@@ -56,7 +56,13 @@ def collect_crops(datasets, labels: Sequence[str], size: int, margin: int = 4,
     Returns (crops (N, size, size, 3) float01, label_ids (N,)) or
     (crops, crops_masked, label_ids)."""
     crops, crops_m, ids = [], [], []
+    labels = list(labels)
     for ds in datasets:
+        # GT label ids are PER-SCENE (each layout numbers its own label
+        # list); map through names into the target `labels` list — mixing
+        # layouts by raw id cross-contaminates classes (two_room's 'wall'
+        # is id 6, three_room's id 6 is 'bathtub')
+        local = list(ds.scene.labels()) if hasattr(ds, "scene") else labels
         for i in range(len(ds)):
             frame = ds[i]
             inst, lab = ds.gt(i)
@@ -65,6 +71,13 @@ def collect_crops(datasets, labels: Sequence[str], size: int, margin: int = 4,
                     continue
                 m = inst == iid
                 if m.sum() < 30:
+                    continue
+                raw = lab[m].ravel()
+                raw = raw[raw >= 0]
+                if not len(raw):
+                    continue
+                name = local[int(np.bincount(raw).argmax()) % len(local)]
+                if name not in labels:
                     continue
                 ys, xs = np.nonzero(m)
                 y0, y1 = max(ys.min() - margin, 0), min(ys.max() + margin, m.shape[0])
@@ -78,8 +91,7 @@ def collect_crops(datasets, labels: Sequence[str], size: int, margin: int = 4,
                     crops_m.append(np.asarray(
                         jax.image.resize(jnp.asarray(cm), (size, size, 3), "linear")
                     ))
-                lab_id = int(np.bincount(lab[m].ravel()).argmax()) % len(labels)
-                ids.append(lab_id)
+                ids.append(labels.index(name))
     out_ids = np.asarray(ids, np.int32)
     if masked:
         return (np.stack(crops).astype(np.float32),
