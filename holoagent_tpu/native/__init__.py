@@ -123,6 +123,8 @@ def _load() -> C.CDLL:
     lib.vio_destroy.argtypes = [C.c_void_p]
     lib.vio_num_points.restype = C.c_size_t
     lib.vio_num_points.argtypes = [C.c_void_p]
+    lib.vio_export_colmap.restype = C.c_int
+    lib.vio_export_colmap.argtypes = [C.c_void_p, C.c_char_p]
     lib.vio_process.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_int, C.c_void_p,
     ]
@@ -509,6 +511,19 @@ class Vio:
             "iters": int(stats[5]), "exposure": stats[6],
             "n_warped": int(stats[7]),
         }
+
+    def export_colmap(self, out_dir) -> int:
+        """Write the frame history + visual map as a COLMAP text model
+        (cameras.txt / images.txt / points3D.txt / poses.txt — the
+        reference's colmap_output_en dump, vio.cpp:127-135).  Returns the
+        number of frames written."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        n = self._l.vio_export_colmap(self._h, str(out_dir).encode())
+        if n < 0:
+            raise IOError(f"colmap export to {out_dir} failed")
+        return n
 
 
 class LioPipeline:

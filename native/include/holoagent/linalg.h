@@ -86,6 +86,30 @@ struct Quat {  // w, x, y, z
     double s = std::sin(theta / 2) / theta;
     return {std::cos(theta / 2), w_vec.x * s, w_vec.y * s, w_vec.z * s};
   }
+  static Quat from_matrix(const Mat3& r) {
+    // Shepperd's method: pick the largest diagonal combination
+    double tr = r(0, 0) + r(1, 1) + r(2, 2);
+    Quat q;
+    if (tr > 0) {
+      double s = std::sqrt(tr + 1.0) * 2;
+      q = {0.25 * s, (r(2, 1) - r(1, 2)) / s, (r(0, 2) - r(2, 0)) / s,
+           (r(1, 0) - r(0, 1)) / s};
+    } else if (r(0, 0) > r(1, 1) && r(0, 0) > r(2, 2)) {
+      double s = std::sqrt(1.0 + r(0, 0) - r(1, 1) - r(2, 2)) * 2;
+      q = {(r(2, 1) - r(1, 2)) / s, 0.25 * s, (r(0, 1) + r(1, 0)) / s,
+           (r(0, 2) + r(2, 0)) / s};
+    } else if (r(1, 1) > r(2, 2)) {
+      double s = std::sqrt(1.0 + r(1, 1) - r(0, 0) - r(2, 2)) * 2;
+      q = {(r(0, 2) - r(2, 0)) / s, (r(0, 1) + r(1, 0)) / s, 0.25 * s,
+           (r(1, 2) + r(2, 1)) / s};
+    } else {
+      double s = std::sqrt(1.0 + r(2, 2) - r(0, 0) - r(1, 1)) * 2;
+      q = {(r(1, 0) - r(0, 1)) / s, (r(0, 2) + r(2, 0)) / s,
+           (r(1, 2) + r(2, 1)) / s, 0.25 * s};
+    }
+    q.normalize();
+    return q;
+  }
 };
 
 // Cyclic Jacobi eigen-decomposition of a symmetric 3x3 matrix.

@@ -44,6 +44,12 @@ struct VisualPoint {
   Vec3 t_ref;                     // camera center at capture
   float u_ref = 0, v_ref = 0;     // pixel coords at capture
   float depth_ref = 0;            // depth in the reference view
+  // inverse-depth state along the reference ray with variance (the
+  // per-point covariance bookkeeping of the reference's visual points,
+  // reference include/vio.h:82-210): refined by Bayesian fusion on every
+  // re-observation carrying depth (refine_depth in vio.cc)
+  float inv_z = 0, inv_z_var = 0;
+  int n_obs = 0;                  // depth observations fused
   int last_seen = 0;
 };
 
@@ -73,11 +79,28 @@ class VioManager {
 
   size_t num_points() const { return points_.size(); }
 
+  // COLMAP text-model export (reference vio.cpp colmap_output_en,
+  // vio.cpp:127-135 header + per-keyframe image records): writes
+  // cameras.txt / images.txt / points3D.txt / poses.txt (TUM) under `dir`
+  // from the recorded frame history.  Returns frames written, -1 on IO
+  // error.
+  int export_colmap(const char* dir) const;
+
+  void set_record_history(bool on) { record_history_ = on; }
+
  private:
+  struct FrameRec {
+    Mat3 rot;    // camera-to-world
+    Vec3 trans;  // camera center (world)
+    std::vector<float> obs;  // triples (u, v, point_id) of tracked points
+  };
+
   int64_t cell_key(const Vec3& p) const;
   void spawn_points(const float* img, const float* depth, const Mat3& rot,
                     const Vec3& trans, const std::vector<bool>& cell_used,
                     VioResult* res);
+  void refine_depth(const float* depth, const Mat3& rot, const Vec3& trans,
+                    const std::vector<int32_t>& tracked);
 
   PinholeCam cam_;
   double map_cell_;
@@ -85,8 +108,10 @@ class VioManager {
   int grid_px_;
   int frame_id_ = 0;
   double exposure_ = 1.0;
+  bool record_history_ = true;
   std::vector<VisualPoint> points_;
   std::unordered_map<int64_t, std::vector<int32_t>> cells_;
+  std::vector<FrameRec> history_;
 };
 
 }  // namespace holoagent

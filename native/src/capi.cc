@@ -231,6 +231,12 @@ void vio_process(void* h, const float* img, const float* depth, double* pose16,
   stats6[7] = res.n_warped;
 }
 
+// COLMAP text-model export of the frame history + visual map (reference
+// vio.cpp colmap_output_en).  Returns frames written, -1 on IO error.
+int vio_export_colmap(void* h, const char* dir) {
+  return static_cast<holoagent::VioManager*>(h)->export_colmap(dir);
+}
+
 // ------------------------------------------------------------------ Pose graph
 
 void* pg_create() { return new PoseGraph(); }

