@@ -15,6 +15,7 @@ through the agent glue instead).
 
 from .costmap import Costmap
 from .planner import astar_plan
+from .smac import SmacHybridPlanner, smac_plan
 from .controller import DWAController
 from .localizer import ParticleLocalizer, simulate_scan
 from .rpp import RPPController

@@ -515,9 +515,14 @@ class XMLNavigator:
     # -- plugin surface ------------------------------------------------------
 
     def plan(self, start_xy, goal_xy, planner_id: str):
-        if planner_id not in ("GridBased",):
-            raise ValueError(f"unknown planner_id {planner_id!r}")
-        return astar_plan(self.costmap, start_xy, goal_xy)
+        if planner_id == "GridBased":
+            return astar_plan(self.costmap, start_xy, goal_xy)
+        if planner_id == "SmacHybrid":
+            from .smac import smac_plan
+
+            yaw = self.get_pose()[2]
+            return smac_plan(self.costmap, start_xy, goal_xy, start_yaw=yaw)
+        raise ValueError(f"unknown planner_id {planner_id!r}")
 
     def controller_for(self, controller_id: str):
         try:
