@@ -33,6 +33,7 @@ void pg_get_pose(void*, int, double*);
 void* vio_create(int, int, double, double, double, double, double, int, int);
 void vio_destroy(void*);
 void vio_process(void*, const float*, const float*, double*, int, double*);
+int vio_export_colmap(void*, const char*);
 void imu_init_static(const double*, const double*, size_t, double*);
 void imu_propagate_c(double*, const double*, const double*, const double*, size_t, double*);
 void* lio_create(double, int, double, double, double, double, int, double, int);
@@ -102,6 +103,8 @@ int main() {
   double stats[8];
   vio_process(vio, img.data(), dep.data(), vp, 8, stats);
   vio_process(vio, img.data(), nullptr, vp, 8, stats);
+  vio_process(vio, img.data(), dep.data(), vp, 8, stats);  // depth refinement
+  if (vio_export_colmap(vio, "/tmp/asan_colmap") < 0) { std::printf("colmap export failed\n"); return 1; }
   vio_destroy(vio);
   // imu
   {
