@@ -212,9 +212,11 @@ def main():
     from holoagent_tpu.perception.extractor import _clip_stage, _mask_stage
 
     TIER = 32
+    # sync on the valid-count scalar, not the (64, H, W) mask tensor — a
+    # 20 MB host fetch per iteration would time the tunnel, not the device
     mask_fn = lambda: _mask_stage(  # noqa: E731
         sam_params, rgb, sv, 12, -10.0, 0.0, 100.0, 64, jnp.bfloat16, "flash"
-    )[0]
+    )[3]
     _sync(mask_fn())
     _mark("stage extract tiered: mask stage")
     t_mask = max(_time_dispatch(mask_fn) - rtt, 1e-4)
@@ -224,7 +226,7 @@ def main():
     clip_fn = lambda: _clip_stage(  # noqa: E731
         clip_q8, rgb, masks_s, valid_s, boxes_s, cv, TIER, 0.4418, 50.0,
         jnp.bfloat16, "flash", "xla",
-    )[0]
+    )[1]
     _sync(clip_fn())
     _mark("stage extract tiered: clip stage (tier 32)")
     t_clip32 = max(_time_dispatch(clip_fn) - rtt, 1e-4)
@@ -292,7 +294,7 @@ def main():
     sam_h_q8 = sam_mod.quantize_sam(sam_h)
     mask_h_fn = lambda: _mask_stage(  # noqa: E731
         sam_h_q8, rgb, svh, 12, -10.0, 0.0, 100.0, 64, jnp.bfloat16, "flash"
-    )[0]
+    )[3]
     _sync(mask_h_fn())
     _mark("stage extract tiered vit_h: mask stage")
     t_mask_h = max(_time_dispatch(mask_h_fn) - rtt, 1e-4)
