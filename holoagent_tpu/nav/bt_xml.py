@@ -45,7 +45,7 @@ from .behaviors import (
     VelocitySmoother,
 )
 from .controller import DWAController, prune_path
-from .costmap import Costmap
+from .costmap import Costmap, INSCRIBED
 from .planner import astar_plan
 from .rpp import RPPController
 
@@ -405,6 +405,26 @@ class ClearEntireCostmap(Node):
         return Status.SUCCESS
 
 
+class IsPathValid(Node):
+    """Condition: SUCCESS while every waypoint of the blackboard path is
+    still traversable on the (possibly updated) costmap (reference
+    nav2_behavior_tree/plugins/condition/is_path_valid_condition.cpp — the
+    trigger of the navigate_w_replanning_only_if_path_becomes_invalid
+    tree)."""
+
+    def __init__(self, nav: "XMLNavigator", path: _PortRef):
+        self.nav = nav
+        self.path = path
+
+    def tick(self) -> Status:
+        plan = self.path.read()
+        if plan is None or not len(plan):
+            return Status.FAILURE
+        pts = np.array([p[:2] for p in plan])
+        costs = self.nav.costmap.cost_at_world(pts)
+        return Status.FAILURE if costs.max(initial=0) >= INSCRIBED else Status.SUCCESS
+
+
 class GoalUpdated(Node):
     """Condition: SUCCESS iff set_goal was called since this node last
     observed it (reference nav2_behavior_tree/plugins/condition/
@@ -453,6 +473,35 @@ DEFAULT_TREE_XML = """
           <Spin spin_dist="1.57"/>
           <Wait wait_duration="1.0"/>
           <BackUp backup_dist="0.3" backup_speed="0.15"/>
+        </RoundRobin>
+      </ReactiveFallback>
+    </RecoveryNode>
+  </BehaviorTree>
+</root>
+"""
+
+
+#: Second stock tree (the reference's
+#: navigate_w_replanning_only_if_path_becomes_invalid.xml role): plan once,
+#: follow, and replan ONLY when the current path crosses newly-lethal cells.
+REPLAN_IF_INVALID_TREE_XML = """
+<root main_tree_to_execute="Navigate">
+  <BehaviorTree ID="Navigate">
+    <RecoveryNode number_of_retries="6" name="NavigateRecovery">
+      <PipelineSequence name="NavigateLazyReplan">
+        <RateController hz="2.0">
+          <ReactiveFallback name="PlanIfInvalid">
+            <IsPathValid path="{path}"/>
+            <ComputePathToPose goal="{goal}" path="{path}" planner_id="GridBased"/>
+          </ReactiveFallback>
+        </RateController>
+        <FollowPath path="{path}" controller_id="FollowPath"/>
+      </PipelineSequence>
+      <ReactiveFallback name="RecoveryFallback">
+        <GoalUpdated/>
+        <RoundRobin name="RecoveryActions">
+          <ClearEntireCostmap service_name="both"/>
+          <Wait wait_duration="1.0"/>
         </RoundRobin>
       </ReactiveFallback>
     </RecoveryNode>
@@ -570,6 +619,9 @@ class XMLNavigator:
                 nav, e.get("service_name", "")
             ),
             "GoalUpdated": lambda e, ch: GoalUpdated(nav),
+            "IsPathValid": lambda e, ch: IsPathValid(
+                nav, _PortRef(nav.blackboard, e.get("path", "{path}"))
+            ),
             "Spin": lambda e, ch: TimedCommand(
                 nav.send_velocity, 0.0, 0.8,
                 abs(attr_f(e, "spin_dist", 1.57)) / 0.8, nav.dt

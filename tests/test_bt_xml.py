@@ -288,3 +288,32 @@ def test_default_tree_parses():
     nav = XMLNavigator(cm, lambda *a: None, lambda: (1.0, 1.0, 0.0),
                        tree_xml=DEFAULT_TREE_XML)
     assert nav.tick() in (Status.RUNNING, Status.FAILURE)
+
+
+def test_replan_if_invalid_tree_replans_on_blocked_path():
+    """The lazy-replan stock tree (reference
+    navigate_w_replanning_only_if_path_becomes_invalid.xml role) keeps one
+    plan while valid and replans when a new obstacle invalidates it."""
+    from holoagent_tpu.nav.bt_xml import REPLAN_IF_INVALID_TREE_XML
+
+    cm = _open_room()
+    sim = _Sim(1.0, 1.0, 0.0)
+    nav = XMLNavigator(cm, sim.send_velocity, sim.pose,
+                       tree_xml=REPLAN_IF_INVALID_TREE_XML, goal_radius=0.3)
+    nav.set_goal(np.array([5.0, 1.0]))
+    plans = []
+    for t in range(600):
+        if t == 30:
+            # block the straight corridor mid-run (north half stays open)
+            cm.cost[:35, 28:32] = LETHAL
+        st = nav.tick()
+        p = nav.blackboard.get("path")
+        if p is not None and (not plans or plans[-1] is not p):
+            plans.append(p)
+        sim.step()
+        if st != Status.RUNNING:
+            break
+    assert st == Status.SUCCESS
+    assert np.linalg.norm(sim.state[:2] - [5.0, 1.0]) < 0.35
+    # at least two distinct plans: the original and the post-block replan
+    assert len(plans) >= 2
