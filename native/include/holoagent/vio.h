@@ -108,7 +108,10 @@ class VioManager {
   int grid_px_;
   int frame_id_ = 0;
   double exposure_ = 1.0;
-  bool record_history_ = true;
+  // off by default: the LIO pipeline's embedded VIO must not grow an
+  // unbounded frame history; the standalone Vio binding (capi vio_create)
+  // enables it for the COLMAP export role
+  bool record_history_ = false;
   std::vector<VisualPoint> points_;
   std::unordered_map<int64_t, std::vector<int32_t>> cells_;
   std::vector<FrameRec> history_;

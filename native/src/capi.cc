@@ -198,7 +198,9 @@ void* vio_create(int w, int h, double fx, double fy, double cx, double cy,
   holoagent::PinholeCam cam;
   cam.width = w; cam.height = h;
   cam.fx = fx; cam.fy = fy; cam.cx = cx; cam.cy = cy;
-  return new holoagent::VioManager(cam, map_cell, max_per_cell, grid_px);
+  auto* vm = new holoagent::VioManager(cam, map_cell, max_per_cell, grid_px);
+  vm->set_record_history(true);  // standalone binding: COLMAP export enabled
+  return vm;
 }
 
 void vio_destroy(void* h) { delete static_cast<holoagent::VioManager*>(h); }
