@@ -30,7 +30,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .costmap import Costmap, INSCRIBED, LETHAL
+from .costmap import Costmap, INSCRIBED
 
 
 def _dijkstra_to_goal(cm: Costmap, goal_rc: Tuple[int, int]) -> np.ndarray:

@@ -24,7 +24,7 @@ the densely-computed gate on the 8-device CPU mesh.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

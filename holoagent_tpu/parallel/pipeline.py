@@ -26,7 +26,7 @@ exact parity with the unpipelined stack on the 8-device CPU mesh, and
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any, Callable
 
 import jax
