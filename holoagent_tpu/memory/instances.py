@@ -25,6 +25,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.compact import group_unique, I32_MAX
 
@@ -42,15 +43,15 @@ COARSE_FACTOR = 2.0
 # pseudo-random bucket (noise comparable to the hash's own collisions)
 from ..ops.voxel import BITS_Y, BITS_Z  # noqa: E402
 
-_NEIGHBOR_OFFSETS = jnp.asarray(
+_NEIGHBOR_OFFSETS = np.asarray(
     [
         (dx << (BITS_Y + BITS_Z)) + (dy << BITS_Z) + dz
         for dx in (-1, 0, 1)
         for dy in (-1, 0, 1)
         for dz in (-1, 0, 1)
     ],
-    jnp.int32,
-)
+    np.int32,
+)  # numpy: module-level jnp constants would init the backend at import
 
 
 def _dilated_signature(ckeys: jnp.ndarray) -> jnp.ndarray:

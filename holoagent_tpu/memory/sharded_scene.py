@@ -47,7 +47,7 @@ from ..ops import voxel
 from ..ops.voxel import GridSpec, SENTINEL
 from .scene import SceneState
 
-_HASH_MUL = jnp.uint32(2654435761)  # Knuth multiplicative hash
+_HASH_MUL = np.uint32(2654435761)  # Knuth hash (numpy: no backend init at import)
 
 
 def _owner_of(keys: jnp.ndarray, n: int) -> jnp.ndarray:

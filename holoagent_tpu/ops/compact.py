@@ -14,8 +14,9 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-I32_MAX = jnp.int32(2**31 - 1)
+I32_MAX = np.int32(2**31 - 1)  # numpy: no backend init at import
 
 
 @partial(jax.jit, static_argnames=("num_groups", "capacity"))

@@ -18,7 +18,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.float32(1e9)
+# plain float, NOT jnp.float32(...): a module-level device constant would
+# initialize the JAX backend at import time (and hang library imports
+# whenever the TPU tunnel is down); weak-typed Python floats keep f32 math
+BIG = 1e9
 
 
 def gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:

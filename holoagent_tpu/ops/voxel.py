@@ -29,6 +29,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BITS_X = 11
 BITS_Y = 11
@@ -37,7 +38,9 @@ NX = 1 << BITS_X
 NY = 1 << BITS_Y
 NZ = 1 << BITS_Z
 # int32 sentinel for invalid/padded lanes; valid keys are clipped strictly below.
-SENTINEL = jnp.int32(2**31 - 1)
+# numpy scalar, not jnp: module-level device constants initialize the JAX
+# backend at import time (hangs library import when the TPU tunnel is down)
+SENTINEL = np.int32(2**31 - 1)
 
 
 class GridSpec(NamedTuple):
@@ -177,15 +180,15 @@ def lookup(sorted_keys: jnp.ndarray, query_keys: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(hit & (query_keys != SENTINEL), pos, -1)
 
 
-_NEIGHBOR_OFFSETS = jnp.array(
+_NEIGHBOR_OFFSETS = np.array(
     [
         (dx, dy, dz)
         for dx in (-1, 0, 1)
         for dy in (-1, 0, 1)
         for dz in (-1, 0, 1)
     ],
-    dtype=jnp.int32,
-)  # (27, 3); row 13 is (0,0,0)
+    dtype=np.int32,
+)  # (27, 3); row 13 is (0,0,0) — numpy: no device work at import
 
 
 @partial(jax.jit, static_argnames=())
