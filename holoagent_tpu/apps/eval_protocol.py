@@ -50,12 +50,16 @@ def run_one(seed: int, cfg=None, layout: str = "two_room",
     fixture-trained tiny towers passed as ``towers=(clip_params,
     sam_params)`` (training.perception), and label features from the trained
     CLIP text tower (multi-template, the production query path)."""
+    import jax.numpy as jnp
+
     from .. import config as cfgmod
     from ..dataloader.synthetic import SyntheticDataset, SyntheticScene
     from ..eval import HMSGEvaluator, gt_from_synthetic
+    from ..eval.metrics import confusion_matrix, segmentation_metrics
     from ..memory.hmsg import HMSGraph
     from ..memory.mapping import Mapper
     from ..models import clip as clip_mod
+    from ..perception.extractor import per_pixel_features
     from ..perception.oracle import onehot_label_feats, oracle_frame_features
 
     if cfg is None:
@@ -101,27 +105,59 @@ def run_one(seed: int, cfg=None, layout: str = "two_room",
         # the production 50 px crop margin assumes VGA frames; at the
         # fixtures' 160 px width it would swallow the whole frame
         cfg.pipeline.clip_bbox_margin = 8.0
+        from ..perception.extractor import extract_frame_features
+
         mapper = Mapper(cfg, clip_params=clip_params, sam_params=sam_params,
                         clip_variant=cv, sam_variant=sv)
-        for i in range(0, len(ds), cfg.pipeline.skip_frames):
-            mapper.process_frame(ds[i])  # full extractor path
-        mapped = mapper.finalize()
         label_feats = np.asarray(clip_mod.text_features_multi_template(
             clip_params, SimpleTokenizer(), labels, cv, dtype=jnp.float32
         ), np.float32)
+        conf = np.zeros((len(labels), len(labels)), np.int64)
+        for i in range(0, len(ds), cfg.pipeline.skip_frames):
+            frame = ds[i]
+            ff = extract_frame_features(
+                clip_params, sam_params, jnp.asarray(frame.rgb), cv, sv,
+                points_per_side=cfg.models.sam.points_per_side,
+                pred_iou_thresh=cfg.models.sam.pred_iou_thresh,
+                stability_thresh=cfg.models.sam.stability_score_thresh,
+                min_area=float(cfg.models.sam.min_mask_region_area),
+                max_masks=cfg.models.sam.max_masks,
+                bbox_margin=float(cfg.pipeline.clip_bbox_margin),
+                dtype=jnp.float32,
+            )
+            mapper.process_frame(frame, ff=ff)  # full extractor path
+            # per-pixel open-vocab segmentation (the reference's outfeat ->
+            # metric.py harness, now with a published number): argmax of the
+            # ConceptFusion pixel features against the label text features
+            pix = np.asarray(per_pixel_features(ff, dtype=jnp.float32))
+            pred = (pix.reshape(-1, pix.shape[-1]) @ label_feats.T).argmax(-1)
+            _, lab_img = ds.gt(i)
+            covered = np.asarray(ff.masks).any(axis=0).reshape(-1)
+            gt_px = np.where(covered, lab_img.reshape(-1), -1)  # score covered px
+            conf += confusion_matrix(pred, gt_px, len(labels))
+        mapped = mapper.finalize()
+        seg = segmentation_metrics(conf)
     else:
         mapper = Mapper(cfg, clip_params=None, sam_params=None, clip_variant=cv,
                         sam_variant=None)
+        label_feats = onehot_label_feats(labels, d)
+        conf = np.zeros((len(labels), len(labels)), np.int64)
         for i in range(0, len(ds), cfg.pipeline.skip_frames):
             frame = ds[i]
             inst_img, lab_img = ds.gt(i)
             ff = oracle_frame_features(inst_img, lab_img, labels, d, max_masks=16)
             mapper.process_frame(frame, ff=ff)
+            pix = np.asarray(per_pixel_features(ff, dtype=jnp.float32))
+            pred = (pix.reshape(-1, pix.shape[-1]) @ label_feats.T).argmax(-1)
+            covered = np.asarray(ff.masks).any(axis=0).reshape(-1)
+            gt_px = np.where(covered, lab_img.reshape(-1), -1)
+            conf += confusion_matrix(pred, gt_px, len(labels))
         mapped = mapper.finalize()
-        label_feats = onehot_label_feats(labels, d)
+        seg = segmentation_metrics(conf)
     graph = HMSGraph.build(mapped, cfg, label_feats, labels)
     ev = HMSGEvaluator(gt)
     m = ev.evaluate_all(graph, gt_text_feats=label_feats, gt_classes=labels)
+    m["segmentation"] = seg
     return m
 
 
@@ -188,6 +224,11 @@ def run(seeds: int = 3, out_md: str | None = "EVAL.md",
         ("semantic top-1", ("objects", "semantic_top_k", 1)),
         ("semantic top-3", ("objects", "semantic_top_k", 3)),
         ("semantic AUC", ("objects", "semantic_auc")),
+        # per-pixel open-vocab segmentation over mask-covered pixels
+        # (reference utils/metric.py harness, published here)
+        ("segmentation mIoU", ("segmentation", "mIoU")),
+        ("segmentation mAcc", ("segmentation", "mAcc")),
+        ("segmentation fwIoU", ("segmentation", "fwIoU")),
     ]
     def agg_over(ms, path):
         vals = []
@@ -263,6 +304,15 @@ def run(seeds: int = 3, out_md: str | None = "EVAL.md",
             "dilated coarse-cell signatures (memory/instances.py), which closed",
             "every oracle split; 0.95 is the AUC ceiling of the 11-point overlap",
             "sweep (accuracy is 0 at threshold 1.0 by construction).",
+            "",
+            "The residual neural-row gap is mask-level, not pipeline-level:",
+            "~5% of the fixture-tiny SAM's masks bridge two GT objects (the",
+            "tiny decoder runs at loosened quality gates, pred_iou 0.45 vs",
+            "the reference's 0.88), and one bridging mask unions two",
+            "instances in the merge fold (the 'merged' rows of the per-GT",
+            "diagnostic).  With pretrained-scale checkpoints the gates run",
+            "at the reference operating point and the oracle row bounds the",
+            "pipeline's own contribution (AUC 0.95).",
             "",
         ]
         Path(out_md).write_text("\n".join(lines))
