@@ -42,10 +42,13 @@ class Box:
 
 @dataclass
 class SyntheticScene:
-    """A rectangular multi-room floor with labelled boxes.
+    """A rectangular multi-room building with labelled boxes.
 
     rooms: list of (x0, y0, x1, y1) rectangles on the floor plane; walls are
-    erected on room boundaries with door gaps.
+    erected on room boundaries with door gaps.  Multi-storey scenes list the
+    extra storeys' base heights in ``upper_levels`` (each gets its own floor
+    slab, outer walls, and ``wall_segments_by_level`` partitions); level 0 is
+    the (floor_z, wall_segments) pair, matching the single-storey default.
     """
 
     extent: Tuple[float, float] = (8.0, 6.0)  # total footprint (x, y)
@@ -54,6 +57,14 @@ class SyntheticScene:
     boxes: List[Box] = field(default_factory=list)
     wall_segments: List[Tuple[float, float, float, float]] = field(default_factory=list)
     wall_thickness: float = 0.08
+    upper_levels: List[float] = field(default_factory=list)  # base z per extra storey
+    wall_segments_by_level: List[List[Tuple[float, float, float, float]]] = field(
+        default_factory=list
+    )  # inner partitions per extra storey (parallel to upper_levels)
+
+    def level_zs(self) -> List[float]:
+        """Base height of every storey, ascending (level 0 first)."""
+        return [self.floor_z, *self.upper_levels]
 
     @staticmethod
     def two_room(seed: int = 0) -> "SyntheticScene":
@@ -119,39 +130,158 @@ class SyntheticScene:
             )
         return sc
 
+    # two_floor furniture vocabulary: distinct colors so the fixture-trained
+    # CLIP tower can separate categories; footprints capped so the greedy
+    # strip placer below fits 3 items per 4 m strip with clearance
+    _TWO_FLOOR_SIZES = {
+        "bed": (1.4, 1.4, 0.5), "chair": (0.5, 0.5, 0.9),
+        "table": (1.1, 0.8, 0.75), "sofa": (1.3, 0.8, 0.8),
+        "refrigerator": (0.7, 0.7, 1.8), "toilet": (0.5, 0.6, 0.8),
+        "bathtub": (1.3, 0.7, 0.6), "lamp": (0.3, 0.3, 1.5),
+        "plant": (0.4, 0.4, 1.0), "tv": (1.1, 0.2, 0.7),
+        "desk": (1.2, 0.7, 0.75), "bookshelf": (1.0, 0.35, 1.9),
+        "mirror": (0.9, 0.12, 1.2), "bench": (1.0, 0.4, 0.45),
+        "wardrobe": (1.0, 0.55, 1.9), "piano": (1.2, 0.6, 1.1),
+        "sink": (0.5, 0.45, 0.85), "oven": (0.6, 0.6, 0.9),
+    }
+    _TWO_FLOOR_COLORS = {
+        "bed": (0.80, 0.20, 0.20), "chair": (0.20, 0.40, 0.80),
+        "table": (0.60, 0.40, 0.20), "sofa": (0.20, 0.70, 0.30),
+        "refrigerator": (0.85, 0.85, 0.90), "toilet": (0.95, 0.95, 0.95),
+        "bathtub": (0.70, 0.90, 1.00), "lamp": (1.00, 0.90, 0.30),
+        "plant": (0.10, 0.50, 0.10), "tv": (0.05, 0.05, 0.10),
+        "desk": (0.45, 0.30, 0.15), "bookshelf": (0.45, 0.20, 0.50),
+        "mirror": (0.75, 0.85, 0.85), "bench": (0.55, 0.55, 0.30),
+        "wardrobe": (0.30, 0.20, 0.60), "piano": (0.25, 0.12, 0.08),
+        "sink": (0.80, 0.80, 0.75), "oven": (0.40, 0.40, 0.45),
+    }
+    # room categories and their 9 object categories per (floor, bay):
+    # 6 rooms x 9 objects = 54 unique (object, room, floor) long-query keys
+    # (>= 50, the 2-floor long-query benchmark scene)
+    _TWO_FLOOR_ROOMS = (
+        (0, 0, "bedroom", ("bed", "chair", "wardrobe", "lamp", "plant",
+                           "mirror", "bench", "table", "tv")),
+        (0, 1, "living room", ("sofa", "tv", "table", "plant", "lamp",
+                               "piano", "bookshelf", "chair", "bench")),
+        (0, 2, "kitchen", ("refrigerator", "sink", "oven", "table", "chair",
+                           "plant", "lamp", "bench", "mirror")),
+        (1, 0, "office", ("desk", "chair", "bookshelf", "lamp", "tv",
+                          "plant", "sofa", "mirror", "wardrobe")),
+        (1, 1, "library", ("bookshelf", "desk", "chair", "sofa", "lamp",
+                           "plant", "piano", "bench", "tv")),
+        (1, 2, "bathroom", ("toilet", "bathtub", "sink", "mirror", "wardrobe",
+                            "lamp", "plant", "bench", "chair")),
+    )
+
+    @staticmethod
+    def two_floor(seed: int = 0) -> "SyntheticScene":
+        """Two-storey fixture: 12 x 6 m, 3 rooms per storey (6 room
+        categories), 9 labelled furniture boxes per room over an 18-category
+        vocabulary — the >= 2-floor, >= 50-long-query benchmark scene
+        (reference long-query generation walks exactly these GT tree leaves,
+        reference fsr_vln/memory/hmsg/utils/long_query_eval_utils.py:72-147).
+
+        Placement keeps the orbit-camera band (room-bay center +- 1.3 m at
+        eye height) clear: the 3 shallowest items per room sit in side bands
+        along the bay's x-edges; the other 6 fill two wall strips (y = 0.75 /
+        5.25) via a greedy left-to-right placer, widest first, alternating
+        strips — non-overlap by construction."""
+        sc = SyntheticScene()
+        sc.extent = (12.0, 6.0)
+        h = sc.extent[1]
+        sc.upper_levels = [3.0]
+        # storey 0 partitions (door gaps offset per wall)
+        sc.wall_segments = [
+            (4.0, 0.0, 4.0, 2.0), (4.0, 3.2, 4.0, h),
+            (8.0, 0.0, 8.0, 3.0), (8.0, 4.2, 8.0, h),
+        ]
+        # storey 1 partitions (gaps at different y)
+        sc.wall_segments_by_level = [[
+            (4.0, 0.0, 4.0, 2.6), (4.0, 3.8, 4.0, h),
+            (8.0, 0.0, 8.0, 1.6), (8.0, 2.8, 8.0, h),
+        ]]
+        sizes, colors = SyntheticScene._TWO_FLOOR_SIZES, SyntheticScene._TWO_FLOOR_COLORS
+        iid = 0
+        for floor_id, bay, _room_cat, objs in SyntheticScene._TWO_FLOOR_ROOMS:
+            z0 = sc.level_zs()[floor_id]
+            x_off = bay * 4.0
+            # side bands: the 3 shallowest (depth <= 0.5) items, long axis
+            # along the wall, at x = 0.4 / 3.6
+            shallow = sorted(objs, key=lambda o: sizes[o][1])[:3]
+            strip_items = [o for o in objs if o not in shallow]
+            side_slots = ((0.4, 2.0), (0.4, 4.0), (3.6, 3.0))
+            for (sx0, sy0), label in zip(side_slots, shallow):
+                w_, d_, hz = sizes[label]
+                sc.boxes.append(Box(
+                    center=(x_off + sx0, sy0, z0 + hz / 2),
+                    size=(d_, w_, hz),  # long axis along the wall (y)
+                    color=colors[label], label=label, instance_id=iid,
+                ))
+                iid += 1
+            # two strips, widest-first alternating, left-to-right cursor
+            order = sorted(strip_items, key=lambda o: -sizes[o][0])
+            cursors = [0.2, 0.2]
+            ys = (0.75, 5.25)
+            for j, label in enumerate(order):
+                s = j % 2
+                w_, d_, hz = sizes[label]
+                cx = cursors[s] + w_ / 2
+                cursors[s] += w_ + 0.12
+                sc.boxes.append(Box(
+                    center=(x_off + cx, ys[s], z0 + hz / 2),
+                    size=(w_, d_, hz),
+                    color=colors[label], label=label, instance_id=iid,
+                ))
+                iid += 1
+        return sc
+
+    @staticmethod
+    def two_floor_room_rects():
+        """GT room footprints for ``two_floor`` as
+        (x0, y0, x1, y1, category, floor_id) tuples (eval.gt_from_synthetic)."""
+        return [
+            (bay * 4.0, 0.0, bay * 4.0 + 4.0, 6.0, cat, floor_id)
+            for floor_id, bay, cat, _ in SyntheticScene._TWO_FLOOR_ROOMS
+        ]
+
     # -- ray casting --------------------------------------------------------
 
     def _all_boxes(self) -> List[Box]:
-        """Scene geometry as boxes: furniture + outer walls + inner walls +
-        floor slab + ceiling (ceiling-less for top-down debug friendliness)."""
+        """Scene geometry as boxes: furniture + per-storey outer walls, inner
+        walls and floor slabs (each storey stays ceiling-less for top-down
+        debug friendliness; an upper storey's slab doubles as the storey
+        below's ceiling)."""
         w, h = self.extent
         t = self.wall_thickness
-        z = self.wall_height
         geo: List[Box] = list(self.boxes)
         wall_color = (0.85, 0.82, 0.78)
-        # outer walls
-        for (cx, cy, sx, sy) in [
-            (w / 2, -t / 2, w + 2 * t, t),
-            (w / 2, h + t / 2, w + 2 * t, t),
-            (-t / 2, h / 2, t, h + 2 * t),
-            (w + t / 2, h / 2, t, h + 2 * t),
-        ]:
-            geo.append(Box((cx, cy, z / 2), (sx, sy, z), wall_color, "wall"))
-        # inner wall segments
-        for (x0, y0, x1, y1) in self.wall_segments:
-            cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
-            sx = max(abs(x1 - x0), t)
-            sy = max(abs(y1 - y0), t)
-            geo.append(Box((cx, cy, z / 2), (sx, sy, z), wall_color, "wall"))
-        # floor slab
-        geo.append(
-            Box(
-                (w / 2, h / 2, self.floor_z - 0.05),
-                (w + 2 * t, h + 2 * t, 0.1),
-                (0.55, 0.5, 0.45),
-                "floor",
+        segs_by_level = [list(self.wall_segments), *self.wall_segments_by_level]
+        for li, z0 in enumerate(self.level_zs()):
+            z = self.wall_height
+            zc = z0 + z / 2
+            # outer walls
+            for (cx, cy, sx, sy) in [
+                (w / 2, -t / 2, w + 2 * t, t),
+                (w / 2, h + t / 2, w + 2 * t, t),
+                (-t / 2, h / 2, t, h + 2 * t),
+                (w + t / 2, h / 2, t, h + 2 * t),
+            ]:
+                geo.append(Box((cx, cy, zc), (sx, sy, z), wall_color, "wall"))
+            # inner wall segments for this storey
+            for (x0, y0, x1, y1) in (segs_by_level[li] if li < len(segs_by_level) else []):
+                cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+                sx = max(abs(x1 - x0), t)
+                sy = max(abs(y1 - y0), t)
+                geo.append(Box((cx, cy, zc), (sx, sy, z), wall_color, "wall"))
+            # floor slab
+            geo.append(
+                Box(
+                    (w / 2, h / 2, z0 - 0.05),
+                    (w + 2 * t, h + 2 * t, 0.1),
+                    (0.55, 0.5, 0.45),
+                    "floor",
+                )
             )
-        )
         return geo
 
     def render(
@@ -247,16 +377,20 @@ class SyntheticDataset:
         # upper walls into view — full-scan coverage like the reference's
         # Habitat walks); seed phase-shifts the orbit so trajectories differ.
         # one orbit loop per ~4 m of footprint width (two_room keeps its
-        # original two centers; wider scenes get a loop per room bay)
+        # original two centers; wider scenes get a loop per room bay);
+        # multi-storey scenes repeat the loop set per storey at that storey's
+        # eye height (the reference's per-floor Habitat walks)
         n_loops = max(2, round(w / 4.0))
         centers = [((i + 0.5) * w / n_loops, h * 0.5) for i in range(n_loops)]
-        per = num_frames // len(centers)
-        for cx0, cy0 in centers:
-            for i in range(per):
-                a = 2 * np.pi * i / per + 0.37 * seed
-                eye = (cx0 + 1.3 * np.cos(a), cy0 + 1.3 * np.sin(a), 1.5)
-                target = (cx0, cy0, gaze_heights[i % len(gaze_heights)])
-                self.poses.append(look_at(eye, target))
+        level_zs = self.scene.level_zs()
+        per = max(1, num_frames // (len(centers) * len(level_zs)))
+        for z0 in level_zs:
+            for cx0, cy0 in centers:
+                for i in range(per):
+                    a = 2 * np.pi * i / per + 0.37 * seed
+                    eye = (cx0 + 1.3 * np.cos(a), cy0 + 1.3 * np.sin(a), z0 + 1.5)
+                    target = (cx0, cy0, z0 + gaze_heights[i % len(gaze_heights)])
+                    self.poses.append(look_at(eye, target))
         self._cache: dict = {}
 
     def __len__(self) -> int:

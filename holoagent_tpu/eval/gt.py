@@ -178,39 +178,51 @@ def _box_surface_points(lo: np.ndarray, hi: np.ndarray, step: float = 0.04) -> n
 
 def gt_from_synthetic(scene, room_rects: Optional[List] = None) -> GTGraph:
     """GT graph for a SyntheticScene. ``room_rects`` optionally overrides room
-    footprints as (x0, y0, x1, y1, category) tuples; default = the two-room
-    fixture split at the dividing wall."""
+    footprints as (x0, y0, x1, y1, category) tuples — with an optional 6th
+    element naming the floor_id for multi-storey scenes (default floor 0);
+    default = the two-room fixture split at the dividing wall."""
     g = GTGraph()
     w, h = scene.extent
-    g.floors.append(GTFloor(0, scene.floor_z - 0.1, scene.floor_z + scene.wall_height))
+    level_zs = scene.level_zs() if hasattr(scene, "level_zs") else [scene.floor_z]
+    for fi, z0 in enumerate(level_zs):
+        g.floors.append(GTFloor(fi, z0 - 0.1, z0 + scene.wall_height))
     if room_rects is None:
         room_rects = [
             (0.0, 0.0, w / 2, h, "bedroom"),
             (w / 2, 0.0, w, h, "kitchen"),
         ]
     step = 0.1
-    for i, (x0, y0, x1, y1, cat) in enumerate(room_rects):
+    for i, rect in enumerate(room_rects):
+        x0, y0, x1, y1, cat = rect[:5]
+        floor_id = int(rect[5]) if len(rect) > 5 else 0
         xs = np.arange(x0 + step / 2, x1, step)
         ys = np.arange(y0 + step / 2, y1, step)
         gx, gy = np.meshgrid(xs, ys, indexing="ij")
         g.rooms.append(
             GTRoom(
                 i,
-                0,
+                floor_id,
                 cat,
                 np.c_[gx.ravel(), gy.ravel()],
-                scene.floor_z,
-                scene.floor_z + scene.wall_height,
+                level_zs[floor_id],
+                level_zs[floor_id] + scene.wall_height,
             )
         )
     for b in scene.boxes:
         lo, hi = b.lo, b.hi
         center = (lo + hi) / 2
+        # floor = highest level whose base sits below the object's center
+        floor_id = int(
+            max((fi for fi, z0 in enumerate(level_zs) if z0 <= center[2] + 1e-6),
+                default=0)
+        )
         region = next(
             (
                 i
-                for i, (x0, y0, x1, y1, _) in enumerate(room_rects)
-                if x0 <= center[0] < x1 and y0 <= center[1] < y1
+                for i, rect in enumerate(room_rects)
+                if rect[0] <= center[0] < rect[2]
+                and rect[1] <= center[1] < rect[3]
+                and (int(rect[5]) if len(rect) > 5 else 0) == floor_id
             ),
             0,
         )
@@ -218,7 +230,7 @@ def gt_from_synthetic(scene, room_rects: Optional[List] = None) -> GTGraph:
             GTObject(
                 b.instance_id,
                 region,
-                0,
+                floor_id,
                 b.label,
                 _box_surface_points(lo, hi),
                 center,

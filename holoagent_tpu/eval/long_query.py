@@ -40,8 +40,15 @@ def generate_long_queries(gt: GTGraph) -> List[LongQuery]:
             continue
         key = (obj.category, room.category, obj.floor_id)
         if key not in agg:
+            # floor number in the TEXT is 1-indexed: the engine's integer
+            # floor parse is 1-indexed ("floor 1" = lowest storey, reference
+            # graph.py:2236 `zero_level_order_ids[int(query) - 1]`), while the
+            # reference's generator emits the raw 0-based floor id
+            # (long_query_eval_utils.py:96) — feeding its own parser the wrong
+            # storey on every multi-floor query.  We fix the mismatch; the
+            # scored floor_id stays 0-based.
             agg[key] = LongQuery(
-                text=f"{obj.category} in region {room.category} on floor {obj.floor_id}",
+                text=f"{obj.category} in region {room.category} on floor {obj.floor_id + 1}",
                 floor_id=obj.floor_id,
                 room_category=room.category,
                 object_category=obj.category,

@@ -87,7 +87,11 @@ class FSRQueryEngine:
         zero = [f.floor_zero_level for f in self.g.floors]
         order = np.argsort(zero)
         try:
-            return int(order[int(str(query).strip()) - 1])
+            q = int(str(query).strip())
+            # 1-indexed ("floor 1" = lowest, reference graph.py:2236); a
+            # literal 0 also means the lowest storey (0-based callers) rather
+            # than wrapping to the TOP floor via order[-1]
+            return int(order[max(q - 1, 0) if q >= 0 else q])
         except (ValueError, IndexError):
             pass
         names = [f"floor {i}" for i in range(len(self.g.floors))]

@@ -434,3 +434,16 @@ def test_device_retrieval_matches_numpy_path():
         want = np.argsort(-sim[0])[:5]
     assert list(idx) == [int(i) for i in want], (idx, want[:5])
     np.testing.assert_allclose(scores, sim[0][want], atol=1e-4)
+
+
+def test_query_floor_integer_indexing(engine):
+    """1-indexed integer floor parse ('floor 1' = lowest storey, reference
+    graph.py:2236), with a literal 0 also meaning the lowest storey instead
+    of wrapping to the top floor via order[-1]."""
+    n = len(engine.g.floors)
+    zero = [f.floor_zero_level for f in engine.g.floors]
+    order = np.argsort(zero)
+    assert engine.query_floor("1") == int(order[0])
+    assert engine.query_floor("0") == int(order[0])  # no order[-1] wrap
+    if n > 1:
+        assert engine.query_floor("2") == int(order[1])
