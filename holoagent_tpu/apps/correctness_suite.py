@@ -1,0 +1,193 @@
+"""Query-correctness suite: recall-carrying artifacts for the FSR benchmarks.
+
+No pretrained checkpoints can exist in this sandbox (no egress), so the
+chip-side latency artifacts are measured with production-DIMENSION towers
+whose weights are random — valid latency, unmeasurable correctness.  This
+suite measures the CORRECTNESS half with the only trained weights that can
+exist here: the fixture-trained tiny towers (training.zoo), running the very
+same engine code path — neural mapping (SAM auto-masks -> ConceptFusion ->
+CLIP), HMSG build, room naming, FSR fast/slow retrieval against a
+crop-distractor-padded gallery, scored against the GT graph (the reference's
+benchmark-as-test role, reference fsr_vln/memory/hmsg/eval/
+hm3dsem_evaluator.py:401-589 + the all_results latency schema of
+visualize_query_graph_icra_ic4f.py:293-325).
+
+Outputs:
+  * per-mode correctness blocks merged into results/all_results_*_tpu.json
+    (fields: recall_at_5 / top1_acc / correctness{...} + provenance)
+  * results/long_query_tpu.json regenerated over the >= 2-floor, >= 50-query
+    two_floor scene
+
+Usage:
+  python -m holoagent_tpu.apps.correctness_suite [--merge-into results/]
+      [--layout three_room] [--pad-gallery 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .. import config as cfgmod
+from ..training.zoo import RECIPE_TAG
+
+# recipe-tagged workdir: label-feature caches under save_path key on the
+# vocab+variant name only, so a new tower recipe must get a fresh directory
+DEFAULT_OUT = f"/tmp/holoagent_tpu/correctness_{RECIPE_TAG}"
+
+PROVENANCE = (
+    "fixture-trained tiny towers (training/zoo.py) — the only trained weights "
+    "possible in this sandbox (no pretrained checkpoints, no egress); same "
+    "engine code path as the chip latency runs, which use production-dimension "
+    "random-weight towers"
+)
+
+
+def correctness_config(layout: str, save_path: str) -> cfgmod.Config:
+    """The neural fixture operating point (apps/eval_protocol.py neural row):
+    tiny-backbone quality gates, fixture frame scale."""
+    cfg = cfgmod.Config()
+    cfg.main.dataset = "synthetic"
+    cfg.main.layout = layout
+    cfg.main.scene_id = f"correctness_{layout}"
+    cfg.main.save_path = save_path
+    cfg.main.num_frames = 48 if layout != "two_floor" else 72
+    cfg.main.frame_h, cfg.main.frame_w = 120, 160
+    cfg.models.clip.type = "test-tiny"
+    cfg.models.clip.dtype = "float32"
+    cfg.models.sam.type = "fixture-tiny"
+    cfg.models.sam.points_per_side = 12
+    cfg.models.sam.pred_iou_thresh = 0.45
+    cfg.models.sam.stability_score_thresh = 0.5
+    cfg.models.sam.min_mask_region_area = 60
+    cfg.models.sam.max_masks = 24
+    cfg.pipeline.voxel_size = 0.08
+    cfg.pipeline.grid_resolution = 0.08
+    cfg.pipeline.point_capacity = 1 << 15
+    cfg.pipeline.mask_point_capacity = 4096
+    cfg.pipeline.instance_capacity = 64
+    cfg.pipeline.skip_frames = 1
+    cfg.pipeline.clip_bbox_margin = 8
+    cfg.pipeline.extract_tiering = False
+    cfg.pipeline.obj_labels = "FIXTURE"
+    return cfg
+
+
+def _towers(cfg):
+    import jax  # noqa: F401
+
+    from ..models import clip as clip_mod
+    from ..models import sam as sam_mod
+    from ..training.zoo import fixture_towers
+
+    clip_params, sam_params = fixture_towers()
+    cv = clip_mod.VARIANTS[cfg.models.clip.type]
+    sv = sam_mod.VARIANTS[cfg.models.sam.type]
+    return clip_params, sam_params, cv, sv
+
+
+def build_graph(layout: str, save_path: str = DEFAULT_OUT):
+    """Neural-path map build with the trained towers; returns
+    (graph_dir, gt_json_path, cfg, models)."""
+    from ..dataloader.synthetic import SyntheticScene
+    from ..eval import gt_from_synthetic
+    from ..training.zoo import ROOM_RECTS
+    from . import build_map
+
+    cfg = correctness_config(layout, save_path)
+    models = _towers(cfg)
+    graph_dir = build_map.run(cfg, models=models)
+    rects = (SyntheticScene.two_floor_room_rects() if layout == "two_floor"
+             else ROOM_RECTS[layout])
+    scene = getattr(SyntheticScene, layout)(cfg.main.seed)
+    gt = gt_from_synthetic(scene, room_rects=rects)
+    gt_path = Path(save_path) / f"scene_info_{layout}.json"
+    gt.to_json(gt_path)
+    return Path(graph_dir), gt_path, cfg, models
+
+
+def run_suite(
+    layout: str = "three_room",
+    pad_gallery: int = 512,
+    merge_into: str | None = None,
+    out_dir: str = DEFAULT_OUT,
+    long_query_layout: str = "two_floor",
+):
+    from ..eval.instruction_sets import three_room_instructions
+    from . import long_query_bench, query_bench
+
+    t0 = time.time()
+    report = {"provenance": PROVENANCE}
+
+    # --- instruction battery over the padded gallery (3 engine modes) ------
+    graph_dir, gt_path, cfg, models = build_graph(layout, out_dir)
+    instructions = three_room_instructions()
+    modes = (
+        ("fast", dict(use_slow=False)),
+        ("slow_clip", dict(use_slow=True, vlm_kind="clip")),
+        ("slow_generative", dict(use_slow=True, vlm_kind="generative")),
+    )
+    for name, kw in modes:
+        summary = query_bench.run(
+            str(graph_dir), instructions, cfg,
+            out_path=str(Path(out_dir) / f"correctness_{name}.json"),
+            pad_gallery=pad_gallery, gt_path=str(gt_path), models=models, **kw,
+        )
+        report[name] = {
+            "top1_acc": summary.get("top1_acc"),
+            "recall_at_5": summary.get("recall_at_5"),
+            "n_scored": summary.get("correctness", {}).get("n_scored"),
+            "gallery_size": summary.get("gallery_size"),
+        }
+        if merge_into:
+            _merge(Path(merge_into) / f"all_results_{name}_tpu.json", summary)
+
+    # --- long-query benchmark over the two-floor scene ---------------------
+    lq_graph, lq_gt, lq_cfg, lq_models = build_graph(long_query_layout, out_dir)
+    lq = long_query_bench.run(
+        str(lq_graph), str(lq_gt), lq_cfg,
+        out_path=str(Path(merge_into or out_dir) / "long_query_tpu.json"),
+        models=lq_models,
+    )
+    report["long_query"] = {k: lq[k] for k in
+                            ("n_queries", "floor_acc", "room_acc", "object_acc")}
+    report["wall_seconds"] = round(time.time() - t0, 1)
+    out = Path(out_dir) / "correctness_report.json"
+    out.write_text(json.dumps(report, indent=2))
+    print(json.dumps(report, indent=2))
+    return report
+
+
+def _merge(artifact: Path, summary: dict) -> None:
+    """Attach the correctness block to an existing latency artifact (the chip
+    run's file keeps its latency fields; recall fields come from this run)."""
+    if not artifact.exists():
+        return
+    data = json.loads(artifact.read_text())
+    data["top1_acc"] = summary.get("top1_acc")
+    data["recall_at_5"] = summary.get("recall_at_5")
+    data["correctness"] = {
+        **summary.get("correctness", {}),
+        "towers": PROVENANCE,
+        "gallery_size": summary.get("gallery_size"),
+    }
+    artifact.write_text(json.dumps(data, indent=2))
+    print(f"merged correctness into {artifact}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layout", default="three_room")
+    ap.add_argument("--pad-gallery", type=int, default=512)
+    ap.add_argument("--merge-into", default=None)
+    ap.add_argument("--out-dir", default=DEFAULT_OUT)
+    args = ap.parse_args(argv)
+    run_suite(args.layout, args.pad_gallery, args.merge_into, args.out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -161,26 +161,13 @@ def run_one(seed: int, cfg=None, layout: str = "two_room",
     return m
 
 
-def _train_towers(steps_clip: int = 400, steps_sam: int = 2500, seed: int = 0):
-    """Fixture-train the tiny perception towers for the neural row
-    (training.perception); trajectories use held-out seeds 100/101."""
-    from ..dataloader.synthetic import SyntheticDataset, SyntheticScene
-    from ..training.perception import train_tiny_clip, train_tiny_sam
+def _train_towers(seed: int = 0):
+    """Fixture-trained tiny perception towers for the neural row — served
+    from the training.zoo disk cache (train-once: the protocol, the
+    query-correctness suite, and the tests share one set of weights)."""
+    from ..training.zoo import fixture_towers
 
-    tr = [
-        SyntheticDataset(scene=SyntheticScene.two_room(), num_frames=16,
-                         hw=(120, 160), seed=100, gaze_heights=(0.8, 2.2)),
-        SyntheticDataset(scene=SyntheticScene.three_room(), num_frames=16,
-                         hw=(120, 160), seed=101, gaze_heights=(0.8, 2.2)),
-    ]
-    # the UNION label list (three_room's covers both layouts); per-dataset
-    # GT ids are remapped through names inside collect_crops
-    labels = tr[1].scene.labels()
-    clip_params, _ = train_tiny_clip(tr, labels, steps=steps_clip, seed=seed)
-    sam_params, _ = train_tiny_sam(
-        tr, steps=steps_sam, seed=seed, variant_name="fixture-tiny", lr=2e-3
-    )
-    return clip_params, sam_params
+    return fixture_towers(seed=seed, verbose=True)
 
 
 def run(seeds: int = 3, out_md: str | None = "EVAL.md",

@@ -29,11 +29,11 @@ from .common import load_models, tokenizer
 
 
 def run(graph_dir: str, gt_path: str, cfg: cfgmod.Config,
-        out_path: str | None = None):
+        out_path: str | None = None, models=None):
     graph = HMSGraph.load(graph_dir)
     gt = GTGraph.from_json(gt_path)
     queries = generate_long_queries(gt)
-    clip_params, _, cv, _ = load_models(cfg)
+    clip_params, _, cv, _ = models if models is not None else load_models(cfg)
     engine = FSRQueryEngine(graph, clip_params, tokenizer(), cv)
 
     floors_sorted = sorted(

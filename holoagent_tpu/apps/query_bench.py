@@ -58,6 +58,93 @@ def _make_vlm(kind: str, clip_params, tok, cv, cfg):
     return None  # NullVLM default inside the engine
 
 
+def _pad_gallery_with_crops(graph, n: int, dataset, clip_params, cv, seed: int = 7):
+    """Widen the object gallery to production scale with distractor objects
+    whose embeddings are RENDERED-CROP features from the SAME image tower as
+    the real objects: random windows over the scan's frames (wall/floor/
+    background and partial furniture), batch-encoded through CLIP.  The
+    round-3 design (label-text embeddings + noise) lived in the query's own
+    text-embedding space and outranked every real object by construction —
+    distractors must compete in image space, like the hundreds of real
+    instances a building-scale HMSG carries (reference 8-scene HM3D battery).
+    Distractor centers sit far outside the scene so a retrieved distractor
+    can never earn GT credit."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..memory.nodes import Object as _Obj
+    from ..models import clip as clip_mod
+
+    rng = np.random.default_rng(seed)
+    f_ids = sorted(rng.choice(len(dataset), size=min(len(dataset), 16), replace=False))
+    frames = [np.asarray(dataset[int(i)].rgb, np.float32) for i in f_ids]
+    h, w = frames[0].shape[:2]
+    s_lo, s_hi = max(8, h // 8), max(12, h // 2)
+    crops = []
+    for i in range(n):
+        f = frames[i % len(frames)]
+        s = int(rng.integers(s_lo, s_hi))
+        y0 = int(rng.integers(0, h - s))
+        x0 = int(rng.integers(0, w - s))
+        crops.append(np.asarray(jax.image.resize(
+            jnp.asarray(f[y0 : y0 + s, x0 : x0 + s]),
+            (cv.image_size, cv.image_size, 3), "linear",
+        )))
+    embs = []
+    for i in range(0, n, 64):
+        x = clip_mod.preprocess(jnp.asarray(np.stack(crops[i : i + 64])), cv.image_size)
+        embs.append(np.asarray(
+            clip_mod.encode_image(clip_params, x, cv, dtype=jnp.float32), np.float32
+        ))
+    embs = np.concatenate(embs)
+    base_room = graph.rooms[0].room_id if graph.rooms else "room_0"
+    for i in range(n):
+        graph.objects.append(_Obj(
+            object_id=f"distractor_{i}", room_id=base_room, name="distractor",
+            pcd_points=rng.uniform(100.0, 140.0, (4, 3)),
+            embedding=embs[i],
+        ))
+
+
+def _score_against_gt(results, gt, radius: float = 0.5):
+    """Retrieval correctness vs the GT graph (the role of the reference's
+    hm3dsem evaluator in the benchmark loop, reference
+    fsr_vln/memory/hmsg/eval/hm3dsem_evaluator.py:401-589): the queried
+    category comes from the engine's own parse of each instruction; credit =
+    a predicted object center within ``radius`` of ANY GT object of that
+    category (position-based, predicted ids don't map to GT ids).  Adds
+    per-query top1_correct / recall_at_5 fields and returns the summary."""
+    from ..query.parser import RuleParser
+
+    parser = RuleParser()
+    by_cat = {}
+    for o in gt.objects:
+        by_cat.setdefault(o.category, []).append(np.asarray(o.center, np.float64))
+    n_scored = top1 = rec5 = 0
+    for r in results:
+        cat = parser(r["instruction"]).object
+        r["gt_category"] = cat
+        answers = by_cat.get(cat)
+        if not answers:
+            continue
+        pred = np.asarray(r["object_centers"], np.float64).reshape(-1, 3)
+        if len(pred):
+            d = np.linalg.norm(pred[:, None] - np.stack(answers)[None], axis=-1).min(1)
+            ok1, ok5 = bool(d[0] <= radius), bool((d[:5] <= radius).any())
+        else:
+            ok1 = ok5 = False
+        r["top1_correct"], r["recall_at_5"] = ok1, ok5
+        n_scored += 1
+        top1 += ok1
+        rec5 += ok5
+    return {
+        "n_scored": n_scored,
+        "top1_acc": top1 / max(n_scored, 1),
+        "recall_at_5": rec5 / max(n_scored, 1),
+        "match_radius_m": radius,
+    }
+
+
 def run(
     graph_dir: str,
     instructions: List[str],
@@ -68,34 +155,15 @@ def run(
     vlm_kind: str = "clip",
     warmup: bool = True,
     pad_gallery: int = 0,
+    gt_path: str | None = None,
+    models=None,  # optional preloaded (clip_params, sam_params, cv, sv)
 ):
     graph = HMSGraph.load(graph_dir)
-    clip_params, _, cv, _ = load_models(cfg)
+    clip_params, _, cv, _ = models if models is not None else load_models(cfg)
     tok = tokenizer()
     if pad_gallery:
-        # widen the object gallery to production scale with distractor
-        # objects (label-text embeddings + noise): the fixture graphs hold
-        # <10 objects, far below the hundreds of instances a building-scale
-        # HMSG carries (reference 8-scene HM3D battery), and retrieval
-        # latency/recall must be measured against a realistic gallery
-        import numpy as _np
-
-        from ..memory.nodes import Object as _Obj
-        from ..utils.labels import get_label_feats as _glf
-
-        lf, classes = _glf(clip_params, tok, cv, "SCANNET20")
-        lf = _np.asarray(lf, _np.float32)
-        rng = _np.random.default_rng(7)
-        base_room = graph.rooms[0].room_id if graph.rooms else "room_0"
-        for i in range(pad_gallery):
-            e = lf[i % len(lf)] + rng.normal(0, 0.05, lf.shape[1]).astype(_np.float32)
-            e /= max(_np.linalg.norm(e), 1e-9)
-            graph.objects.append(_Obj(
-                object_id=f"distractor_{i}", room_id=base_room,
-                name=str(classes[i % len(classes)]),
-                pcd_points=rng.uniform(20.0, 60.0, (4, 3)),
-                embedding=e,
-            ))
+        dataset = dataset if dataset is not None else load_dataset(cfg)
+        _pad_gallery_with_crops(graph, pad_gallery, dataset, clip_params, cv)
     provider = None
     if use_slow:
         import jax
@@ -141,6 +209,11 @@ def run(
             }
         )
     totals = [r["Total_Time"] for r in results]
+    correctness = None
+    if gt_path:
+        from ..eval import GTGraph
+
+        correctness = _score_against_gt(results, GTGraph.from_json(gt_path))
     summary = {
         "num_queries": len(results),
         **{
@@ -151,6 +224,9 @@ def run(
         "p50_total_time": float(np.percentile(totals, 50)) if totals else 0.0,
         "p95_total_time": float(np.percentile(totals, 95)) if totals else 0.0,
         "gallery_size": len(graph.objects),
+        **({"top1_acc": correctness["top1_acc"],
+            "recall_at_5": correctness["recall_at_5"],
+            "correctness": correctness} if correctness is not None else {}),
         "results": results,
     }
     # reference schema alias (visualize_query_graph_icra_ic4f.py:293-325)
@@ -170,12 +246,14 @@ def main(argv=None):
     ap.add_argument("--vlm", default="clip", choices=("clip", "generative", "null"))
     ap.add_argument("--out", default=None)
     ap.add_argument("--pad-gallery", type=int, default=0)
+    ap.add_argument("--gt", default=None,
+                    help="scene_info.json GT graph: adds top1/recall@5 fields")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
     cfg = cfgmod.load(args.config, args.overrides) if args.config else cfgmod.Config()
     instructions = json.loads(Path(args.instructions).read_text())
     run(args.graph, instructions, cfg, use_slow=args.slow, out_path=args.out,
-        vlm_kind=args.vlm, pad_gallery=args.pad_gallery)
+        vlm_kind=args.vlm, pad_gallery=args.pad_gallery, gt_path=args.gt)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,8 @@ def main(argv=None):
     from ..ops.retrieval import class_filtered_topk
     from ..utils.benchtime import time_device_fn
 
+    import numpy as np
+
     key = jax.random.key(0)
     k1, k2, k3 = jax.random.split(key, 3)
     g = jax.random.normal(k1, (args.gallery, args.dim), jnp.float32)
@@ -38,6 +40,17 @@ def main(argv=None):
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
     neg = jax.random.normal(k3, (args.negatives, args.dim), jnp.float32)
     neg = neg / jnp.linalg.norm(neg, axis=-1, keepdims=True)
+    # plant one designated nearest neighbor per query at a random gallery row
+    # so recall is measurable (row = query + noise, like a real matching view)
+    rng = np.random.default_rng(0)
+    planted = rng.choice(args.gallery, size=args.batch, replace=False)
+    gn = np.array(g)  # host copy (jax arrays are read-only views)
+    qn = np.asarray(q)
+    noise = rng.standard_normal(qn.shape).astype(np.float32)
+    noise /= np.linalg.norm(noise, axis=-1, keepdims=True)  # unit-vector scale
+    gn[planted] = qn + 0.3 * noise
+    gn[planted] /= np.linalg.norm(gn[planted], axis=-1, keepdims=True)
+    g = jnp.asarray(gn)
     valid = jnp.ones((args.gallery,), bool)
 
     def retrieve(queries, gallery, negatives, valid):
@@ -47,12 +60,32 @@ def main(argv=None):
             class_feats = jnp.concatenate([qv[None], negatives], axis=0)
             return class_filtered_topk(
                 gallery, valid, qv, class_feats, jnp.int32(0), args.topk
-            )[0]
+            )[1]  # indices (scores ride along in the same fused program)
 
         return jax.vmap(one)(queries)
 
     sec = time_device_fn(retrieve, (q, g, neg, valid), iters=args.iters)
     qps = args.batch / sec
+
+    # --- recall parity (BASELINE.json: "QPS at recall parity") -------------
+    # 1. parity_at_k: overlap of the fused device top-k with EXACT float64
+    #    cosine top-k under the same class-argmax filter (the reference's
+    #    numpy/faiss retrieval semantics, graph.py:3081-3161)
+    # 2. planted_recall_at_1: the designated true NN ranks first
+    device_idx = np.asarray(retrieve(q, g, neg, valid))  # (B, k)
+    gh = np.asarray(g, np.float64)
+    qh = np.asarray(q, np.float64)
+    nh = np.asarray(neg, np.float64)
+    parity = []
+    hit1 = 0
+    for i in range(args.batch):
+        cls = np.concatenate([qh[i][None], nh], axis=0) @ gh.T  # (C+1, G)
+        eligible = cls.argmax(0) == 0
+        sims = np.where(eligible, qh[i] @ gh.T, -np.inf)
+        exact = np.argsort(-sims)[: args.topk]
+        dev = device_idx[i][device_idx[i] >= 0]
+        parity.append(len(set(exact.tolist()) & set(dev.tolist())) / args.topk)
+        hit1 += int(len(dev) > 0 and dev[0] == planted[i])
     print(
         json.dumps(
             {
@@ -62,6 +95,8 @@ def main(argv=None):
                 f"top-{args.topk}, {args.negatives} negative prompts, "
                 f"batch {args.batch})",
                 "seconds_per_batch": sec,
+                "parity_at_k": round(float(np.mean(parity)), 4),
+                "planted_recall_at_1": round(hit1 / args.batch, 4),
             }
         )
     )

@@ -404,10 +404,12 @@ def prefill_sp(
     Elementwise/matmul layers run GSPMD-sharded on the same T partition (no
     cross-token dependency outside attention).  Returns (last-position logits,
     a REPLICATED KVCache) so the continuous batcher's decode loop proceeds
-    unchanged.  gpt arch (the served vlm-base/small family); the llama arch
-    prefill follows the same recipe.
+    unchanged.  Covers both served archs: gpt (vlm-base/small) and llama
+    (the LLaVA/TinyLlama family loadable via convert_hf_llava) — the llama
+    path adds RoPE/GQA/SwiGLU but shards and rings identically.
     """
-    assert v.arch == "gpt", "prefill_sp currently covers the gpt arch"
+    if v.arch == "llama":
+        return _prefill_sp_llama(params, embeddings, valid_len, v, mesh, dtype)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.ring_attention import ring_attention
@@ -476,6 +478,84 @@ def prefill_sp(
     return logits, KVCache(
         k=cache_k, v=cache_v, length=valid_len.astype(jnp.int32)
     )
+
+
+def _prefill_sp_llama(params, embeddings, valid_len, v, mesh, dtype):
+    """llama-arch sequence-parallel prefill: the gpt recipe (token axis
+    sharded over the data mesh axis, per-layer ring attention) with the
+    llama specifics — RMS norm, RoPE at GLOBAL token positions (position
+    phases are elementwise along the sharded axis, so they shard with it),
+    GQA K/V repeated to the query head count for the ring, SwiGLU MLP.  The
+    returned cache stores the PRE-repeat roped K/V at n_kv heads, exactly
+    what the decode blocks expect (_llama_block_with_cache)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.ring_attention import ring_attention
+
+    nd = mesh.shape["data"]
+    b, t, w = embeddings.shape
+    pad = (-t) % nd
+    if pad:
+        embeddings = jnp.pad(embeddings, ((0, 0), (0, pad), (0, 0)))
+    tp = t + pad
+    dh = w // v.heads
+    groups = v.heads // v.n_kv
+    x = embeddings.astype(dtype)
+    x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(None, "data", None)))
+    cos, sin = _rope_cos_sin(jnp.arange(tp), dh, v.rope_theta)  # (tp, dh)
+    blocks = jax.tree.map(lambda a: a.astype(dtype), params["blocks"])
+    bl = [jax.tree.map(lambda a: a[i], blocks) for i in range(v.layers)]
+
+    ks, vs = [], []
+    for p in bl:
+        xn = _rms_norm(x, p["ln1_g"], v.norm_eps)
+        q = jnp.einsum("btw,wc->btc", xn, p["wq"], preferred_element_type=jnp.float32)
+        k = jnp.einsum("btw,wc->btc", xn, p["wk"], preferred_element_type=jnp.float32)
+        val = jnp.einsum("btw,wc->btc", xn, p["wv"], preferred_element_type=jnp.float32)
+        qh = _apply_rope(q.reshape(b, tp, v.heads, dh),
+                         cos[None, :, None, :], sin[None, :, None, :]).astype(x.dtype)
+        kh = _apply_rope(k.reshape(b, tp, v.n_kv, dh),
+                         cos[None, :, None, :], sin[None, :, None, :]).astype(x.dtype)
+        vh = val.reshape(b, tp, v.n_kv, dh).astype(x.dtype)
+        kg = jnp.repeat(kh, groups, axis=2)
+        vg = jnp.repeat(vh, groups, axis=2)
+        att = ring_attention(
+            qh.transpose(0, 2, 1, 3), kg.transpose(0, 2, 1, 3),
+            vg.transpose(0, 2, 1, 3), mesh, causal=True,
+        )
+        ks.append(kh)
+        vs.append(vh)
+        att = att.transpose(0, 2, 1, 3).reshape(b, tp, w)
+        att = jnp.einsum(
+            "btw,wc->btc", att, p["wo"], preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        x = x + att
+        xn = _rms_norm(x, p["ln2_g"], v.norm_eps)
+        gate = jnp.einsum("btw,wc->btc", xn, p["w_gate"], preferred_element_type=jnp.float32)
+        up = jnp.einsum("btw,wc->btc", xn, p["w_up"], preferred_element_type=jnp.float32)
+        mid = (jax.nn.silu(gate) * up).astype(x.dtype)
+        x = x + jnp.einsum(
+            "btc,cw->btw", mid, p["w_down"], preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+
+    x = _rms_norm(x, params["ln_f_g"], v.norm_eps)
+    last = jnp.take_along_axis(
+        x, (valid_len - 1)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    logits = jnp.einsum(
+        "bw,vw->bv", last, params["lm_head"].astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    rep = NamedSharding(mesh, P())
+    cache_k = jnp.zeros((v.layers, b, v.max_seq, v.n_kv, dh), dtype)
+    cache_v = jnp.zeros((v.layers, b, v.max_seq, v.n_kv, dh), dtype)
+    cache_k = cache_k.at[:, :, :tp].set(
+        jax.lax.with_sharding_constraint(jnp.stack(ks).astype(dtype), rep)
+    )
+    cache_v = cache_v.at[:, :, :tp].set(
+        jax.lax.with_sharding_constraint(jnp.stack(vs).astype(dtype), rep)
+    )
+    return logits, KVCache(k=cache_k, v=cache_v, length=valid_len.astype(jnp.int32))
 
 
 # jitted: the eager per-layer loop otherwise dispatches hundreds of ops per

@@ -180,7 +180,6 @@ class ContinuousBatcher:
         sp_rows = [
             (i, req) for i, req in wave
             if self.mesh is not None and ns[i] >= self.sp_threshold
-            and self.v.arch == "gpt"
         ]
         for i, req in sp_rows:
             n = int(ns[i])

@@ -104,6 +104,43 @@ def collect_crops(datasets, labels: Sequence[str], size: int, margin: int = 4,
 # ---------------------------------------------------------------------------
 
 
+def collect_room_frames(datasets, room_rects_by_ds, size: int):
+    """Full-frame images labelled by the room TYPE the camera stands in —
+    supervision for room naming: the HMSG names rooms by voting dominant
+    keyframe (view) embeddings against room-type text features (reference
+    room.py:131-172 `infer_room_type_from_view_embedding`), so the tiny text
+    tower must align room-type captions with in-room views or naming is
+    random.  room_rects_by_ds[i]: (x0, y0, x1, y1, category[, floor_id])
+    tuples for datasets[i] (None = skip that dataset).
+
+    Returns (frames (N, size, size, 3) float01, categories list[str])."""
+    import jax.numpy as jnp
+
+    frames, cats = [], []
+    for ds, rects in zip(datasets, room_rects_by_ds):
+        if rects is None:
+            continue
+        level_zs = ds.scene.level_zs() if hasattr(ds.scene, "level_zs") else [0.0]
+        for i in range(len(ds)):
+            eye = ds.poses[i][:3, 3]
+            floor = max(
+                (fi for fi, z in enumerate(level_zs) if z <= eye[2] + 1e-6),
+                default=0,
+            )
+            for rect in rects:
+                x0, y0, x1, y1, cat = rect[:5]
+                fid = int(rect[5]) if len(rect) > 5 else 0
+                if fid == floor and x0 <= eye[0] < x1 and y0 <= eye[1] < y1:
+                    frames.append(np.asarray(jax.image.resize(
+                        jnp.asarray(ds[i].rgb), (size, size, 3), "linear"
+                    )))
+                    cats.append(cat)
+                    break
+    if not frames:
+        return np.zeros((0, size, size, 3), np.float32), []
+    return np.stack(frames).astype(np.float32), cats
+
+
 def train_tiny_clip(
     datasets,
     labels: Sequence[str],
@@ -111,16 +148,31 @@ def train_tiny_clip(
     seed: int = 0,
     variant_name: str = "test-tiny",
     lr: float = 3e-3,
+    room_rects_by_ds=None,  # adds room-type classes (collect_room_frames)
 ):
     """Contrastive training of the tiny towers on fixture crops.  Batches hold
     one crop per DISTINCT label (duplicate labels would be false negatives in
-    the symmetric InfoNCE)."""
+    the symmetric InfoNCE).  With ``room_rects_by_ds``, room-type categories
+    join the label set, supervised by in-room full frames, so the tower can
+    drive both object retrieval and room naming."""
     cv = clip_mod.VARIANTS[variant_name]
     tok = SimpleTokenizer()
     rng = np.random.default_rng(seed)
     crops, crops_masked, ids = collect_crops(
         datasets, labels, cv.image_size, masked=True
     )
+    labels = list(labels)
+    if room_rects_by_ds is not None:
+        rframes, rcats = collect_room_frames(datasets, room_rects_by_ds, cv.image_size)
+        if len(rframes):
+            rids = []
+            for c in rcats:
+                if c not in labels:
+                    labels.append(c)
+                rids.append(labels.index(c))
+            crops = np.concatenate([crops, rframes])
+            crops_masked = np.concatenate([crops_masked, rframes])
+            ids = np.concatenate([ids, np.asarray(rids, np.int32)])
     by_label = [np.nonzero(ids == c)[0] for c in range(len(labels))]
     present = [c for c in range(len(labels)) if len(by_label[c])]
     mean = np.asarray(clip_mod.IMAGE_MEAN, np.float32)

@@ -31,7 +31,7 @@ SCANNET_LABELS_20: Tuple[str, ...] = (
 DEFAULT_ROOM_TYPES: Tuple[str, ...] = (
     "living room", "bedroom", "kitchen", "bathroom", "dining room", "office",
     "hallway", "closet", "laundry room", "garage", "balcony", "meeting room",
-    "lobby", "corridor", "storage room", "stairwell",
+    "lobby", "corridor", "storage room", "stairwell", "library",
 )
 
 # ScanNet-200 benchmark vocabulary (public benchmark category names; the
@@ -157,6 +157,11 @@ def load_vocabulary(
     json list / csv first col)."""
     if name.upper() in _BUILTIN:
         return _BUILTIN[name.upper()]
+    if name.upper() == "FIXTURE":
+        # the synthetic-fixture vocabulary (the trained tiny towers' classes)
+        from ..training.zoo import fixture_labels
+
+        return tuple(fixture_labels())
     if name.upper() in _DATA_VOCABS:
         return _load_data_vocab(_DATA_VOCABS[name.upper()])
     if name.upper() == "OPENVOCAB_MATTERPORT":

@@ -341,3 +341,41 @@ def test_batcher_sp_prefill_matches(models):
     )
     out = b1.generate(prompt, max_new_tokens=5)
     assert out == ref
+
+
+def test_prefill_sp_llama_matches_single_device():
+    """llama-arch sequence-parallel prefill parity (VERDICT r3 item 6): ring
+    prefill over the 8-device mesh reproduces the dense llama prefill logits
+    and n_kv-head cache, and decode continues identically from it."""
+    from holoagent_tpu.config import MeshConfig
+    from holoagent_tpu.parallel import make_mesh
+
+    vlm_p = vlm_mod.init_vlm(jax.random.key(11), TVL, dtype=jnp.float32)
+    mesh = make_mesh(MeshConfig(data=-1, model=1))
+    nd = mesh.shape["data"]
+    b, t = 2, 8 * nd
+    emb = jax.random.normal(jax.random.key(6), (b, t, TVL.width), jnp.float32) * 0.1
+    vlen = jnp.asarray([t, t - 5], jnp.int32)
+
+    cache0 = vlm_mod.init_cache(TVL, b, jnp.float32)
+    ref_logits, ref_cache = vlm_mod.prefill(
+        vlm_p, emb, vlen, cache0, TVL, dtype=jnp.float32
+    )
+    sp_logits, sp_cache = vlm_mod.prefill_sp(
+        vlm_p, emb, vlen, TVL, mesh, dtype=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp_logits), np.asarray(ref_logits), atol=2e-4, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp_cache.k[:, :, :t]), np.asarray(ref_cache.k[:, :, :t]),
+        atol=2e-4, rtol=2e-4,
+    )
+    tok = jnp.asarray(np.argmax(np.asarray(ref_logits), -1), jnp.int32)
+    l1, _ = vlm_mod.decode_step(
+        vlm_p, tok, ref_cache, jnp.ones((b,), bool), TVL, dtype=jnp.float32
+    )
+    l2, _ = vlm_mod.decode_step(
+        vlm_p, tok, sp_cache, jnp.ones((b,), bool), TVL, dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=2e-4, rtol=2e-4)
