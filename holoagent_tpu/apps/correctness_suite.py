@@ -185,7 +185,15 @@ def main(argv=None):
     ap.add_argument("--pad-gallery", type=int, default=512)
     ap.add_argument("--merge-into", default=None)
     ap.add_argument("--out-dir", default=DEFAULT_OUT)
+    ap.add_argument("--platform", default="cpu", choices=("cpu", "default"))
     args = ap.parse_args(argv)
+    if args.platform == "cpu":
+        # correctness numbers are the contract: pin to CPU float32 — the
+        # tunnel TPU's default matmul precision is low and tiny-tower
+        # training there drifts (see apps/eval_protocol.py --platform)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     run_suite(args.layout, args.pad_gallery, args.merge_into, args.out_dir)
 
 

@@ -175,12 +175,43 @@ class ServingConfig:
 
 
 @dataclass
+class NavConfig:
+    """Local-controller configuration — the DWB critic-plugin surface of
+    reference g1_navigation2/param/g1.yaml:50-136, names verbatim:
+    ``controller`` selects the family (``dwb`` | ``rpp`` | ``mppi``),
+    ``critics`` is the DWB critic list and ``critic_params`` carries the
+    dotted per-critic keys (``PathAlign.scale`` etc.)."""
+
+    controller: str = "dwb"
+    # default = the g1 operating point (g1.yaml:108 critics list)
+    critics: Tuple[str, ...] = (
+        "RotateToGoal", "Oscillation", "BaseObstacle", "GoalAlign",
+        "PathAlign", "PathDist", "GoalDist",
+    )
+    critic_params: Dict[str, float] = field(default_factory=dict)
+    v_max: float = 0.42   # g1.yaml max_vel_x
+    w_max: float = 0.35   # g1.yaml max_vel_theta
+
+    def make(self, costmap):
+        """Instantiate the configured controller against a costmap."""
+        from .nav import make_controller
+
+        kw: Dict[str, Any] = dict(v_max=self.v_max, w_max=self.w_max)
+        if self.controller in ("dwb", "dwa"):
+            kw["critics"] = tuple(self.critics)
+            if self.critic_params:
+                kw["critic_params"] = dict(self.critic_params)
+        return make_controller(self.controller, costmap, **kw)
+
+
+@dataclass
 class Config:
     main: MainConfig = field(default_factory=MainConfig)
     models: ModelsConfig = field(default_factory=ModelsConfig)
     pipeline: PipelineConfig = field(default_factory=PipelineConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     serving: ServingConfig = field(default_factory=ServingConfig)
+    nav: NavConfig = field(default_factory=NavConfig)
 
 
 # ---------------------------------------------------------------------------

@@ -73,19 +73,81 @@ def _yaw_pose(yaw: float) -> np.ndarray:
 
 
 def detect_inter_session_loops(
-    a: Session, b: Session, max_dist: float = 0.3, sc: Optional[ScanContext] = None
-) -> List[Tuple[int, int, float]]:
+    a: Session,
+    b: Session,
+    max_dist: float = 0.3,
+    sc: Optional[ScanContext] = None,
+    with_missed: bool = False,
+):
     """(idx_a, idx_b, yaw) candidate pairs via ScanContext
-    (reference detectInterSessionSCloops)."""
+    (reference detectInterSessionSCloops, Incremental_mapping.cpp:691-733).
+
+    With ``with_missed=True`` also returns the B keyframe indices where SC
+    found NO loop — the reference seeds its RS (radius-search) candidate list
+    with exactly these (`RSLoopIdxPairs_` gets (-1, source_idx) pairs,
+    Incremental_mapping.cpp:717-723)."""
     sc = sc or ScanContext(20, 60, 40.0)
     for scan in a.scans:
         sc.add_keyframe(sc.descriptor(scan))
-    loops = []
+    loops, missed = [], []
     for j, scan in enumerate(b.scans):
         idx, yaw, dist = sc.detect_loop(sc.descriptor(scan), exclude_recent=0, max_dist=max_dist)
         if idx >= 0:
             loops.append((idx, j, yaw))
+        else:
+            missed.append(j)
+    if with_missed:
+        return loops, missed
     return loops
+
+
+def detect_inter_session_rs_loops(
+    a: Session,
+    b: Session,
+    t_ab: np.ndarray,
+    missed: List[int],
+    radius: float = 10.0,
+) -> List[Tuple[int, int]]:
+    """RS (radius-search) inter-session candidates: for each SC-missed B
+    keyframe, transform its pose into A's frame with the current alignment
+    estimate and pick the nearest A keyframe within ``radius``
+    (reference findNearestRSLoopsTargetNodeIdx, Incremental_mapping.cpp:
+    862-924 — the 10 m ball at :888; nearest-node selection stands in for
+    the reference's information-gain argmax, which needs the gtsam
+    covariance machinery).  Returns (idx_a, idx_b) pairs."""
+    if not len(a.poses):
+        return []
+    pos_a = np.stack([p[:3, 3] for p in a.poses])
+    out = []
+    for ib in missed:
+        q = (t_ab @ b.poses[ib])[:3, 3]
+        d = np.linalg.norm(pos_a - q[None], axis=1)
+        ia = int(np.argmin(d))
+        if d[ia] <= radius:
+            out.append((ia, ib))
+    return out
+
+
+def _icp_to_neighborhood(a: Session, ia: int, scan_b: np.ndarray,
+                         init: np.ndarray, icp_scales: Tuple[float, ...]):
+    """Register a B scan (with initial world pose ``init``) against A's local
+    neighborhood around keyframe ``ia`` (the reference's doICPVirtualRelative
+    window of +-2 keyframes).  Returns (t_world_b, inlier_frac)."""
+    local = np.concatenate(
+        [
+            a.scans[k] @ a.poses[k][:3, :3].T + a.poses[k][:3, 3]
+            for k in range(max(0, ia - 2), min(len(a.scans), ia + 3))
+        ]
+    )
+    res = solvers.icp_multiscale(
+        jnp.asarray((scan_b @ init[:3, :3].T + init[:3, 3]).astype(np.float32)),
+        jnp.ones(len(scan_b), bool),
+        jnp.asarray(local.astype(np.float32)),
+        jnp.ones(len(local), bool),
+        jnp.eye(4),
+        scales=icp_scales,
+    )
+    return np.asarray(res.pose, np.float64) @ init, float(res.inlier_frac)
 
 
 def merge_sessions(
@@ -93,40 +155,35 @@ def merge_sessions(
     b: Session,
     loops: Optional[List[Tuple[int, int, float]]] = None,
     icp_scales: Tuple[float, ...] = (0.4, 0.15, 0.05),
+    use_rs: bool = True,
+    rs_radius: float = 10.0,
+    stats: Optional[dict] = None,
 ) -> Tuple[Session, np.ndarray]:
     """Align session B onto session A.
 
     Returns (merged session with B's poses re-anchored, T_ab: the transform
-    mapping B's world frame into A's).  Pipeline: SC loops -> ICP refinement
-    of each loop's relative pose -> anchored pose graph over all keyframes
-    with intra-session odometry edges + inter-session loop edges."""
+    mapping B's world frame into A's).  Two-stage pipeline mirroring the
+    reference's run() (Incremental_mapping.cpp:406-425): SC loops -> ICP
+    refinement -> anchored pose-graph optimize, THEN RS radius-search loops
+    seeded from the SC-missed keyframes using the optimized rough alignment
+    (addRSloops, :928-1005) -> second optimize."""
+    missed: List[int] = []
     if loops is None:
-        loops = detect_inter_session_loops(a, b)
+        loops, missed = detect_inter_session_loops(a, b, with_missed=True)
+    else:
+        hit = {ib for _, ib, _ in loops}
+        missed = [j for j in range(len(b.scans)) if j not in hit]
     if not loops:
         raise ValueError("no inter-session loop closures found")
 
     # refine each loop: register B's scan against A's local neighborhood
     refined: List[Tuple[int, int, np.ndarray]] = []
     for ia, ib, yaw in loops[:5]:
-        local = np.concatenate(
-            [
-                a.scans[k] @ a.poses[k][:3, :3].T + a.poses[k][:3, 3]
-                for k in range(max(0, ia - 2), min(len(a.scans), ia + 3))
-            ]
-        )
         # initial guess: A keyframe pose composed with the SC yaw
         init = a.poses[ia] @ _yaw_pose(-yaw)
-        scan_b = b.scans[ib]
-        res = solvers.icp_multiscale(
-            jnp.asarray((scan_b @ init[:3, :3].T + init[:3, 3]).astype(np.float32)),
-            jnp.ones(len(scan_b), bool),
-            jnp.asarray(local.astype(np.float32)),
-            jnp.ones(len(local), bool),
-            jnp.eye(4),
-            scales=icp_scales,
-        )
-        t_world_b = np.asarray(res.pose, np.float64) @ init  # B scan -> A world
-        if float(res.inlier_frac) > 0.2:
+        t_world_b, inlier = _icp_to_neighborhood(a, ia, b.scans[ib], init,
+                                                 icp_scales)
+        if inlier > 0.2:
             refined.append((ia, ib, t_world_b))
     if not refined:
         raise ValueError("no loop survived ICP refinement")
@@ -151,23 +208,53 @@ def merge_sessions(
     # initial estimate for B nodes: align via the first refined loop
     ia0, ib0, t0 = refined[0]
     t_ab = t0 @ np.linalg.inv(b.poses[ib0])  # B world -> A world
-    init_poses = [p.copy() for p in a.poses] + [t_ab @ p for p in b.poses]
-    edges, rels = [], []
-    for s_ofs, sess in ((0, a), (na, b)):
-        for i in range(len(sess.poses) - 1):
-            edges.append((s_ofs + i, s_ofs + i + 1))
-            rels.append(np.linalg.inv(sess.poses[i]) @ sess.poses[i + 1])
-    for ia, ib, t_world_b in refined:
-        edges.append((ia, na + ib))
-        rels.append(np.linalg.inv(a.poses[ia]) @ t_world_b)
-    poses_opt, _ = solvers.pose_graph_gauss_newton(
-        jnp.asarray(np.stack(init_poses), jnp.float32),
-        jnp.asarray(np.array(edges, np.int32)),
-        jnp.asarray(np.stack(rels), jnp.float32),
-        jnp.ones(len(edges), bool),
-        iters=15,
-    )
-    poses_opt = np.asarray(poses_opt, np.float64)
+
+    def _optimize(loop_edges):
+        init_poses = [p.copy() for p in a.poses] + [t_ab @ p for p in b.poses]
+        edges, rels = [], []
+        for s_ofs, sess in ((0, a), (na, b)):
+            for i in range(len(sess.poses) - 1):
+                edges.append((s_ofs + i, s_ofs + i + 1))
+                rels.append(np.linalg.inv(sess.poses[i]) @ sess.poses[i + 1])
+        for ia, ib, t_world_b in loop_edges:
+            edges.append((ia, na + ib))
+            rels.append(np.linalg.inv(a.poses[ia]) @ t_world_b)
+        poses_opt, _ = solvers.pose_graph_gauss_newton(
+            jnp.asarray(np.stack(init_poses), jnp.float32),
+            jnp.asarray(np.array(edges, np.int32)),
+            jnp.asarray(np.stack(rels), jnp.float32),
+            jnp.ones(len(edges), bool),
+            iters=15,
+        )
+        return np.asarray(poses_opt, np.float64)
+
+    poses_opt = _optimize(refined)
+
+    # second stage: RS radius-search loops seeded from the SC-missed B
+    # keyframes, using the now-optimized rough alignment (reference
+    # addRSloops, Incremental_mapping.cpp:928-1005) -> re-optimize
+    if use_rs and missed:
+        t_ab_r = poses_opt[na] @ np.linalg.inv(b.poses[0])
+        rs_pairs = detect_inter_session_rs_loops(a, b, t_ab_r, missed,
+                                                 radius=rs_radius)
+        added = 0
+        for ia, ib in rs_pairs[:5]:
+            init = t_ab_r @ b.poses[ib]
+            t_world_b, inlier = _icp_to_neighborhood(a, ia, b.scans[ib], init,
+                                                     icp_scales)
+            # gate: the implied alignment must agree with the SC consensus
+            if inlier > 0.3 and agree(t_world_b @ np.linalg.inv(b.poses[ib]),
+                                      t_ab_r):
+                refined.append((ia, ib, t_world_b))
+                added += 1
+        if added:
+            poses_opt = _optimize(refined)
+        if stats is not None:
+            stats["rs_loops"] = added
+    if stats is not None:
+        stats["sc_loops"] = len(loops)
+        stats.setdefault("rs_loops", 0)
+
     merged = Session()
     for i in range(na):
         merged.add_keyframe(poses_opt[i], a.scans[i])

@@ -19,6 +19,9 @@ from .smac import SmacHybridPlanner, smac_plan
 from .controller import DWAController
 from .localizer import ParticleLocalizer, simulate_scan
 from .rpp import RPPController
+from .mppi import MPPIController
+
+
 def make_controller(name: str, costmap, **kwargs):
     """Controller-family selector (the reference picks its controller plugin
     by name in g1.yaml:50-55: DWB there; RPP/MPPI are sibling packages)."""
@@ -26,7 +29,9 @@ def make_controller(name: str, costmap, **kwargs):
         return DWAController(costmap, **kwargs)
     if name == "rpp":
         return RPPController(costmap, **kwargs)
-    raise KeyError(f"unknown controller family {name!r} (dwb | rpp)")
+    if name == "mppi":
+        return MPPIController(costmap, **kwargs)
+    raise KeyError(f"unknown controller family {name!r} (dwb | rpp | mppi)")
 
 
 from .bt_xml import XMLNavigator, parse_bt_xml, DEFAULT_TREE_XML

@@ -25,7 +25,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .controller import DWAController, prune_path
-from .costmap import Costmap, INSCRIBED
+from .costmap import Costmap, INSCRIBED, LETHAL
 from .planner import astar_plan
 
 
@@ -94,7 +94,11 @@ class CollisionMonitor:
             xs = x + v * ts * np.cos(yaw)
             ys = y + v * ts * np.sin(yaw)
         costs = self.costmap.cost_at_world(np.stack([xs, ys], -1))
-        if costs.max(initial=0) >= INSCRIBED:
+        # stop only on predicted CONTACT (nav2's collision monitor works on
+        # raw obstacle points, not inflated cost): stopping on the inscribed
+        # band would pin a robot that drifted into the band — its escape arc
+        # necessarily crosses band cells
+        if costs.max(initial=0) >= LETHAL:
             return 0.0, 0.0  # stop zone
         if costs.max(initial=0) >= self.slow_cost:
             return v * self.slowdown_ratio, w

@@ -47,6 +47,7 @@ from .behaviors import (
 from .controller import DWAController, prune_path
 from .costmap import Costmap, INSCRIBED
 from .planner import astar_plan
+from .mppi import MPPIController
 from .rpp import RPPController
 
 
@@ -544,6 +545,7 @@ class XMLNavigator:
         self.controllers = controllers or {
             "FollowPath": DWAController(costmap),
             "RPP": RPPController(costmap),
+            "MPPI": MPPIController(costmap),
         }
         first = next(iter(self.controllers.values()))
         self.smoother = VelocitySmoother(

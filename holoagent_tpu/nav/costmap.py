@@ -70,3 +70,43 @@ class Costmap:
         c = np.clip(rc[..., 1], 0, w - 1)
         inb = (rc[..., 0] == r) & (rc[..., 1] == c)
         return np.where(inb, self.cost[r, c], LETHAL)
+
+    def wavefront_distance(self, sources_xy: np.ndarray) -> np.ndarray:
+        """Geodesic distance field (meters) from source cells, propagated
+        through free space only — the dwb_critics map_grid.cpp wavefront that
+        PathDist/GoalDist score against.  Euclidean distance is WRONG for
+        these critics on any non-convex course: a detour's first step moves
+        away from the goal in straight-line distance, making standing still
+        the argmin (measured deadlock, round 4).  Cells at >= INSCRIBED block
+        propagation (map_grid.cpp setAsObstacle); unreached cells stay +inf
+        (callers apply their own fallback)."""
+        h, w = self.cost.shape
+        free = self.cost < INSCRIBED
+        d = np.full((h, w), np.inf, np.float32)
+        rc = self.to_grid(np.atleast_2d(np.asarray(sources_xy)[..., :2]))
+        d[np.clip(rc[:, 0], 0, h - 1), np.clip(rc[:, 1], 0, w - 1)] = 0.0
+        s2 = np.float32(np.sqrt(2.0))
+        for _ in range(2 * (h + w)):
+            nd = d.copy()
+            nd[1:, :] = np.minimum(nd[1:, :], d[:-1, :] + 1)
+            nd[:-1, :] = np.minimum(nd[:-1, :], d[1:, :] + 1)
+            nd[:, 1:] = np.minimum(nd[:, 1:], d[:, :-1] + 1)
+            nd[:, :-1] = np.minimum(nd[:, :-1], d[:, 1:] + 1)
+            nd[1:, 1:] = np.minimum(nd[1:, 1:], d[:-1, :-1] + s2)
+            nd[1:, :-1] = np.minimum(nd[1:, :-1], d[:-1, 1:] + s2)
+            nd[:-1, 1:] = np.minimum(nd[:-1, 1:], d[1:, :-1] + s2)
+            nd[:-1, :-1] = np.minimum(nd[:-1, :-1], d[1:, 1:] + s2)
+            nd[~free] = np.inf
+            if np.array_equal(nd, d):
+                break
+            d = nd
+        return d * self.resolution
+
+    def field_at_world(self, field: np.ndarray, xy: np.ndarray) -> np.ndarray:
+        """Sample a wavefront field at world xy; out-of-bounds -> +inf."""
+        rc = self.to_grid(xy)
+        h, w = self.cost.shape
+        r = np.clip(rc[..., 0], 0, h - 1)
+        c = np.clip(rc[..., 1], 0, w - 1)
+        inb = (rc[..., 0] == r) & (rc[..., 1] == c)
+        return np.where(inb, field[r, c], np.inf)

@@ -57,7 +57,11 @@ def save_params(path: Path, params) -> None:
 
 
 def load_params(path: Path):
-    """Inverse of save_params (nested dicts keyed by '/'-split path)."""
+    """Inverse of save_params (nested dicts keyed by '/'-split path).
+    Dict levels whose keys are all decimal ints were LISTS before saving
+    (tree paths flatten list indices the same way as dict keys) — restore
+    them, or consumers that iterate (e.g. sam encoder ``blocks``) walk
+    string keys instead of block pytrees."""
     import jax.numpy as jnp
 
     out: dict = {}
@@ -68,7 +72,16 @@ def load_params(path: Path):
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = jnp.asarray(z[key])
-    return out
+
+    def _relist(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: _relist(v) for k, v in node.items()}
+        if node and all(k.isdigit() for k in node):
+            return [node[str(i)] for i in range(len(node))]
+        return node
+
+    return _relist(out)
 
 
 # ---------------------------------------------------------------------------

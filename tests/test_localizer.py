@@ -148,10 +148,13 @@ def test_make_controller_families():
     cm = _open_room()
     from holoagent_tpu.nav import DWAController
 
+    from holoagent_tpu.nav import MPPIController
+
     assert isinstance(make_controller("dwb", cm), DWAController)
     assert isinstance(make_controller("rpp", cm), RPPController)
+    assert isinstance(make_controller("mppi", cm), MPPIController)
     with pytest.raises(KeyError):
-        make_controller("mppi", cm)
+        make_controller("teb", cm)
 
 
 def test_bt_navigator_with_rpp_reaches_goal():

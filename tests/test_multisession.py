@@ -2,7 +2,12 @@ import numpy as np
 import pytest
 
 from holoagent_tpu.dataloader import SyntheticDataset
-from holoagent_tpu.memory.multisession import Session, detect_inter_session_loops, merge_sessions
+from holoagent_tpu.memory.multisession import (
+    Session,
+    detect_inter_session_loops,
+    detect_inter_session_rs_loops,
+    merge_sessions,
+)
 from holoagent_tpu.ops.backproject import backproject
 from holoagent_tpu.utils.camera import Pinhole
 import jax.numpy as jnp
@@ -72,3 +77,41 @@ def test_merge_recovers_offset(sessions):
     pa = merged.poses[4][:3, 3]  # A's frame 4
     pb = merged.poses[len(a.poses)][:3, 3]  # B's frame 0 = same dataset frame 4
     assert np.linalg.norm(pa - pb) < 0.4
+
+
+def test_rs_loops_find_sc_misses(sessions):
+    """RS radius-search candidates cover B keyframes SC supplied no loop for
+    (reference detectInterSessionRSloops, Incremental_mapping.hpp:207 —
+    VERDICT r3 item 8).  The synthetic rooms are too self-similar for the SC
+    descriptor gate to ever miss (measured distances ~0 even for occluded
+    scans), so the miss set is injected — matching the reference, where
+    RSLoopIdxPairs_ is seeded with exactly the keyframes absent from the SC
+    loop list (Incremental_mapping.cpp:717-723)."""
+    a, b, drift = sessions
+    missed = [1, 3, 6]
+    rs = detect_inter_session_rs_loops(a, b, drift, missed, radius=5.0)
+    assert rs, "RS should recover loops among the SC-missed keyframes"
+    assert {ib for _, ib in rs} == set(missed)
+    for ia, ib in rs:
+        pa = a.poses[ia][:3, 3]
+        pb = (drift @ b.poses[ib])[:3, 3]
+        assert np.linalg.norm(pa - pb) < 5.0
+    # out-of-radius keyframes yield no candidate (keyframe 6 = dataset frame
+    # 10, a place session A never visited — its nearest A keyframe is far)
+    assert detect_inter_session_rs_loops(a, b, drift, [6], radius=1e-4) == []
+
+
+def test_merge_with_rs_second_stage(sessions):
+    """merge_sessions' second optimize (RS loops seeded from the rough
+    alignment) adds edges for the B keyframes SC missed and still recovers
+    the drift when SC supplies only ONE loop."""
+    a, b, drift = sessions
+    loops = detect_inter_session_loops(a, b, max_dist=0.6)[:1]
+    stats = {}
+    merged, t_ab = merge_sessions(a, b, loops=loops, use_rs=True, stats=stats)
+    assert stats["sc_loops"] == 1
+    assert stats["rs_loops"] >= 1, "RS stage should add loops SC missed"
+    err = t_ab @ np.linalg.inv(drift)
+    assert abs(np.arctan2(err[1, 0], err[0, 0])) < 0.1
+    assert np.linalg.norm(err[:2, 3]) < 0.4
+    assert len(merged.poses) == len(a.poses) + len(b.poses)
