@@ -122,6 +122,10 @@ class PipelineConfig:
     extract_clip_impl: str = "xla"
     # pixel decimation for instance-set extraction (0 = auto: ~32k pixels)
     instance_pixel_stride: int = 0
+    # masks covering more than this fraction of the frame are background
+    # shells: fused into per-pixel scene features but never lifted into the
+    # instance table (memory/instances.frame_instances max_area_frac)
+    instance_max_area_frac: float = 0.5
     # tiered extraction: size the CLIP crop batch to the frame's actual
     # valid-mask count (two dispatches: mask stage -> host reads the count ->
     # CLIP stage at the smallest capacity tier that fits).  The reference

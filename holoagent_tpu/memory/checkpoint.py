@@ -56,9 +56,9 @@ def load_mapper_state(path: str | Path) -> Tuple[SceneState, InstanceSet]:
         from .instances import SIG_BUCKETS
 
         i_cap, k_cap = inst_d["rows"].shape
-        # the live pipeline sizes coarse sets at half the row capacity
+        # adjacency-cell sets share the row capacity (COARSE_FACTOR 1)
         inst_d.setdefault("ckeys", jax.numpy.full(
-            (i_cap, k_cap // 2), 2**31 - 1, jax.numpy.int32
+            (i_cap, k_cap), 2**31 - 1, jax.numpy.int32
         ))
         inst_d.setdefault("ccount", jax.numpy.zeros((i_cap,), jax.numpy.int32))
         inst_d["dsig"] = jax.numpy.zeros((i_cap, SIG_BUCKETS), jax.numpy.float32)

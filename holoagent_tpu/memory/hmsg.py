@@ -277,6 +277,7 @@ class HMSGraph:
         label_feats: np.ndarray,  # (C, D) label-vocabulary text features
         classes: Sequence[str],
         num_room_views: int = 24,
+        max_object_extent: float = 4.0,  # metres, horizontal (see object gate)
     ) -> "HMSGraph":
         g = HMSGraph()
         scene = mapped.scene
@@ -448,6 +449,14 @@ class HMSGraph:
             opts = pts_all[r[r < n]]
             ocols = cols_all[r[r < n]]
             if len(opts) < 10:
+                continue
+            # building-scale instances are merged STRUCTURE (walls/floor
+            # chained through shared corners), not furniture: the reference's
+            # object list never carries them because its per-mask DBSCAN
+            # clouds stay local (graph_utils.py:918-1038) — gate on the
+            # horizontal extent (objects span rooms, never buildings)
+            xy_extent = opts[:, :2].max(0) - opts[:, :2].min(0)
+            if float(max(xy_extent)) > max_object_extent:
                 continue
             zmin, zmax = opts[:, 2].min(), opts[:, 2].max()
             floor = None

@@ -31,11 +31,14 @@ from ..ops.compact import group_unique, I32_MAX
 
 SIG_BUCKETS = 4096
 
-# coarse-cell edge = COARSE_FACTOR x voxel for the radius-tolerant overlap
-# sets (reference neighbor radius 1.5 x voxel, graph_utils.py:620-664; a
-# same-cell test needs cells ~2x the radius to catch boundary-straddling
-# neighbor pairs without merging genuinely separate adjacent objects)
-COARSE_FACTOR = 2.0
+# adjacency-cell edge = COARSE_FACTOR x voxel for the radius-tolerant overlap
+# sets.  The reference's neighbor radius is 1.5 x voxel
+# (graph_utils.py:620-664); with the 26-neighborhood dilation in
+# _dilated_signature the effective radius is 1..2 cells, so cells must stay
+# at ONE voxel — at 2 x voxel the radius reached 2-4 voxels (16-32 cm at the
+# 0.08 m operating point) and every object sitting against a wall/floor
+# merged into it, chaining whole scenes into one instance (measured round 4)
+COARSE_FACTOR = 1.0
 
 # neighbor offsets for the dilated coarse signature (26-connected + center):
 # key arithmetic on the packed (x<<20 | y<<9 | z) layout — border wraps leak
@@ -120,9 +123,9 @@ def empty_instances(i_cap: int, k_cap: int, d: int) -> InstanceSet:
         bbox_min=jnp.full((i_cap, 3), jnp.inf, jnp.float32),
         bbox_max=jnp.full((i_cap, 3), -jnp.inf, jnp.float32),
         valid=jnp.zeros((i_cap,), bool),
-        # coarse sets hold ~1/4 the cells of the row sets (2x coarser grid);
-        # half capacity keeps the union sort cheap with ample headroom
-        ckeys=jnp.full((i_cap, k_cap // 2), I32_MAX, jnp.int32),
+        # adjacency cells are at voxel resolution (COARSE_FACTOR 1), so the
+        # key sets are the same cardinality as the row sets
+        ckeys=jnp.full((i_cap, k_cap), I32_MAX, jnp.int32),
         ccount=jnp.zeros((i_cap,), jnp.int32),
         dsig=jnp.zeros((i_cap, SIG_BUCKETS), jnp.float32),
     )
@@ -149,10 +152,22 @@ def frame_instances(
     k_cap: int = 2048,
     stride: int = 1,
     grid=None,  # GridSpec: enables the 2x-coarse key sets (radius-tolerant merge)
+    max_area_frac: float = 1.0,
 ) -> InstanceSet:
     """Lift the frame's 2-D masks to scene-row instance sets (the analog of
     reference create_3d_masks + per-frame mask list).  `stride` decimates
-    pixels (adjacent pixels share voxels at mapping resolution)."""
+    pixels (adjacent pixels share voxels at mapping resolution).
+
+    ``max_area_frac`` drops BACKGROUND-SCALE masks from the instance table
+    (they still contribute per-pixel scene features upstream): after the
+    disjointness carve (ops/masks.to_disjoint, the reference filter_masks
+    role) a frame's leftover background becomes one "everything else" shell
+    whose 3-D bbox spans the visible room — every real object sits inside it
+    and the merge fold chains the whole scene into a single instance
+    (measured: 48-frame fixture builds collapsing to 1 object, round 4).  The
+    reference never lifts such shells: its per-mask clouds go through
+    DBSCAN + the bbox-IoU merge gate that a room-sized box cannot pass
+    (graph_utils.py:918-1038)."""
     m, p = masks.shape
     masks_d = masks[:, ::stride]
     rows_d = pix_rows[::stride]
@@ -163,7 +178,8 @@ def frame_instances(
     values = jnp.broadcast_to(rows_d[None, :], (m, pd)).reshape(-1)
     valid = (masks_d & (rows_d >= 0)[None, :] & mask_valid[:, None]).reshape(-1)
     rows, counts = group_unique(groups, values, valid, num_groups=m, capacity=k_cap)
-    ok = mask_valid & (counts >= min_rows)
+    area_frac = masks.mean(axis=1)
+    ok = mask_valid & (counts >= min_rows) & (area_frac <= max_area_frac)
     if grid is not None:
         from ..ops import voxel as vox
 
@@ -173,13 +189,13 @@ def frame_instances(
         ck_pix = vox.keys_of(pts_d, rows_d >= 0, cgrid)
         cvals = jnp.broadcast_to(ck_pix[None, :], (m, pd)).reshape(-1)
         ckeys, ccounts = group_unique(
-            groups, cvals, valid, num_groups=m, capacity=k_cap // 2
+            groups, cvals, valid, num_groups=m, capacity=k_cap
         )
         ckeys = jnp.where(ok[:, None], ckeys, I32_MAX)
         ccounts = jnp.where(ok, ccounts, 0)
         dsig = _dilated_signature(ckeys)
     else:
-        ckeys = jnp.full((m, k_cap // 2), I32_MAX, jnp.int32)
+        ckeys = jnp.full((m, k_cap), I32_MAX, jnp.int32)
         ccounts = jnp.zeros((m,), jnp.int32)
         dsig = jnp.zeros((m, SIG_BUCKETS), jnp.float32)
     # bbox from masked world points (full resolution for fidelity)
@@ -227,7 +243,7 @@ def recompute_coarse_keys(scene, inst: InstanceSet) -> InstanceSet:
     ).reshape(-1)
     valid = (vrows & inst.valid[:, None]).reshape(-1)
     ckeys, ccounts = group_unique(
-        groups, ck, valid, num_groups=i_cap, capacity=k_cap // 2
+        groups, ck, valid, num_groups=i_cap, capacity=k_cap
     )
     ckeys = jnp.where(inst.valid[:, None], ckeys, I32_MAX)
     return inst._replace(
@@ -340,14 +356,31 @@ def merge_round(
     cinter = jnp.einsum("ib,jb->ij", csig, csig, preferred_element_type=jnp.float32)
     ccnt = jnp.maximum(csig.sum(-1), 1.0)
     has_c = (vck.any(-1))[:, None] & (vck.any(-1))[None, :]
-    cratio = jnp.where(has_c, cinter / jnp.minimum(ccnt[:, None], ccnt[None, :]), 0.0)
-    # reference semantics: dinter[i, j] = |cells_i ∩ dilate(cells_j)|;
-    # direction i->j ratio = dinter[i, j] / |cells_i|; take the max direction
+
+    # hash-collision correction: a signature with occupancy p (fraction of
+    # the B buckets set) matches a random foreign cell with probability ~p,
+    # so the RAW hit count h over n probes estimates t true hits via
+    # h = t + (n - t) p  =>  t/n = (h/n - p) / (1 - p).  Without this, any
+    # instance that grows past ~B cells (a merged wall/floor structure — its
+    # DILATED signature is 27x denser still) saturates its signature and
+    # shows ratio ~1 against EVERYTHING, absorbing every object in the scene
+    # (measured collapse mechanism, round 4).
+    def _corrected(hits, probes, occupancy):
+        p = jnp.clip(occupancy, 0.0, 0.98)
+        return jnp.clip((hits / probes - p) / (1.0 - p), 0.0, 1.0)
+
+    # direction i->j ratio sits at [i, j]; the max over directions is then
+    # max(A, A.T) (reference max-of-directions, graph_utils.py:620-664)
+    occ_c = csig.sum(-1) / jnp.float32(SIG_BUCKETS)
+    a_c = _corrected(cinter, ccnt[:, None], occ_c[None, :])
+    cratio = jnp.where(has_c, jnp.maximum(a_c, a_c.T), 0.0)
+    # reference semantics: dinter[i, j] = |cells_i ∩ dilate(cells_j)|
     dinter = jnp.einsum(
         "ib,jb->ij", csig, inst.dsig, preferred_element_type=jnp.float32
     )
-    dratio = jnp.maximum(dinter / ccnt[:, None], dinter.T / ccnt[None, :])
-    cratio = jnp.where(has_c, jnp.maximum(cratio, dratio), 0.0)
+    occ_d = inst.dsig.sum(-1) / jnp.float32(SIG_BUCKETS)
+    a_d = _corrected(dinter, ccnt[:, None], occ_d[None, :])
+    cratio = jnp.where(has_c, jnp.maximum(cratio, jnp.maximum(a_d, a_d.T)), 0.0)
     if coarse_only:
         ratio = cratio
     else:
@@ -358,10 +391,21 @@ def merge_round(
     iou = _bbox_iou(inst.bbox_min, inst.bbox_max, pad=bbox_pad)
     cont = _bbox_containment(inst.bbox_min, inst.bbox_max, pad=bbox_pad)
     vv = inst.valid[:, None] & inst.valid[None, :]
+    # the containment arm exists to rescue SLIVER FRAGMENTS of the same
+    # object (near-zero own volume, IoU ~ 0 vs their parent) — restrict it
+    # to comparable-volume pairs: a small object inside a room-scale
+    # background blob also has containment ~1, and accepting that pair lets
+    # one blob chain every object in the scene into a single instance
+    pv = jnp.prod(jnp.maximum(inst.bbox_max - inst.bbox_min + 2 * bbox_pad, 0.0), -1)
+    vol_ratio = jnp.maximum(pv[:, None], pv[None, :]) / jnp.maximum(
+        jnp.minimum(pv[:, None], pv[None, :]), 1e-10
+    )
     # gate: boxes overlap appreciably OR the smaller box sits mostly inside
-    # the larger (sliver fragments — see _bbox_containment); the voxel
-    # overlap ratio still decides the actual merge
-    adj = vv & ((iou > iou_thresh) | (cont > 0.5)) & (ratio > overlap_thresh)
+    # a comparably-sized box (sliver fragments — see _bbox_containment); the
+    # voxel overlap ratio still decides the actual merge
+    adj = vv & ((iou > iou_thresh) | ((cont > 0.5) & (vol_ratio < 64.0))) & (
+        ratio > overlap_thresh
+    )
     adj = adj | (jnp.eye(i_cap, dtype=bool) & inst.valid[:, None])
     root = _connected_components(adj)
 

@@ -88,6 +88,7 @@ def frame_step(
     pixel_stride: int = 1,
     frame_voxel_capacity: int = 1 << 15,
     dtype=jnp.bfloat16,
+    max_area_frac: float = 1.0,
 ):
     """ONE fused frame integration program: backproject -> scene insert ->
     SAM x CLIP extraction -> feature scatter -> instance fold-in.
@@ -123,6 +124,7 @@ def frame_step(
     finst = inst_mod.frame_instances.__wrapped__(
         masks_flat, ff.valid, ff.f_masks, pix_rows, pts, min_rows=3,
         k_cap=mask_k_cap, stride=pixel_stride, grid=scene.grid,
+        max_area_frac=max_area_frac,
     )
     out_cap = instances.rows.shape[0]
     instances = inst_mod.merge_round.__wrapped__(
@@ -206,6 +208,7 @@ class Mapper:
                 pixel_stride=self._pixel_stride(frame),
                 frame_voxel_capacity=p.frame_voxel_capacity,
                 dtype=self._dtype,
+                max_area_frac=p.instance_max_area_frac,
             )
         else:
             self.scene, self.instances, f_g = self._staged_step(frame, ff)
@@ -251,6 +254,7 @@ class Mapper:
             masks_flat, ff.valid, ff.f_masks, pix_rows, pts,
             min_rows=3, k_cap=p.mask_point_capacity,
             stride=self._pixel_stride(frame), grid=self.grid,
+            max_area_frac=p.instance_max_area_frac,
         )
         if p.merge_type == "hierarchical":
             # binary-counter streaming fold (reference graph_utils.py:989-1012

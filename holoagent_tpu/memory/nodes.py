@@ -124,7 +124,12 @@ class Object:
     view_ids: List[str] = field(default_factory=list)
 
     def center(self) -> np.ndarray:
-        return np.asarray(self.pcd_points).mean(axis=0)
+        """Component-wise MEDIAN of the object cloud.  The reference takes
+        `obj_pcd.get_center()` (mean, graph.py:3012) — but only after every
+        mask cloud has been DBSCAN-denoised (graph.py:1464,1590), which
+        strips the floor/wall bleed points a raw mean would be dragged by.
+        The median is the O(n) robust equivalent of denoise-then-mean."""
+        return np.median(np.asarray(self.pcd_points), axis=0)
 
     def save(self, path: str | Path):
         write_ply(Path(path) / f"{self.object_id}.ply", self.pcd_points, self.pcd_colors)

@@ -495,6 +495,7 @@ class ShardedMapper:
             finst = inst_mod.frame_instances(
                 masks_flat, ff.valid[j], ff.f_masks[j], rows, pts, min_rows=3,
                 k_cap=p.mask_point_capacity, stride=stride, grid=self.grid,
+                max_area_frac=p.instance_max_area_frac,
             )
             self.instances = inst_mod.seq_merge_step(
                 self.instances, finst, p.init_overlap_thresh, p.iou_thresh,

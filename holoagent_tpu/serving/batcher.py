@@ -35,6 +35,7 @@ class GenRequest:
     _done: threading.Event = field(default_factory=threading.Event)
     _result: Optional[str] = None
     generated: int = 0  # actual tokens decoded (incl. the stopping EOT)
+    prompt_tokens: int = 0  # prefilled positions (text + image tokens)
 
     def result(self, timeout: Optional[float] = None) -> str:
         self._done.wait(timeout)
@@ -226,6 +227,7 @@ class ContinuousBatcher:
         for i, req in wave:
             slot = self.slots[i]
             nxt = int(first[i])
+            req.prompt_tokens = int(ns[i])
             slot.request = req
             slot.remaining = req.max_new_tokens - 1
             slot.out_ids = [nxt]

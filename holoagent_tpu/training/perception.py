@@ -180,7 +180,10 @@ def train_tiny_clip(
 
     params = clip_mod.init_clip(jax.random.key(seed), cv, dtype=jnp.float32)
     tx, opt_state = contrastive.init_train_state(params, lr=lr)
-    step = contrastive.make_train_step(cv, tx, dtype=jnp.float32)
+    # train the DEPLOYED feature: the extractor's plain/masked blend at the
+    # reference clip_masked_weight (contrastive.clip_blend_loss) — training
+    # the renderings separately leaves the blend out-of-distribution
+    step = contrastive.make_blend_train_step(cv, tx, dtype=jnp.float32)
 
     templates = clip_mod.TEMPLATES
     tokens_by = {
@@ -191,16 +194,16 @@ def train_tiny_clip(
     losses = []
     for s in range(steps):
         batch_c = rng.permutation(present)
-        # half the draws use the masked rendering (the extractor blends
-        # plain/masked at ~0.56/0.44, sam_clip_feats_extractor.py:159-162)
-        src = [crops_masked if rng.random() < 0.5 else crops for _ in batch_c]
-        imgs = np.stack(
-            [src[j][rng.choice(by_label[c])] for j, c in enumerate(batch_c)]
-        )
+        pick = [rng.choice(by_label[c]) for c in batch_c]
+        imgs_p = np.stack([crops[i] for i in pick])
+        imgs_m = np.stack([crops_masked[i] for i in pick])
         ti = rng.integers(0, len(templates))
         toks = np.stack([tokens_by[(c, ti)] for c in batch_c])
         params, opt_state, loss = step(
-            params, opt_state, jnp.asarray((imgs - mean) / std), jnp.asarray(toks)
+            params, opt_state,
+            jnp.asarray((imgs_p - mean) / std),
+            jnp.asarray((imgs_m - mean) / std),
+            jnp.asarray(toks),
         )
         losses.append(float(loss))
     return params, losses
@@ -270,18 +273,31 @@ def train_tiny_sam(
         return optax.apply_updates(params, updates), opt_state, loss
 
     # pre-extract once: preprocessed image + per-instance (pixel coords,
-    # 4g-resolution GT mask) — the training loop is then pure indexing
+    # 4g-resolution GT mask) — the training loop is then pure indexing.
+    # Supervision covers BOTH object instances and background STRUCTURE
+    # (per-label wall/floor/ceiling regions where inst < 0): ~90% of the
+    # fixture pixels are structure, so an auto-mask grid prompt
+    # (sam.generate_masks) lands there most of the time — a model trained
+    # only on objects emits arbitrary region blobs for those prompts, which
+    # engulf the objects and collapse the instance merge fold (measured:
+    # whole 48-frame scenes folding to ONE instance, round 4).  With
+    # structure supervision a background prompt yields the full wall/floor
+    # mask, which the extractor's disjointness carve + the instance table's
+    # area gate handle by design.
     frames = []
     for ds in datasets:
         for i in range(len(ds)):
             frame = ds[i]
-            inst, _ = ds.gt(i)
+            inst, lab = ds.gt(i)
             h, w = inst.shape
             entries = []
-            for iid in np.unique(inst):
-                if iid < 0:
-                    continue
-                m = inst == iid
+            targets = [inst == iid for iid in np.unique(inst) if iid >= 0]
+            targets += [
+                (lab == li) & (inst < 0)
+                for li in np.unique(lab[inst < 0])
+                if li >= 0
+            ]
+            for m in targets:
                 if m.sum() < 30:
                     continue
                 ys, xs = np.nonzero(m)

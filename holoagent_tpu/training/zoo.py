@@ -23,7 +23,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 # bump on any change to the training recipe, fixture scenes, or tower variants
-RECIPE_TAG = "r4b"
+RECIPE_TAG = "r4d"  # r4c: SAM trained on background STRUCTURE regions too;
+# r4d: CLIP trained on the deployed plain/masked BLEND feature
 
 # GT room footprints per fixture layout (x0, y0, x1, y1, category[, floor])
 ROOM_RECTS = {

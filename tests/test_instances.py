@@ -150,14 +150,14 @@ def test_merge_dilated_neighbor_semantics():
     (graph_utils.py:620-664): a fragment whose cells sit in ADJACENT coarse
     cells of the main body (no same-cell intersection at all) must still
     merge via the dilated signature; a fragment several cells away must not."""
-    from holoagent_tpu.memory.instances import frame_instances
+    from holoagent_tpu.memory.instances import COARSE_FACTOR, frame_instances
     from holoagent_tpu.ops.voxel import GridSpec
 
     grid = GridSpec.centered(0.08)
-    cell = 0.16  # coarse cell = 2 x voxel
+    cell = 0.08 * COARSE_FACTOR  # adjacency cell = 1 x voxel (instances.py)
     ox = float(np.asarray(grid.origin)[0])
-    # first coarse-cell boundary after x = 1.0: the fragment starts exactly
-    # there, so main and fragment occupy adjacent but DIFFERENT coarse cells
+    # first adjacency-cell boundary after x = 1.0: the fragment starts exactly
+    # there, so main and fragment occupy adjacent but DIFFERENT cells
     b = ox + np.ceil((1.0 - ox) / cell) * cell
     # synth pixel world: 3 masks over a 1-D strip of points
     n = 160
@@ -166,7 +166,7 @@ def test_merge_dilated_neighbor_semantics():
     rows = np.arange(n, dtype=np.int32)  # fake distinct scene rows
     masks = np.zeros((3, n), bool)
     masks[0] = xs < b - 0.01           # main, ends just before the boundary
-    masks[1] = (xs >= b + 0.01) & (xs < b + 0.14)  # near fragment, next cell
+    masks[1] = (xs >= b + 0.01) & (xs < b + cell - 0.02)  # next cell only
     masks[2] = xs >= b + 6 * cell      # far fragment, 6+ cells away
     f = np.eye(3, 4, dtype=np.float32)
     inst = frame_instances(

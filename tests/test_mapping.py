@@ -18,6 +18,10 @@ def _tiny_cfg(**pipeline_overrides):
         "point_capacity": 1 << 15,
         "mask_point_capacity": 512,
         "instance_capacity": 64,
+        # random-init accept-all SAM emits frame-scale blobs; the background
+        # area gate (production default 0.5) would drop them all — these
+        # tests exercise the fold machinery, not mask quality
+        "instance_max_area_frac": 1.0,
     }
     pipeline.update(pipeline_overrides)
     return from_dict(
