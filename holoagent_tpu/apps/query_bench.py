@@ -126,20 +126,28 @@ def _pad_gallery_with_crops(graph, n: int, dataset, clip_params, cv, seed: int =
         ))
 
 
-def _score_against_gt(results, gt, radius: float = 0.5):
+def _score_against_gt(results, gt, pad: float = 0.25):
     """Retrieval correctness vs the GT graph (the role of the reference's
     hm3dsem evaluator in the benchmark loop, reference
     fsr_vln/memory/hmsg/eval/hm3dsem_evaluator.py:401-589): the queried
     category comes from the engine's own parse of each instruction; credit =
-    a predicted object center within ``radius`` of ANY GT object of that
-    category (position-based, predicted ids don't map to GT ids).  Adds
-    per-query top1_correct / recall_at_5 fields and returns the summary."""
+    a predicted object center lying INSIDE the aabb (inflated by ``pad`` per
+    side) of ANY GT object of that category.  The reference associates
+    predictions to GT by 3-D box IoU / point-overlap — never by a
+    center-distance sphere: mapped clouds are OBSERVED SURFACES, so a perfect
+    2 m sofa prediction has its centroid up to 1 m from the box center and a
+    fixed-radius criterion fails perfect answers on any large object
+    (measured round 4: in-box scoring is the box-level analog of the
+    reference's iou>0 association gate).  Adds per-query top1_correct /
+    recall_at_5 fields and returns the summary."""
     from ..query.parser import RuleParser
 
     parser = RuleParser()
     by_cat = {}
     for o in gt.objects:
-        by_cat.setdefault(o.category, []).append(np.asarray(o.center, np.float64))
+        c = np.asarray(o.center, np.float64)
+        h = np.asarray(o.dims, np.float64) / 2.0 + pad
+        by_cat.setdefault(o.category, []).append((c - h, c + h))
     n_scored = top1 = rec5 = 0
     for r in results:
         cat = parser(r["instruction"]).object
@@ -149,8 +157,12 @@ def _score_against_gt(results, gt, radius: float = 0.5):
             continue
         pred = np.asarray(r["object_centers"], np.float64).reshape(-1, 3)
         if len(pred):
-            d = np.linalg.norm(pred[:, None] - np.stack(answers)[None], axis=-1).min(1)
-            ok1, ok5 = bool(d[0] <= radius), bool((d[:5] <= radius).any())
+            lo = np.stack([a[0] for a in answers])  # (G, 3)
+            hi = np.stack([a[1] for a in answers])
+            inside = (
+                (pred[:, None] >= lo[None]) & (pred[:, None] <= hi[None])
+            ).all(-1).any(-1)  # (P,)
+            ok1, ok5 = bool(inside[0]), bool(inside[:5].any())
         else:
             ok1 = ok5 = False
         r["top1_correct"], r["recall_at_5"] = ok1, ok5
@@ -161,7 +173,7 @@ def _score_against_gt(results, gt, radius: float = 0.5):
         "n_scored": n_scored,
         "top1_acc": top1 / max(n_scored, 1),
         "recall_at_5": rec5 / max(n_scored, 1),
-        "match_radius_m": radius,
+        "match_criterion": f"pred center inside GT aabb + {pad} m pad",
     }
 
 

@@ -116,7 +116,15 @@ def score_long_queries(
         if pred.get("object_center") is not None:
             oc = np.asarray(pred["object_center"], np.float64)
             for a in q.answers:
-                if np.linalg.norm(obj_by_id[a[2]].center - oc) <= object_match_radius:
+                gt_o = obj_by_id[a[2]]
+                # in-box criterion (the box-level analog of the reference
+                # evaluator's iou>0 association, hm3dsem_evaluator.py:446-457):
+                # mapped clouds are observed SURFACES, so a fixed-radius
+                # center test fails perfect answers on any object larger than
+                # the radius; credit = center inside the GT aabb inflated by
+                # the tolerance per side
+                half = np.asarray(gt_o.dims, np.float64) / 2.0 + object_match_radius / 2.0
+                if (np.abs(np.asarray(gt_o.center, np.float64) - oc) <= half).all():
                     ob = True
                     break
         fl_ok += fl

@@ -77,6 +77,11 @@ class ContinuousBatcher:
         chunk: int = 8,  # decode steps per device dispatch (vlm.decode_chunk);
         # admission granularity becomes `chunk` tokens — 1 restores the
         # classic per-token loop
+        pipeline_depth: int = 2,  # in-flight decode chunks before the host
+        # syncs: EOT/budget tracking runs INSIDE the program
+        # (vlm.decode_chunk_tracked), so chunk k+1 dispatches before chunk
+        # k's tokens are fetched and the tunnel RTT hides behind device
+        # decode.  1 = sync every chunk (the classic loop).
     ):
         self.params = vlm_params
         self.clip_params = clip_params
@@ -87,9 +92,17 @@ class ContinuousBatcher:
         self.mesh = mesh
         self.sp_threshold = sp_threshold
         self.chunk = max(1, int(chunk))
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.cache = vlm_mod.init_cache(variant, max_batch, dtype)
         self.slots = [_Slot() for _ in range(max_batch)]
         self.current = jnp.zeros((max_batch,), jnp.int32)
+        # device-side slot liveness: authoritative inside the decode pipeline
+        # (decode_chunk_tracked), mirrored lazily on the host as fetched
+        # chunks are processed
+        self.d_active = jnp.zeros((max_batch,), bool)
+        self.d_remaining = jnp.zeros((max_batch,), jnp.int32)
+        self._eot = jnp.int32(self.tok.eot)
+        self._inflight: List[tuple] = []  # (toks_dev, act_hist_dev)
         self.queue: "queue.Queue[GenRequest]" = queue.Queue()
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -224,6 +237,7 @@ class ContinuousBatcher:
             )
 
         first = np.asarray(self.current)  # ONE blocking fetch per wave
+        idxs, acts, rems = [], [], []
         for i, req in wave:
             slot = self.slots[i]
             nxt = int(first[i])
@@ -231,8 +245,17 @@ class ContinuousBatcher:
             slot.request = req
             slot.remaining = req.max_new_tokens - 1
             slot.out_ids = [nxt]
-            if nxt == self.tok.eot or slot.remaining <= 0:
+            live = not (nxt == self.tok.eot or slot.remaining <= 0)
+            idxs.append(i)
+            acts.append(live)
+            rems.append(slot.remaining)
+            if not live:
                 self._finish(i)
+        # targeted device-mask updates: slots mid-decode keep their
+        # (device-authoritative) liveness untouched
+        ii = jnp.asarray(idxs, jnp.int32)
+        self.d_active = self.d_active.at[ii].set(jnp.asarray(acts))
+        self.d_remaining = self.d_remaining.at[ii].set(jnp.asarray(rems, jnp.int32))
         return True
 
     def _row_emb(self, i, t, ns, wave_ids, wave_imgs):
@@ -272,32 +295,46 @@ class ContinuousBatcher:
         # an eager length reset here would cost a device dispatch per request
 
     def step(self) -> bool:
-        """Admit new requests and advance every active slot up to `chunk`
-        tokens in one device dispatch (vlm.decode_chunk).  Returns True if
-        any work was done."""
+        """Admit new requests and advance every live slot up to `chunk`
+        tokens per device dispatch (vlm.decode_chunk_tracked).  Up to
+        `pipeline_depth` chunks stay in flight before the host fetches the
+        oldest one — EOT/budget run inside the program, so the dispatches
+        queue back-to-back on the device and the tunnel round-trip hides
+        behind decode compute.  Returns True if any work was done."""
         with self._lock:
             admitted = self._admit()
-            active = np.array([s.active for s in self.slots])
-            if not active.any():
+            host_live = any(s.active for s in self.slots)
+            if host_live:
+                toks, act_hist, self.current, self.cache, self.d_active, \
+                    self.d_remaining = vlm_mod.decode_chunk_tracked(
+                        self.params, self.current, self.cache,
+                        self.d_active, self.d_remaining, self._eot,
+                        self.v, steps=self.chunk, dtype=self.dtype,
+                    )
+                self._inflight.append((toks, act_hist))
+                self.steps += 1
+            elif not self._inflight:
                 return admitted
-            toks, self.current, self.cache = vlm_mod.decode_chunk(
-                self.params, self.current, self.cache,
-                jnp.asarray(active), self.v, steps=self.chunk,
-                dtype=self.dtype,
-            )
-            toks = np.asarray(toks)  # (chunk, B)
-            self.steps += 1
-            for i, slot in enumerate(self.slots):
-                if not slot.active:
-                    continue
-                for t in toks[:, i]:
-                    tok = int(t)
-                    slot.out_ids.append(tok)
-                    slot.remaining -= 1
-                    if tok == self.tok.eot or slot.remaining <= 0:
-                        # surplus chunk tokens past EOT/budget are discarded;
-                        # _finish resets the slot's cache length so the next
-                        # admit prefills from scratch
-                        self._finish(i)
-                        break
+            # drain: sync the oldest chunk(s) once the pipeline is full — or
+            # everything, when no slot is live to feed further dispatches
+            target = self.pipeline_depth - 1 if host_live else 0
+            while len(self._inflight) > target:
+                toks_d, act_d = self._inflight.pop(0)
+                toks = np.asarray(toks_d)  # blocking fetch (the sync point)
+                acts = np.asarray(act_d)
+                for i, slot in enumerate(self.slots):
+                    if not slot.active:
+                        continue
+                    for s in range(toks.shape[0]):
+                        if not acts[s, i]:
+                            break
+                        tok = int(toks[s, i])
+                        slot.out_ids.append(tok)
+                        slot.remaining -= 1
+                        if tok == self.tok.eot or slot.remaining <= 0:
+                            # the device mask froze this slot at the same
+                            # point (decode_chunk_tracked); surplus chunk
+                            # positions carry act_hist False and are skipped
+                            self._finish(i)
+                            break
             return True

@@ -43,7 +43,8 @@ from . import contrastive
 
 
 def collect_crops(datasets, labels: Sequence[str], size: int, margin: int = 4,
-                  masked: bool = False):
+                  masked: bool = False, structure: bool = False,
+                  structure_per_frame: int = 3):
     """All GT instance crops across the datasets' frames.
 
     masked=True additionally returns background-zeroed variants of each crop
@@ -52,6 +53,15 @@ def collect_crops(datasets, labels: Sequence[str], size: int, margin: int = 4,
     the tower must be trained on both renderings or masked inputs are
     out-of-distribution (measured: plain-trained tiny tower drops 0.97 ->
     0.69 top-1 on masked crops).
+
+    structure=True additionally samples random NON-OBJECT windows per frame:
+    windows dominated by one structure label (wall/floor) carry that label;
+    mixed-structure windows carry "background".  Without these, background
+    gallery entries are out-of-distribution and land arbitrarily close to
+    furniture text (measured: background windows at sim 0.925 for "bed" vs
+    the real bed's 0.921, round 4) — and the engine's reference-parity
+    negative-prompt gate (["background"], graph.py:3497) has no trained
+    anchor to catch them with.
 
     Returns (crops (N, size, size, 3) float01, label_ids (N,)) or
     (crops, crops_masked, label_ids)."""
@@ -92,6 +102,41 @@ def collect_crops(datasets, labels: Sequence[str], size: int, margin: int = 4,
                         jax.image.resize(jnp.asarray(cm), (size, size, 3), "linear")
                     ))
                 ids.append(labels.index(name))
+            if structure:
+                h, w = inst.shape
+                srng = np.random.default_rng(1000 + i)
+                picked = 0
+                for _ in range(8 * structure_per_frame):
+                    if picked >= structure_per_frame:
+                        break
+                    s = int(srng.integers(max(8, h // 8), max(12, h // 2)))
+                    y0 = int(srng.integers(0, h - s))
+                    x0 = int(srng.integers(0, w - s))
+                    wi = inst[y0:y0 + s, x0:x0 + s]
+                    wl = lab[y0:y0 + s, x0:x0 + s]
+                    if (wi >= 0).mean() > 0.25:
+                        continue  # object-containing: not background
+                    struct = wl[(wi < 0) & (wl >= 0)]
+                    if len(struct) == 0:
+                        continue
+                    counts = np.bincount(struct.ravel())
+                    if counts.max() > 0.7 * len(struct):
+                        name = local[int(counts.argmax()) % len(local)]
+                        if name not in labels:
+                            name = "background"
+                    else:
+                        name = "background"
+                    if name not in labels:
+                        continue
+                    crop = frame.rgb[y0:y0 + s, x0:x0 + s]
+                    cr = np.asarray(jax.image.resize(
+                        jnp.asarray(crop), (size, size, 3), "linear"
+                    ))
+                    crops.append(cr)
+                    if masked:
+                        crops_m.append(cr)  # structure windows are their own mask
+                    ids.append(labels.index(name))
+                    picked += 1
     out_ids = np.asarray(ids, np.int32)
     if masked:
         return (np.stack(crops).astype(np.float32),
@@ -159,7 +204,7 @@ def train_tiny_clip(
     tok = SimpleTokenizer()
     rng = np.random.default_rng(seed)
     crops, crops_masked, ids = collect_crops(
-        datasets, labels, cv.image_size, masked=True
+        datasets, labels, cv.image_size, masked=True, structure=True
     )
     labels = list(labels)
     if room_rects_by_ds is not None:

@@ -23,8 +23,10 @@ from typing import Optional, Tuple
 import numpy as np
 
 # bump on any change to the training recipe, fixture scenes, or tower variants
-RECIPE_TAG = "r4d"  # r4c: SAM trained on background STRUCTURE regions too;
-# r4d: CLIP trained on the deployed plain/masked BLEND feature
+RECIPE_TAG = "r4e"  # r4c: SAM trained on background STRUCTURE regions too;
+# r4d: CLIP trained on the deployed plain/masked BLEND feature;
+# r4e: CLIP trained on structure/background windows too ("background" class
+# anchors the reference-parity negative-prompt gate)
 
 # GT room footprints per fixture layout (x0, y0, x1, y1, category[, floor])
 ROOM_RECTS = {
@@ -106,11 +108,14 @@ def _fixture_datasets(seed_base: int = 100):
 
 
 def fixture_labels() -> list:
-    """The union training vocabulary (two_floor's 18 categories + wall/floor
-    cover the other layouts)."""
+    """The union training vocabulary: two_floor's 18 categories + wall/floor
+    (cover the other layouts) + "background" — the trained anchor for the
+    engine's reference-parity negative-prompt gate (reference graph.py:3497
+    negative_labels=["background"]); supervised by mixed-structure windows
+    (training/perception.collect_crops structure=True)."""
     from ..dataloader.synthetic import SyntheticScene
 
-    return SyntheticScene.two_floor().labels()
+    return SyntheticScene.two_floor().labels() + ["background"]
 
 
 def fixture_towers(

@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite is COMPILE-bound on the 1-core host
+# (fused mapping programs dominate); caching compiled CPU executables across
+# tests and runs cuts the wall time severalfold.  CPU only — through the TPU
+# tunnel the disk-cache load path is SLOWER than recompiling (92 s vs 22 s
+# measured, see CLAUDE.md).
+jax.config.update("jax_compilation_cache_dir", "/tmp/holoagent_tpu/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

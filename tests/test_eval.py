@@ -138,9 +138,9 @@ def test_long_query_generation_aggregates_answers():
     by_text = {q.text: q for q in qs}
     # unique (object cat, room cat, floor) triples: chair/kitchen, chair/bedroom, bed/bedroom
     assert len(qs) == 3
-    ck = by_text["chair in region kitchen on floor 0"]
+    ck = by_text["chair in region kitchen on floor 1"]
     assert sorted(a[2] for a in ck.answers) == [0, 2]  # both kitchens' chairs
-    cb = by_text["chair in region bedroom on floor 0"]
+    cb = by_text["chair in region bedroom on floor 1"]
     assert [a[2] for a in cb.answers] == [1]
 
 

@@ -17,7 +17,9 @@ def test_tiny_clip_contrastive_learns(train_ds):
     from holoagent_tpu.training.perception import train_tiny_clip
 
     labels = train_ds[0].scene.labels()
-    params, losses = train_tiny_clip(train_ds, labels, steps=40)
+    # 100 steps: the r4e recipe adds structure/background windows to the
+    # batches (harder negatives), which slows early convergence
+    params, losses = train_tiny_clip(train_ds, labels, steps=100)
     assert np.mean(losses[-5:]) < 0.5 * losses[0]
     # crop/label alignment: a bed crop must be closer to "bed" than to a
     # random other label after training
