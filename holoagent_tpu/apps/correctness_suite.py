@@ -56,22 +56,27 @@ def correctness_config(layout: str, save_path: str) -> cfgmod.Config:
     cfg.main.scene_id = f"correctness_{layout}"
     cfg.main.save_path = save_path
     cfg.main.num_frames = 48 if layout != "two_floor" else 72
-    cfg.main.frame_h, cfg.main.frame_w = 120, 160
+    # 240x320 matches the r4f tower training resolution: at 120x160 the small
+    # fixtures (toilet) render a few hundred pixels, masks bleed into the
+    # floor and the crop features blur (measured round 4)
+    cfg.main.frame_h, cfg.main.frame_w = 240, 320
     cfg.models.clip.type = "test-tiny"
     cfg.models.clip.dtype = "float32"
     cfg.models.sam.type = "fixture-tiny"
     cfg.models.sam.points_per_side = 12
     cfg.models.sam.pred_iou_thresh = 0.45
     cfg.models.sam.stability_score_thresh = 0.5
-    cfg.models.sam.min_mask_region_area = 60
+    cfg.models.sam.min_mask_region_area = 240  # 60 at 120x160, scaled by area
     cfg.models.sam.max_masks = 24
     cfg.pipeline.voxel_size = 0.08
     cfg.pipeline.grid_resolution = 0.08
-    cfg.pipeline.point_capacity = 1 << 15
+    # 64k scene rows: the 240x320 frames observe more of each surface, and a
+    # saturated row table silently drops geometry
+    cfg.pipeline.point_capacity = 1 << 16
     cfg.pipeline.mask_point_capacity = 4096
     cfg.pipeline.instance_capacity = 64
     cfg.pipeline.skip_frames = 1
-    cfg.pipeline.clip_bbox_margin = 8
+    cfg.pipeline.clip_bbox_margin = 16  # 8 px at 120x160, scaled
     cfg.pipeline.extract_tiering = False
     cfg.pipeline.obj_labels = "FIXTURE"
     return cfg

@@ -67,7 +67,7 @@ def run_one(seed: int, cfg=None, layout: str = "two_room",
         cfg.main.dataset = "synthetic"
         cfg.pipeline.voxel_size = 0.08
         cfg.pipeline.grid_resolution = 0.08
-        cfg.pipeline.point_capacity = 1 << 15
+        cfg.pipeline.point_capacity = 1 << 16  # 240x320 frames observe more surface
         # instance row capacity must exceed the largest object's voxel count
         # (a 2 m bed at 0.08 m = ~3k surface voxels); truncation breaks the
         # overlap signatures and fragments instances
@@ -78,7 +78,10 @@ def run_one(seed: int, cfg=None, layout: str = "two_room",
     make_scene, room_rects, n_frames = LAYOUTS[layout]
     scene = make_scene(SyntheticScene)
     ds = SyntheticDataset(
-        scene=scene, num_frames=n_frames, hw=(120, 160), seed=seed,
+        # 240x320 matches the r4f tower-training resolution (training/zoo.py
+        # _fixture_datasets): small fixtures at 120x160 rendered a few
+        # hundred pixels and bounded mask/crop quality (measured round 4)
+        scene=scene, num_frames=n_frames, hw=(240, 320), seed=seed,
         gaze_heights=(0.8, 2.2),  # sweep walls into view: full-scan coverage
     )
     gt = gt_from_synthetic(scene, room_rects=room_rects)
@@ -99,12 +102,12 @@ def run_one(seed: int, cfg=None, layout: str = "two_room",
         cfg.models.sam.points_per_side = 12
         cfg.models.sam.pred_iou_thresh = 0.45
         cfg.models.sam.stability_score_thresh = 0.5
-        cfg.models.sam.min_mask_region_area = 60
+        cfg.models.sam.min_mask_region_area = 240  # 60 at 120x160, scaled by area
         cfg.models.sam.max_masks = 24
         cfg.models.clip.dtype = "float32"
         # the production 50 px crop margin assumes VGA frames; at the
         # fixtures' 160 px width it would swallow the whole frame
-        cfg.pipeline.clip_bbox_margin = 8.0
+        cfg.pipeline.clip_bbox_margin = 16.0  # 8 px at 120x160, scaled
         from ..perception.extractor import extract_frame_features
 
         mapper = Mapper(cfg, clip_params=clip_params, sam_params=sam_params,

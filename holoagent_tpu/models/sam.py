@@ -533,19 +533,25 @@ def decode_masks(
 
     iou_out = q[:, 0]
     mask_toks = q[:, 1 : nm + 1]
-    # upscale src (P, g, g, D) -> (P, 4g, 4g, D/8) via two stride-2 transposed convs
-    srcg = src.reshape(pcount, g, g, d).astype(jnp.float32)
+    # upscale src (P, g, g, D) -> (P, 4g, 4g, D/8) via two stride-2 transposed
+    # convs.  Storage stays in the compute dtype: the intermediates are the
+    # decoder's HBM hog (at VGA/144 prompts, u2 alone is 144x256x256x32 —
+    # 1.2 GB in f32, 0.6 GB in bf16) while the conv matmuls accumulate in f32
+    # via preferred_element_type, so bf16 storage costs no accuracy the mask
+    # threshold can see (logit sign at |logit| >> 1)
+    srcg = src.reshape(pcount, g, g, d).astype(dtype)
 
     def up(x, w, b):
         return (
             jax.lax.conv_transpose(
                 x,
-                w.astype(jnp.float32),
+                w.astype(dtype),
                 strides=(2, 2),
                 padding="VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            + b.astype(jnp.float32)
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+            + b.astype(dtype)
         )
 
     u = up(srcg, dec["up1_w"], dec["up1_b"])
@@ -560,7 +566,7 @@ def decode_masks(
         axis=1,
     )  # (P, nm, up2)
     logits = jnp.einsum(
-        "pnc,phwc->pnhw", hyper.astype(jnp.float32), u, preferred_element_type=jnp.float32
+        "pnc,phwc->pnhw", hyper.astype(dtype), u, preferred_element_type=jnp.float32
     )
     iou_pred = _mlp3(
         jax.tree.map(lambda a: a.astype(dtype), dec["iou_head"]), iou_out
