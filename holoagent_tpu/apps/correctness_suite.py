@@ -77,6 +77,10 @@ def correctness_config(layout: str, save_path: str) -> cfgmod.Config:
     cfg.pipeline.instance_capacity = 64
     cfg.pipeline.skip_frames = 1
     cfg.pipeline.clip_bbox_margin = 16  # 8 px at 120x160, scaled
+    # fixture objects are <= 2 m on a side (synthetic._TWO_FLOOR_SIZES);
+    # 3 m rejects the room-scale wall/floor shells that collapsed the
+    # 240x320 builds (instances.frame_instances max_extent)
+    cfg.pipeline.instance_max_extent_m = 3.0
     cfg.pipeline.extract_tiering = False
     cfg.pipeline.obj_labels = "FIXTURE"
     return cfg

@@ -108,6 +108,9 @@ def run_one(seed: int, cfg=None, layout: str = "two_room",
         # the production 50 px crop margin assumes VGA frames; at the
         # fixtures' 160 px width it would swallow the whole frame
         cfg.pipeline.clip_bbox_margin = 16.0  # 8 px at 120x160, scaled
+        # fixture objects are <= 2 m on a side; 3 m rejects room-scale
+        # wall/floor shells (instances.frame_instances max_extent)
+        cfg.pipeline.instance_max_extent_m = 3.0
         from ..perception.extractor import extract_frame_features
 
         mapper = Mapper(cfg, clip_params=clip_params, sam_params=sam_params,

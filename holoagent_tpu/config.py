@@ -126,6 +126,13 @@ class PipelineConfig:
     # shells: fused into per-pixel scene features but never lifted into the
     # instance table (memory/instances.frame_instances max_area_frac)
     instance_max_area_frac: float = 0.5
+    # masks whose WORLD bbox exceeds this on any side are structure shells
+    # (walls/floors) regardless of frame coverage — a distant room view
+    # covers ~30% of the frame yet lifts a k_cap-saturating blob whose
+    # signature overlaps everything and collapses the scene (the reference's
+    # DBSCAN + bbox-IoU merge gate never passes a room-scale box,
+    # graph_utils.py:918-1038); see instances.frame_instances max_extent
+    instance_max_extent_m: float = 4.0
     # tiered extraction: size the CLIP crop batch to the frame's actual
     # valid-mask count (two dispatches: mask stage -> host reads the count ->
     # CLIP stage at the smallest capacity tier that fits).  The reference

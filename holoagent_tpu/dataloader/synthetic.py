@@ -79,12 +79,12 @@ class SyntheticScene:
             (w / 2, 3.6, w / 2, h),
         ]
         defs = [
-            ("bed", (1.6, 2.0, 0.5), (0.8, 0.2, 0.2), (1.2, 1.6)),
-            ("chair", (0.5, 0.5, 0.9), (0.2, 0.4, 0.8), (2.8, 4.6)),
-            ("table", (1.2, 0.8, 0.75), (0.6, 0.4, 0.2), (2.2, 3.0)),
-            ("sofa", (1.8, 0.8, 0.8), (0.2, 0.7, 0.3), (6.0, 1.2)),
-            ("refrigerator", (0.7, 0.7, 1.8), (0.85, 0.85, 0.9), (7.4, 5.2)),
-            ("toilet", (0.5, 0.6, 0.8), (0.95, 0.95, 0.95), (5.0, 5.2)),
+            ("bed", (1.6, 2.0, 0.5), (0.8, 0.15, 0.15), (1.2, 1.6)),
+            ("chair", (0.5, 0.5, 0.9), (0.15, 0.35, 0.85), (2.8, 4.6)),
+            ("table", (1.2, 0.8, 0.75), (0.6, 0.4, 0.1), (2.2, 3.0)),
+            ("sofa", (1.8, 0.8, 0.8), (0.15, 0.7, 0.25), (6.0, 1.2)),
+            ("refrigerator", (0.7, 0.7, 1.8), (1.0, 1.0, 1.0), (7.4, 5.2)),
+            ("toilet", (0.5, 0.6, 0.8), (0.1, 0.8, 0.8), (5.0, 5.2)),
         ]
         for i, (label, size, color, (cx, cy)) in enumerate(defs):
             sc.boxes.append(
@@ -110,13 +110,13 @@ class SyntheticScene:
             (8.0, 0.0, 8.0, 3.0), (8.0, 4.2, 8.0, h),      # door y in [3.0, 4.2]
         ]
         defs = [
-            ("bed", (1.6, 2.0, 0.5), (0.8, 0.2, 0.2), (1.4, 1.8)),
-            ("chair", (0.5, 0.5, 0.9), (0.2, 0.4, 0.8), (2.8, 4.6)),
-            ("table", (1.2, 0.8, 0.75), (0.6, 0.4, 0.2), (6.0, 1.6)),
-            ("sofa", (1.8, 0.8, 0.8), (0.2, 0.7, 0.3), (6.2, 4.8)),
-            ("refrigerator", (0.7, 0.7, 1.8), (0.85, 0.85, 0.9), (11.2, 5.0)),
-            ("toilet", (0.5, 0.6, 0.8), (0.95, 0.95, 0.95), (9.2, 5.0)),
-            ("bathtub", (1.5, 0.7, 0.6), (0.9, 0.9, 1.0), (10.6, 1.0)),
+            ("bed", (1.6, 2.0, 0.5), (0.8, 0.15, 0.15), (1.4, 1.8)),
+            ("chair", (0.5, 0.5, 0.9), (0.15, 0.35, 0.85), (2.8, 4.6)),
+            ("table", (1.2, 0.8, 0.75), (0.6, 0.4, 0.1), (6.0, 1.6)),
+            ("sofa", (1.8, 0.8, 0.8), (0.15, 0.7, 0.25), (6.2, 4.8)),
+            ("refrigerator", (0.7, 0.7, 1.8), (1.0, 1.0, 1.0), (11.2, 5.0)),
+            ("toilet", (0.5, 0.6, 0.8), (0.1, 0.8, 0.8), (9.2, 5.0)),
+            ("bathtub", (1.5, 0.7, 0.6), (0.85, 0.4, 0.75), (10.6, 1.0)),
         ]
         for i, (label, size, color, (cx, cy)) in enumerate(defs):
             sc.boxes.append(
@@ -144,16 +144,22 @@ class SyntheticScene:
         "wardrobe": (1.0, 0.55, 1.9), "piano": (1.2, 0.6, 1.1),
         "sink": (0.5, 0.45, 0.85), "oven": (0.6, 0.6, 0.9),
     }
+    # palette contract: every pairwise color distance (incl. vs the wall
+    # 0.85,0.82,0.78 and floor 0.55,0.50,0.45) is >= 0.26 in RGB — the
+    # fixture towers separate categories by color, and the original palette's
+    # white cluster (refrigerator/toilet/bathtub/mirror/sink within 0.11-0.19
+    # of each other AND of the walls) capped zero-shot top-1 at ~0.65
+    # (measured round 4; tests/test_synthetic.py guards the invariant)
     _TWO_FLOOR_COLORS = {
-        "bed": (0.80, 0.20, 0.20), "chair": (0.20, 0.40, 0.80),
-        "table": (0.60, 0.40, 0.20), "sofa": (0.20, 0.70, 0.30),
-        "refrigerator": (0.85, 0.85, 0.90), "toilet": (0.95, 0.95, 0.95),
-        "bathtub": (0.70, 0.90, 1.00), "lamp": (1.00, 0.90, 0.30),
-        "plant": (0.10, 0.50, 0.10), "tv": (0.05, 0.05, 0.10),
-        "desk": (0.45, 0.30, 0.15), "bookshelf": (0.45, 0.20, 0.50),
-        "mirror": (0.75, 0.85, 0.85), "bench": (0.55, 0.55, 0.30),
-        "wardrobe": (0.30, 0.20, 0.60), "piano": (0.25, 0.12, 0.08),
-        "sink": (0.80, 0.80, 0.75), "oven": (0.40, 0.40, 0.45),
+        "bed": (0.80, 0.15, 0.15), "chair": (0.15, 0.35, 0.85),
+        "table": (0.60, 0.40, 0.10), "sofa": (0.15, 0.70, 0.25),
+        "refrigerator": (1.00, 1.00, 1.00), "toilet": (0.10, 0.80, 0.80),
+        "bathtub": (0.85, 0.40, 0.75), "lamp": (1.00, 0.85, 0.15),
+        "plant": (0.05, 0.45, 0.05), "tv": (0.03, 0.03, 0.08),
+        "desk": (0.35, 0.18, 0.03), "bookshelf": (0.65, 0.10, 0.60),
+        "mirror": (0.55, 0.85, 0.95), "bench": (0.78, 0.62, 0.38),
+        "wardrobe": (0.28, 0.08, 0.45), "piano": (0.95, 0.50, 0.05),
+        "sink": (0.25, 0.62, 0.55), "oven": (0.50, 0.05, 0.30),
     }
     # room categories and their 9 object categories per (floor, bay):
     # 6 rooms x 9 objects = 54 unique (object, room, floor) long-query keys

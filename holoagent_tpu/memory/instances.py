@@ -153,6 +153,7 @@ def frame_instances(
     stride: int = 1,
     grid=None,  # GridSpec: enables the 2x-coarse key sets (radius-tolerant merge)
     max_area_frac: float = 1.0,
+    max_extent: float = float("inf"),
 ) -> InstanceSet:
     """Lift the frame's 2-D masks to scene-row instance sets (the analog of
     reference create_3d_masks + per-frame mask list).  `stride` decimates
@@ -167,7 +168,17 @@ def frame_instances(
     (measured: 48-frame fixture builds collapsing to 1 object, round 4).  The
     reference never lifts such shells: its per-mask clouds go through
     DBSCAN + the bbox-IoU merge gate that a room-sized box cannot pass
-    (graph_utils.py:918-1038)."""
+    (graph_utils.py:918-1038).
+
+    ``max_extent`` (metres) drops masks by WORLD size — the gate that
+    actually matches the reference semantics above.  Frame-area fraction
+    alone is the wrong variable: a distant whole-room wall/floor view covers
+    only ~30%% of the frame yet lifts a room-scale shell whose row set
+    saturates ``k_cap``; a saturated (dilated) signature shows overlap ~1
+    against everything, and the shell absorbs every object in the scene
+    (measured collapse at 240x320 fixtures, round 4: 14 instances -> 1 over
+    four frames, every merge showing ratio=1.00 against a 95 m^3 blob).  No
+    indoor OBJECT has a 4 m bbox side; walls and floors do."""
     m, p = masks.shape
     masks_d = masks[:, ::stride]
     rows_d = pix_rows[::stride]
@@ -179,7 +190,19 @@ def frame_instances(
     valid = (masks_d & (rows_d >= 0)[None, :] & mask_valid[:, None]).reshape(-1)
     rows, counts = group_unique(groups, values, valid, num_groups=m, capacity=k_cap)
     area_frac = masks.mean(axis=1)
-    ok = mask_valid & (counts >= min_rows) & (area_frac <= max_area_frac)
+    # bbox from masked world points (full resolution for fidelity); computed
+    # up front so the world-extent gate can use it
+    sel_px = masks & (pix_rows >= 0)[None, :]
+    big = jnp.float32(jnp.inf)
+    bmin = jnp.min(jnp.where(sel_px[:, :, None], points[None], big), axis=1)
+    bmax = jnp.max(jnp.where(sel_px[:, :, None], points[None], -big), axis=1)
+    extent = jnp.max(bmax - bmin, axis=-1)  # -inf for empty masks
+    ok = (
+        mask_valid
+        & (counts >= min_rows)
+        & (area_frac <= max_area_frac)
+        & (extent <= max_extent)
+    )
     if grid is not None:
         from ..ops import voxel as vox
 
@@ -198,11 +221,6 @@ def frame_instances(
         ckeys = jnp.full((m, k_cap), I32_MAX, jnp.int32)
         ccounts = jnp.zeros((m,), jnp.int32)
         dsig = jnp.zeros((m, SIG_BUCKETS), jnp.float32)
-    # bbox from masked world points (full resolution for fidelity)
-    sel = masks & (pix_rows >= 0)[None, :]
-    big = jnp.float32(jnp.inf)
-    bmin = jnp.min(jnp.where(sel[:, :, None], points[None], big), axis=1)
-    bmax = jnp.max(jnp.where(sel[:, :, None], points[None], -big), axis=1)
     return InstanceSet(
         rows=jnp.where(ok[:, None], rows, I32_MAX),
         count=jnp.where(ok, counts, 0),
@@ -338,6 +356,11 @@ def merge_round(
     coarse_only: bool = False,  # skip the exact-row signature (mapper path:
     # every set carries coarse keys, and coarse-cell overlap IS the
     # reference's radius-tolerant semantics; saves one signature + matmul)
+    max_extent: float = float("inf"),  # no merge may produce an instance
+    # larger than this on any bbox side: sub-threshold wall/floor fragments
+    # otherwise chain across frames into a room-scale blob whose saturated
+    # signature overlaps everything (the collapse frame_instances max_extent
+    # guards at birth — this keeps the invariant under union)
 ) -> InstanceSet:
     """One full merge pass (reference merge_3d_masks over the whole set):
     gate by bbox IoU, estimate overlap via signature matmul, merge connected
@@ -406,6 +429,14 @@ def merge_round(
     adj = vv & ((iou > iou_thresh) | ((cont > 0.5) & (vol_ratio < 64.0))) & (
         ratio > overlap_thresh
     )
+    # union-extent invariant: a pairwise merge whose joint bbox exceeds
+    # max_extent on any side is vetoed (see max_extent above).  Transitive
+    # chains can still exceed it slightly; the veto breaks the geometric
+    # growth that saturates signatures.
+    umin = jnp.minimum(inst.bbox_min[:, None], inst.bbox_min[None, :])
+    umax = jnp.maximum(inst.bbox_max[:, None], inst.bbox_max[None, :])
+    uext = jnp.max(umax - umin, axis=-1)
+    adj = adj & (uext <= max_extent)
     adj = adj | (jnp.eye(i_cap, dtype=bool) & inst.valid[:, None])
     root = _connected_components(adj)
 
@@ -465,11 +496,12 @@ def seq_merge_step(
     iou_thresh: float,
     bbox_pad: float = 0.0,
     coarse_only: bool = False,
+    max_extent: float = float("inf"),
 ) -> InstanceSet:
     """Fold one frame into the global set (reference graph_utils.py:1015-1038
     `seq_merge` inner step)."""
     out_cap = global_inst.rows.shape[0]
     return merge_round(
         concat(global_inst, frame_inst), overlap_thresh, iou_thresh, out_cap,
-        bbox_pad=bbox_pad, coarse_only=coarse_only,
+        bbox_pad=bbox_pad, coarse_only=coarse_only, max_extent=max_extent,
     )

@@ -89,6 +89,7 @@ def frame_step(
     frame_voxel_capacity: int = 1 << 15,
     dtype=jnp.bfloat16,
     max_area_frac: float = 1.0,
+    max_extent: float = float("inf"),
 ):
     """ONE fused frame integration program: backproject -> scene insert ->
     SAM x CLIP extraction -> feature scatter -> instance fold-in.
@@ -124,12 +125,13 @@ def frame_step(
     finst = inst_mod.frame_instances.__wrapped__(
         masks_flat, ff.valid, ff.f_masks, pix_rows, pts, min_rows=3,
         k_cap=mask_k_cap, stride=pixel_stride, grid=scene.grid,
-        max_area_frac=max_area_frac,
+        max_area_frac=max_area_frac, max_extent=max_extent,
     )
     out_cap = instances.rows.shape[0]
     instances = inst_mod.merge_round.__wrapped__(
         inst_mod.concat(instances, finst), overlap_thresh, iou_thresh, out_cap,
         bbox_pad=0.5 * scene.grid.voxel_size, coarse_only=True,
+        max_extent=max_extent,
     )
     return scene, instances, ff.f_global
 
@@ -209,6 +211,7 @@ class Mapper:
                 frame_voxel_capacity=p.frame_voxel_capacity,
                 dtype=self._dtype,
                 max_area_frac=p.instance_max_area_frac,
+                max_extent=p.instance_max_extent_m,
             )
         else:
             self.scene, self.instances, f_g = self._staged_step(frame, ff)
@@ -255,6 +258,7 @@ class Mapper:
             min_rows=3, k_cap=p.mask_point_capacity,
             stride=self._pixel_stride(frame), grid=self.grid,
             max_area_frac=p.instance_max_area_frac,
+            max_extent=p.instance_max_extent_m,
         )
         if p.merge_type == "hierarchical":
             # binary-counter streaming fold (reference graph_utils.py:989-1012
@@ -266,6 +270,7 @@ class Mapper:
         instances = inst_mod.seq_merge_step(
             self.instances, finst, p.init_overlap_thresh, p.iou_thresh,
             bbox_pad=0.5 * p.voxel_size, coarse_only=True,
+            max_extent=p.instance_max_extent_m,
         )
         return scene, instances, ff.f_global
 
@@ -328,6 +333,7 @@ class Mapper:
             inst = inst_mod.merge_round(
                 cat, self._hier_th(height), p.iou_thresh,
                 min(out_cap, cat.rows.shape[0]), bbox_pad=0.5 * p.voxel_size, coarse_only=True,
+                max_extent=p.instance_max_extent_m,
             )
             height += 1
         self._hier_slots[height] = inst
@@ -349,11 +355,13 @@ class Mapper:
                     acc = inst_mod.merge_round(
                         cat, self._hier_th(h), p.iou_thresh,
                         min(out_cap, cat.rows.shape[0]), bbox_pad=0.5 * p.voxel_size, coarse_only=True,
+                        max_extent=p.instance_max_extent_m,
                     )
             self._hier_slots = {}
             self.instances = inst_mod.seq_merge_step(
                 self.instances, acc, self._hier_th(h_max), p.iou_thresh,
                 bbox_pad=0.5 * p.voxel_size, coarse_only=True,
+                max_extent=p.instance_max_extent_m,
             )
         # final merge pass (reference seq_merge's trailing merge)
         self.instances = inst_mod.merge_round(
@@ -362,6 +370,7 @@ class Mapper:
             p.iou_thresh,
             out_cap=self.instances.rows.shape[0],
             bbox_pad=0.5 * p.voxel_size, coarse_only=True,
+            max_extent=p.instance_max_extent_m,
         )
         # drop tiny instances (reference graph.py:442-446, <10 points)
         keep = self.instances.count >= max(10, 1)

@@ -496,10 +496,12 @@ class ShardedMapper:
                 masks_flat, ff.valid[j], ff.f_masks[j], rows, pts, min_rows=3,
                 k_cap=p.mask_point_capacity, stride=stride, grid=self.grid,
                 max_area_frac=p.instance_max_area_frac,
+                max_extent=p.instance_max_extent_m,
             )
             self.instances = inst_mod.seq_merge_step(
                 self.instances, finst, p.init_overlap_thresh, p.iou_thresh,
                 bbox_pad=0.5 * p.voxel_size, coarse_only=True,
+                max_extent=p.instance_max_extent_m,
             )
             self.keyframes.append(frame)
             self._kf_feats.append(jax.device_get(ff.f_global[j]))
@@ -526,7 +528,7 @@ class ShardedMapper:
         inst = inst_mod.merge_round(
             inst, p.init_overlap_thresh, p.iou_thresh,
             out_cap=inst.rows.shape[0], bbox_pad=0.5 * p.voxel_size,
-            coarse_only=True,
+            coarse_only=True, max_extent=p.instance_max_extent_m,
         )
         keep = inst.count >= 10
         inst = inst._replace(valid=inst.valid & keep)

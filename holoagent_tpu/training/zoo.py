@@ -23,10 +23,11 @@ from typing import Optional, Tuple
 import numpy as np
 
 # bump on any change to the training recipe, fixture scenes, or tower variants
-RECIPE_TAG = "r4f"  # r4c: SAM trained on background STRUCTURE regions too;
+RECIPE_TAG = "r4g"  # r4c: SAM trained on background STRUCTURE regions too;
 # r4d: CLIP trained on the deployed plain/masked BLEND feature;
 # r4e: CLIP trained on structure/background windows too ("background" class
-# anchors the reference-parity negative-prompt gate); r4f: 240x320 fixtures
+# anchors the reference-parity negative-prompt gate); r4f: 240x320 fixtures;
+# r4g: color-separated fixture palette (synthetic._TWO_FLOOR_COLORS contract)
 
 # GT room footprints per fixture layout (x0, y0, x1, y1, category[, floor])
 ROOM_RECTS = {

@@ -198,3 +198,39 @@ def test_to_disjoint_smallest_wins():
     assert out[2, 3:5, 3:5].all()
     assert out[1, 2, 2] and not out[1, 3, 3]
     assert out[0, 0, 0] and not out[0, 3, 3]
+
+
+def test_frame_instances_world_extent_gate():
+    """Room-scale shells (walls/floors) must not enter the instance table:
+    their saturated signatures overlap everything and collapse the scene
+    (instances.frame_instances max_extent; measured round 4 at 240x320)."""
+    p = 64
+    masks = np.zeros((2, p), bool)
+    masks[0, :32] = True   # object: points span 0.5 m
+    masks[1, 32:] = True   # shell: points span 8 m
+    pts = np.zeros((p, 3), np.float32)
+    pts[:32, 0] = np.linspace(0.0, 0.5, 32)
+    pts[32:, 0] = np.linspace(0.0, 8.0, 32)
+    rows = np.arange(p, dtype=np.int32)
+    f = np.eye(2, 4, dtype=np.float32)
+    out = inst_mod.frame_instances(
+        jnp.asarray(masks), jnp.ones(2, bool), jnp.asarray(f),
+        jnp.asarray(rows), jnp.asarray(pts), min_rows=1, k_cap=64,
+        max_extent=4.0,
+    )
+    v = np.asarray(out.valid)
+    assert v[0] and not v[1]
+
+
+def test_merge_union_extent_veto():
+    """Two sub-threshold fragments whose union would exceed max_extent must
+    not merge (the invariant that stops wall fragments chaining into a
+    room-scale blob, instances.merge_round max_extent)."""
+    # rows interpreted as x: fragments overlap heavily (rows 4..11 shared)
+    a = list(range(0, 12))
+    b = list(range(4, 16))
+    inst = _mk_inst([a, b], k_cap=32)
+    merged = inst_mod.merge_round(inst, 0.5, 0.01, out_cap=2)
+    assert int(merged.num()) == 1  # sanity: they merge without the veto
+    vetoed = inst_mod.merge_round(inst, 0.5, 0.01, out_cap=2, max_extent=10.0)
+    assert int(vetoed.num()) == 2  # union spans 16 > 10 -> vetoed

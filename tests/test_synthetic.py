@@ -94,3 +94,23 @@ def test_two_floor_renders_both_storeys():
     seen.discard(-1)
     # instances from both storeys observed (storey 1 ids start at 27)
     assert any(i < 27 for i in seen) and any(i >= 27 for i in seen)
+
+
+def test_palette_separation_contract():
+    """Every fixture category color is >= 0.26 RGB distance from every other
+    AND from the wall/floor colors — the fixture towers separate categories
+    by color, and the round-3 palette's white cluster (refrigerator/toilet/
+    bathtub/mirror/sink within 0.11-0.19 of each other and the walls) capped
+    zero-shot top-1 at ~0.65 (synthetic.py _TWO_FLOOR_COLORS)."""
+    import numpy as np
+
+    from holoagent_tpu.dataloader.synthetic import SyntheticScene
+
+    pal = dict(SyntheticScene._TWO_FLOOR_COLORS)
+    pal["wall"] = (0.85, 0.82, 0.78)
+    pal["floor"] = (0.55, 0.50, 0.45)
+    ks = list(pal)
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            d = float(np.linalg.norm(np.subtract(pal[ks[i]], pal[ks[j]])))
+            assert d >= 0.26, (ks[i], ks[j], d)
