@@ -82,11 +82,19 @@ def run(cfg: cfgmod.Config, dataset=None, models=None) -> Path:
             cache_dir=Path(cfg.main.save_path) / "label_cache",
         )
     graph = HMSGraph.build(mapped, cfg, np.asarray(label_feats), classes)
-    room_feats, _ = get_label_feats(
-        clip_params, tok, cv, "ROOM_TYPES",
-        cache_dir=Path(cfg.main.save_path) / "label_cache",
-    )
-    graph.generate_room_names(np.asarray(room_feats), DEFAULT_ROOM_TYPES)
+    room_types = tuple(getattr(cfg.pipeline, "room_types", ()) or DEFAULT_ROOM_TYPES)
+    if room_types == DEFAULT_ROOM_TYPES:
+        room_feats, _ = get_label_feats(
+            clip_params, tok, cv, "ROOM_TYPES",
+            cache_dir=Path(cfg.main.save_path) / "label_cache",
+        )
+    else:  # scene-card room types (pipeline.room_types)
+        from ..models.clip import text_features_multi_template
+
+        room_feats = text_features_multi_template(
+            clip_params, tok, list(room_types), cv
+        )
+    graph.generate_room_names(np.asarray(room_feats), room_types)
 
     out = Path(cfg.main.save_path) / cfg.main.scene_id
     ts = datetime.now().strftime("%Y%m%d_%H%M%S")

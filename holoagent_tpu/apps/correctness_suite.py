@@ -81,6 +81,20 @@ def correctness_config(layout: str, save_path: str) -> cfgmod.Config:
     # 3 m rejects the room-scale wall/floor shells that collapsed the
     # 240x320 builds (instances.frame_instances max_extent)
     cfg.pipeline.instance_max_extent_m = 3.0
+    # the merge overlap ratio counts coarse cells within ONE 8 cm cell of the
+    # other set (instances.merge_round dsig); the reference counts neighbors
+    # within a ~2-voxel radius (graph_utils.py:620-664), so at the production
+    # 0.75 threshold cross-viewpoint fragments of the same fixture object
+    # under-merge (opposite faces of a 0.5 m chair share no 8 cm cells).
+    # 0.5 compensates for the tighter radius at fixture scale.
+    cfg.pipeline.init_overlap_thresh = 0.5
+    # the fixture world's scene card: only the room types its layouts contain
+    # (training/zoo.ROOM_RECTS + synthetic._TWO_FLOOR_ROOMS) — voting against
+    # all 17 DEFAULT_ROOM_TYPES adds untrained-text noise (measured: 37%
+    # frame-level room-type accuracy with the full list, round 4)
+    cfg.pipeline.room_types = (
+        "bedroom", "living room", "kitchen", "bathroom", "office", "library",
+    )
     cfg.pipeline.extract_tiering = False
     cfg.pipeline.obj_labels = "FIXTURE"
     return cfg

@@ -71,19 +71,20 @@ def _pad_gallery_with_crops(graph, n: int, dataset, clip_params, cv, seed: int =
     can never earn GT credit.
 
     When the dataset carries GT instance masks (synthetic fixtures), windows
-    that are mostly OBJECT pixels are rejected: a window containing the
-    queried object is not a distractor — it is a duplicate of the answer
-    that steals its rank (measured: object-containing windows pinned
-    recall@5 at 0 regardless of tower quality, round 4).  Structure and
-    partial-furniture windows (<= ``max_object_frac``) stay in, like the
-    reference's real galleries."""
+    containing OBJECT pixels are rejected: a window showing the queried
+    object is not a distractor — it is a duplicate of the answer that steals
+    its rank (measured: object windows pinned recall@5 at 0 regardless of
+    tower quality, and even quarter-object windows outranked the true
+    instance whose ConceptFusion blend dilutes its category signal, round
+    4).  Structure/clutter windows stay in; cross-CATEGORY confusion is
+    already measured by the scene's real objects in the gallery."""
     import jax
     import jax.numpy as jnp
 
     from ..memory.nodes import Object as _Obj
     from ..models import clip as clip_mod
 
-    max_object_frac = 0.25
+    max_object_frac = 0.05
     rng = np.random.default_rng(seed)
     f_ids = sorted(rng.choice(len(dataset), size=min(len(dataset), 16), replace=False))
     frames = [np.asarray(dataset[int(i)].rgb, np.float32) for i in f_ids]

@@ -133,6 +133,12 @@ class PipelineConfig:
     # DBSCAN + bbox-IoU merge gate never passes a room-scale box,
     # graph_utils.py:918-1038); see instances.frame_instances max_extent
     instance_max_extent_m: float = 4.0
+    # room-type card for generate_room_names (empty = the full
+    # utils.labels.DEFAULT_ROOM_TYPES list).  The reference passes its scene
+    # card's room categories (room.py:131-172 infer_room_type takes the
+    # configured type list); voting against types the deployment never
+    # contains only adds noise
+    room_types: tuple = ()
     # tiered extraction: size the CLIP crop batch to the frame's actual
     # valid-mask count (two dispatches: mask stage -> host reads the count ->
     # CLIP stage at the smallest capacity tier that fits).  The reference

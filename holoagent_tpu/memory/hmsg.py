@@ -344,10 +344,19 @@ class HMSGraph:
             if n_rooms <= 0:
                 n_rooms = 1
                 room_ids = np.zeros(len(fl.pcd_points), np.int64)
-            # frames on this floor
-            zlo, zhi = fl.floor_zero_level, fl.floor_zero_level + fl.floor_height
+            # frames on this floor: a camera belongs to the floor whose zero
+            # level is below it, bounded by the NEXT storey's zero level —
+            # not by the observed point-slab height (ceiling-less scans put
+            # the camera ABOVE the slab: at 1.5 m eye height over a 1.2 m
+            # furniture slab the old gate matched zero frames and every room
+            # fell back to a single nearest keyframe, so room naming voted on
+            # one noisy view; measured round 4: 5 views for 48 keyframes)
+            zeros = sorted(f.floor_zero_level for f in g.floors)
+            zlo = fl.floor_zero_level
+            above = [z for z in zeros if z > zlo + 0.5]
+            zhi = min(above) if above else np.inf
             frame_ok = (
-                (kf_pos[:, 2] >= zlo) & (kf_pos[:, 2] <= zhi)
+                (kf_pos[:, 2] >= zlo) & (kf_pos[:, 2] < zhi)
                 if len(kf_pos)
                 else np.zeros((0,), bool)
             )
