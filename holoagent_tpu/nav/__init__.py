@@ -16,6 +16,7 @@ through the agent glue instead).
 from .costmap import Costmap
 from .planner import astar_plan
 from .smac import SmacHybridPlanner, smac_plan
+from .theta_star import ThetaStarPlanner, theta_star_plan
 from .controller import DWAController
 from .localizer import ParticleLocalizer, simulate_scan
 from .rpp import RPPController

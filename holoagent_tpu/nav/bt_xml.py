@@ -573,6 +573,10 @@ class XMLNavigator:
 
             yaw = self.get_pose()[2]
             return smac_plan(self.costmap, start_xy, goal_xy, start_yaw=yaw)
+        if planner_id == "ThetaStar":
+            from .theta_star import theta_star_plan
+
+            return theta_star_plan(self.costmap, start_xy, goal_xy)
         raise ValueError(f"unknown planner_id {planner_id!r}")
 
     def controller_for(self, controller_id: str):

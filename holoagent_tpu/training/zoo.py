@@ -23,11 +23,13 @@ from typing import Optional, Tuple
 import numpy as np
 
 # bump on any change to the training recipe, fixture scenes, or tower variants
-RECIPE_TAG = "r4g"  # r4c: SAM trained on background STRUCTURE regions too;
+RECIPE_TAG = "r4h"  # r4c: SAM trained on background STRUCTURE regions too;
 # r4d: CLIP trained on the deployed plain/masked BLEND feature;
 # r4e: CLIP trained on structure/background windows too ("background" class
 # anchors the reference-parity negative-prompt gate); r4f: 240x320 fixtures;
-# r4g: color-separated fixture palette (synthetic._TWO_FLOOR_COLORS contract)
+# r4g: color-separated fixture palette (synthetic._TWO_FLOOR_COLORS contract);
+# r4h: 3x training trajectories (48/48/72 frames) — more crop views per
+# category and ~16 room frames per room type for the naming head
 
 # GT room footprints per fixture layout (x0, y0, x1, y1, category[, floor])
 ROOM_RECTS = {
@@ -102,11 +104,11 @@ def _fixture_datasets(seed_base: int = 100):
         # 240x320: at 120x160 the small fixtures (toilet, lamp) render a few
         # hundred pixels and their crops blur into each other — resolution
         # was the binding constraint on tower quality (measured round 4)
-        SyntheticDataset(scene=SyntheticScene.two_room(), num_frames=16,
+        SyntheticDataset(scene=SyntheticScene.two_room(), num_frames=48,
                          hw=(240, 320), seed=seed_base, gaze_heights=(0.8, 2.2)),
-        SyntheticDataset(scene=SyntheticScene.three_room(), num_frames=16,
+        SyntheticDataset(scene=SyntheticScene.three_room(), num_frames=48,
                          hw=(240, 320), seed=seed_base + 1, gaze_heights=(0.8, 2.2)),
-        SyntheticDataset(scene=SyntheticScene.two_floor(), num_frames=36,
+        SyntheticDataset(scene=SyntheticScene.two_floor(), num_frames=72,
                          hw=(240, 320), seed=seed_base + 2, gaze_heights=(0.8, 2.2)),
     ]
 

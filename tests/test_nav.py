@@ -240,3 +240,45 @@ def test_bt_selects_mppi_controller(world):
             break
     assert status == Status.SUCCESS
     assert np.linalg.norm(state[:2] - [8.0, 1.0]) < 0.35
+
+
+def test_theta_star_any_angle_through_door(world):
+    """Theta* (nav2_theta_star_planner role) returns a SPARSE any-angle
+    vertex chain through the door, with every segment collision-free."""
+    from holoagent_tpu.nav import astar_plan as _astar, theta_star_plan
+
+    cm = world
+    start, goal = np.array([2.0, 1.0]), np.array([8.0, 1.0])
+    path = theta_star_plan(cm, start, goal)
+    assert len(path) >= 2
+    assert abs(path[0][0] - 2.0) < 0.2 and abs(path[-1][0] - 8.0) < 0.2
+    # crossing x=5 happens inside the door band
+    xs = np.array([p[0] for p in path]); ys = np.array([p[1] for p in path])
+    cross = np.where((xs[:-1] - 5.0) * (xs[1:] - 5.0) < 0)[0]
+    assert len(cross) >= 1
+    for c in cross:
+        # the segment through the wall must pass the door: interpolate the
+        # crossing point
+        t = (5.0 - xs[c]) / (xs[c + 1] - xs[c])
+        yc = ys[c] + t * (ys[c + 1] - ys[c])
+        assert 2.3 < yc < 3.7
+    # any-angle: far fewer vertices than the grid A* staircase
+    ref = _astar(cm, start, goal)
+    assert len(path) < len(ref) / 3
+    # every vertex-to-vertex segment stays traversable (densely sampled)
+    for a, b in zip(path[:-1], path[1:]):
+        for t in np.linspace(0, 1, 50):
+            p = (1 - t) * np.asarray(a) + t * np.asarray(b)
+            r, cgrid = cm.to_grid(p)
+            assert cm.cost[int(r), int(cgrid)] < LETHAL
+
+
+def test_theta_star_unreachable():
+    from holoagent_tpu.nav import theta_star_plan
+    from holoagent_tpu.nav.costmap import Costmap
+
+    occ = np.zeros((20, 20), bool)
+    occ[:, 10] = True
+    cm = Costmap.from_occupancy(occ, np.zeros(2), 0.1, robot_radius=0.05,
+                                inflation_radius=0.1)
+    assert theta_star_plan(cm, np.array([0.5, 1.0]), np.array([1.5, 1.0])) == []
