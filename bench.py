@@ -108,6 +108,7 @@ def main():
     clip_params = clip_mod.init_clip(jax.random.key(0), cv, dtype=jnp.bfloat16)
     clip_q8 = clip_mod.quantize_clip(clip_params)
     sam_params = sam_mod.init_sam(jax.random.key(1), sv, dtype=jnp.bfloat16)
+    sam_q8 = sam_mod.quantize_sam(sam_params)
 
     ds = SyntheticDataset(num_frames=2, hw=(480, 640))
     f = ds[0]
@@ -185,7 +186,7 @@ def main():
         stage_s[name] = max(time_device_fn(fn, args, iters=10), 1e-4)
     _sync(
         extract_frame_features(
-            clip_q8, sam_params, rgb, cv, sv,
+            clip_q8, sam_q8, rgb, cv, sv,
             points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash", clip_impl="flash",
         ).f_masks
     )
@@ -193,7 +194,7 @@ def main():
     stage_s["extract"] = max(
         _time_dispatch(
             lambda: extract_frame_features(
-                clip_q8, sam_params, rgb, cv, sv,
+                clip_q8, sam_q8, rgb, cv, sv,
                 points_per_side=12, max_masks=64, dtype=jnp.bfloat16,
                 impl="flash", clip_impl="flash",
             ).f_masks
@@ -214,14 +215,16 @@ def main():
     TIER = 32
     # sync on the valid-count scalar, not the (64, H, W) mask tensor — a
     # 20 MB host fetch per iteration would time the tunnel, not the device
+    # W8A8 encoder (models.sam.quantize_sam) — the production int8 operating
+    # point for the mask stage too, matching the CLIP tower
     mask_fn = lambda: _mask_stage(  # noqa: E731
-        sam_params, rgb, sv, 12, -10.0, 0.0, 100.0, 64, jnp.bfloat16, "flash"
+        sam_q8, rgb, sv, 12, -10.0, 0.0, 100.0, 64, jnp.bfloat16, "flash"
     )[3]
     _sync(mask_fn())
     _mark("stage extract tiered: mask stage")
     t_mask = max(_time_dispatch(mask_fn) - rtt, 1e-4)
     masks_s, valid_s, boxes_s, _nv = _mask_stage(
-        sam_params, rgb, sv, 12, -10.0, 0.0, 100.0, 64, jnp.bfloat16, "flash"
+        sam_q8, rgb, sv, 12, -10.0, 0.0, 100.0, 64, jnp.bfloat16, "flash"
     )
     clip_fn = lambda: _clip_stage(  # noqa: E731
         clip_q8, rgb, masks_s, valid_s, boxes_s, cv, TIER, 0.4418, 50.0,
@@ -270,9 +273,10 @@ def main():
     # independent).
     svh = sam_mod.VARIANTS["vit_h"]
     sam_h = sam_mod.init_sam(jax.random.key(2), svh, dtype=jnp.bfloat16)
+    sam_h_q8 = sam_mod.quantize_sam(sam_h)
     _sync(
         extract_frame_features(
-            clip_q8, sam_h, rgb, cv, svh,
+            clip_q8, sam_h_q8, rgb, cv, svh,
             points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash", clip_impl="flash",
         ).f_masks
     )
@@ -280,7 +284,7 @@ def main():
     extract_h = max(
         _time_dispatch(
             lambda: extract_frame_features(
-                clip_q8, sam_h, rgb, cv, svh,
+                clip_q8, sam_h_q8, rgb, cv, svh,
                 points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash", clip_impl="flash",
             ).f_masks
         )
@@ -291,7 +295,6 @@ def main():
     # tiered vit_h: the W8A8 vit_h mask stage (models.sam.quantize_sam — the
     # int8 operating point the CLIP tower already uses) + the same tier-32
     # CLIP stage
-    sam_h_q8 = sam_mod.quantize_sam(sam_h)
     mask_h_fn = lambda: _mask_stage(  # noqa: E731
         sam_h_q8, rgb, svh, 12, -10.0, 0.0, 100.0, 64, jnp.bfloat16, "flash"
     )[3]
@@ -318,7 +321,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": (
                     "frames/s (640x480 RGB-D -> fused scene graph, SAM vit_b "
-                    "flash + CLIP ViT-L/14 int8, tiered crop capacity: "
+                    "W8A8 flash + CLIP ViT-L/14 int8, tiered crop capacity: "
                     f"tier {TIER} of the 64-mask budget — the census a frame "
                     "carries at the reference's mask-filter settings)"
                 ),

@@ -95,6 +95,10 @@ def correctness_config(layout: str, save_path: str) -> cfgmod.Config:
     cfg.pipeline.room_types = (
         "bedroom", "living room", "kitchen", "bathroom", "office", "library",
     )
+    # structure classes the fixture towers trained join the negative-prompt
+    # gate: white-wall gallery windows otherwise argmax to "refrigerator"
+    # (both render near-white) instead of "background"
+    cfg.pipeline.negative_labels = ("background", "wall", "floor")
     cfg.pipeline.extract_tiering = False
     cfg.pipeline.obj_labels = "FIXTURE"
     return cfg

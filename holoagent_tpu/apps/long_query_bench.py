@@ -39,9 +39,11 @@ def run(graph_dir: str, gt_path: str, cfg: cfgmod.Config,
     floors_sorted = sorted(
         range(len(graph.floors)), key=lambda i: graph.floors[i].floor_zero_level
     )
+    neg = list(getattr(cfg.pipeline, "negative_labels", ()) or ()) or None
     predictions = []
     for q in queries:
-        floor, rooms, objs, _ = engine.query_hierarchy(q.text, top_k=1)
+        floor, rooms, objs, _ = engine.query_hierarchy(
+            q.text, top_k=1, negative_labels=neg)
         pred = {}
         if floor is not None:
             # report the floor's rank by zero level (the GT floor index space)

@@ -269,16 +269,19 @@ def run(
         image_provider=provider,
         vlm=_make_vlm(vlm_kind, clip_params, tok, cv, cfg) if use_slow else None,
     )
+    neg = list(getattr(cfg.pipeline, "negative_labels", ()) or ()) or None
     if warmup and instructions:
         # compile/caches warm-up (text towers, gallery encodes); the reference
         # benchmarks a long-lived warm process the same way
-        engine.query_hierarchy(instructions[0], top_k=5, use_slow=use_slow)
+        engine.query_hierarchy(instructions[0], top_k=5, use_slow=use_slow,
+                               negative_labels=neg)
     vlm_backend = engine.vlm if use_slow else None
     vlm_stats = getattr(vlm_backend, "stats", None)
     results = []
     for q in instructions:
         before = dict(vlm_stats) if vlm_stats is not None else None
-        floor, rooms, objs, res = engine.query_hierarchy(q, top_k=5, use_slow=use_slow)
+        floor, rooms, objs, res = engine.query_hierarchy(
+            q, top_k=5, use_slow=use_slow, negative_labels=neg)
         rec = {
             "instruction": q,
             "floor": floor.floor_id if floor else None,

@@ -139,6 +139,12 @@ class PipelineConfig:
     # configured type list); voting against types the deployment never
     # contains only adds noise
     room_types: tuple = ()
+    # negative-prompt labels for the query engine's class-argmax gate
+    # (empty = the engine default ["background"], reference graph.py:3497).
+    # Deployments whose vocabulary carries trained structure classes can list
+    # them here so structure-looking gallery entries argmax away from the
+    # query label
+    negative_labels: tuple = ()
     # tiered extraction: size the CLIP crop batch to the frame's actual
     # valid-mask count (two dispatches: mask stage -> host reads the count ->
     # CLIP stage at the smallest capacity tier that fits).  The reference

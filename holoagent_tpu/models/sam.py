@@ -542,17 +542,21 @@ def decode_masks(
     srcg = src.reshape(pcount, g, g, d).astype(dtype)
 
     def up(x, w, b):
-        return (
-            jax.lax.conv_transpose(
-                x,
-                w.astype(dtype),
-                strides=(2, 2),
-                padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            ).astype(dtype)
-            + b.astype(dtype)
-        )
+        # kernel-2 stride-2 VALID transposed conv has NO output overlap:
+        # out[2i+di, 2j+dj] = x[i, j] @ w[di, dj], i.e. a per-pixel linear
+        # map to 2x2 blocks.  One MXU matmul + reshape instead of XLA's
+        # gradient-form conv_transpose (which ran the decoder at ~20 TF/s;
+        # the matmul form runs at tower rates — scripts/profile_extract.py)
+        n, gh, gw, cin = x.shape
+        co = w.shape[-1]
+        # conv_transpose applies the kernel spatially FLIPPED (gradient
+        # convention): out[2i+di, 2j+dj] = x[i, j] @ w[1-di, 1-dj]
+        wm = jnp.transpose(w[::-1, ::-1], (2, 0, 1, 3)).reshape(cin, 4 * co).astype(dtype)
+        y = jnp.einsum(
+            "nhwc,ck->nhwk", x, wm, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        y = y.reshape(n, gh, gw, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(n, 2 * gh, 2 * gw, co) + b.astype(dtype)
 
     u = up(srcg, dec["up1_w"], dec["up1_b"])
     u = _ln(u, dec["up_ln_g"].astype(jnp.float32), dec["up_ln_b"].astype(jnp.float32))

@@ -203,8 +203,13 @@ def train_tiny_clip(
     cv = clip_mod.VARIANTS[variant_name]
     tok = SimpleTokenizer()
     rng = np.random.default_rng(seed)
+    # margin matches the deployed crop geometry (pipeline.clip_bbox_margin
+    # 16 px at 240x320): the extractor encodes expand_boxes(bbox, margin)
+    # windows, and a 4 px-trained tower sees 4x less background context at
+    # deployment — the blend feature of small objects (chair) then argmaxes
+    # to structure classes (measured round 4)
     crops, crops_masked, ids = collect_crops(
-        datasets, labels, cv.image_size, masked=True, structure=True
+        datasets, labels, cv.image_size, margin=16, masked=True, structure=True
     )
     labels = list(labels)
     if room_rects_by_ds is not None:

@@ -23,13 +23,15 @@ from typing import Optional, Tuple
 import numpy as np
 
 # bump on any change to the training recipe, fixture scenes, or tower variants
-RECIPE_TAG = "r4h"  # r4c: SAM trained on background STRUCTURE regions too;
+RECIPE_TAG = "r4i"  # r4c: SAM trained on background STRUCTURE regions too;
 # r4d: CLIP trained on the deployed plain/masked BLEND feature;
 # r4e: CLIP trained on structure/background windows too ("background" class
 # anchors the reference-parity negative-prompt gate); r4f: 240x320 fixtures;
 # r4g: color-separated fixture palette (synthetic._TWO_FLOOR_COLORS contract);
 # r4h: 3x training trajectories (48/48/72 frames) — more crop views per
-# category and ~16 room frames per room type for the naming head
+# category and ~16 room frames per room type for the naming head;
+# r4i: crop margin 16 px = the deployed clip_bbox_margin (train/deploy
+# context-window parity)
 
 # GT room footprints per fixture layout (x0, y0, x1, y1, category[, floor])
 ROOM_RECTS = {

@@ -76,15 +76,15 @@ def main():
 
     # ---- A: SAM encoder -------------------------------------------------
     @jax.jit
-    def sam_encode(img):
+    def sam_encode(p, img):
         x = sam_mod.preprocess(img[None], sv.img_size)
-        return sam_mod.encode_image(
-            sam_params["encoder"], x, sv, dtype=dtype, impl="flash"
-        )[0]
+        return sam_mod.encode_image(p["encoder"], x, sv, dtype=dtype, impl="flash")[0]
 
     _mark("sam_encode")
-    out["sam_encode_ms"] = round((_tdisp(lambda: sam_encode(rgb)) - rtt) * 1e3, 1)
-    emb = sam_encode(rgb)
+    out["sam_encode_ms"] = round(
+        (_tdisp(lambda: sam_encode(sam_params, rgb)) - rtt) * 1e3, 1)
+    _mark(f"sam_encode {out['sam_encode_ms']} ms")
+    emb = sam_encode(sam_params, rgb)
     g = emb.shape[0]
 
     # ---- B: decoder (prompts fixed, as generate_masks builds them) ------
@@ -103,15 +103,15 @@ def main():
     nme = sam_params["prompt"]["no_mask"].astype(emb.dtype)
 
     @jax.jit
-    def sam_decode(e):
-        logits, iou = sam_mod.decode_masks(
-            sam_params["decoder"], e, pe, sparse, nme, sv
-        )
+    def sam_decode(p, e):
+        logits, iou = sam_mod.decode_masks(p["decoder"], e, pe, sparse, nme, sv)
         return iou, logits
 
     _mark("sam_decode")
-    out["sam_decode_ms"] = round((_tdisp(lambda: sam_decode(emb)[0]) - rtt) * 1e3, 1)
-    iou_pred, logits_full = sam_decode(emb)
+    out["sam_decode_ms"] = round(
+        (_tdisp(lambda: sam_decode(sam_params, emb)[0]) - rtt) * 1e3, 1)
+    _mark(f"sam_decode {out['sam_decode_ms']} ms")
+    iou_pred, logits_full = sam_decode(sam_params, emb)
     logits = logits_full[:, 1:].reshape(-1, logits_full.shape[-2], logits_full.shape[-1])
     scores = iou_pred[:, 1:].reshape(-1)
     logits = jax.device_put(logits)
@@ -140,6 +140,7 @@ def main():
     out["filter_chain_ms"] = round(
         (_tdisp(lambda: filt(logits, scores)[0]) - rtt) * 1e3, 1
     )
+    _mark(f"filter_chain {out['filter_chain_ms']} ms")
     _, binm = filt(logits, scores)
     binm = jax.device_put(binm)
     valid = jnp.ones((M,), bool)
@@ -156,6 +157,7 @@ def main():
     out["nms_boxes_ms"] = round(
         (_tdisp(lambda: nms_only(logits, scores)[0]) - rtt) * 1e3, 1
     )
+    _mark(f"nms_boxes {out['nms_boxes_ms']} ms")
 
     @jax.jit
     def boxes_only(lg):
@@ -163,6 +165,7 @@ def main():
 
     _mark("boxes_from_masks (432 @ decoder res)")
     out["boxes_lo_ms"] = round((_tdisp(lambda: boxes_only(logits)) - rtt) * 1e3, 1)
+    _mark(f"boxes_lo {out['boxes_lo_ms']} ms")
 
     # ---- D: disjoint + tight boxes at frame res --------------------------
     @jax.jit
@@ -175,6 +178,7 @@ def main():
     out["disjoint_boxes_ms"] = round(
         (_tdisp(lambda: disjoint(binm)[0]) - rtt) * 1e3, 1
     )
+    _mark(f"disjoint_boxes {out['disjoint_boxes_ms']} ms")
     _, masks_d, boxes_d = disjoint(binm)
     masks_d = jax.device_put(masks_d)
     boxes_d = jax.device_put(boxes_d)
@@ -197,32 +201,32 @@ def main():
     out["crop_resize_ms"] = round(
         (_tdisp(lambda: crops(rgb, boxes_d, masks_d)[0]) - rtt) * 1e3, 1
     )
+    _mark(f"crop_resize {out['crop_resize_ms']} ms")
     _, stack = crops(rgb, boxes_d, masks_d)
     stack = jax.device_put(stack)
 
     # ---- F: CLIP tower over the 129-crop stack ---------------------------
     @jax.jit
-    def clip_tower(s):
-        f = clip_mod.encode_image(
-            clip_q8, s, cv, dtype=dtype, impl="flash", qmm="xla"
-        )
+    def clip_tower(p, s):
+        f = clip_mod.encode_image(p, s, cv, dtype=dtype, impl="flash", qmm="xla")
         return f.sum(), f
 
     _mark(f"clip_tower ({stack.shape[0]} crops int8 flash)")
     out["clip_tower_ms"] = round(
-        (_tdisp(lambda: clip_tower(stack)[0]) - rtt) * 1e3, 1
+        (_tdisp(lambda: clip_tower(clip_q8, stack)[0]) - rtt) * 1e3, 1
     )
+    _mark(f"clip_tower {out['clip_tower_ms']} ms")
 
     # ---- cross-check: the fused single program ---------------------------
-    @jax.jit
     def fused(img):
-        return extract_frame_features.__wrapped__(
+        return extract_frame_features(
             clip_q8, sam_params, img, cv, sv, points_per_side=PPS,
             max_masks=M, dtype=dtype, impl="flash", clip_impl="flash",
         ).f_masks.sum()
 
     _mark("fused_full64")
     out["fused_full64_ms"] = round((_tdisp(lambda: fused(rgb)) - rtt) * 1e3, 1)
+    _mark(f"fused_full64 {out['fused_full64_ms']} ms")
 
     parts = [
         "sam_encode_ms", "sam_decode_ms", "filter_chain_ms",
