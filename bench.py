@@ -8,11 +8,12 @@ pipeline — backprojection + voxel-scene insert, SAM automatic masks
 (ConceptFusion), per-pixel feature fusion, and the instance merge fold — at
 the reference's 5 cm / 0.75-overlap operating point with random-init weights
 (throughput is weight-independent).  SAM runs every attention layer through
-the Pallas rel-pos flash kernel (encoder 113 -> 23 ms on v5e); CLIP runs the
-int8 W8A8 tower (models.clip.quantize_clip, cosine > 0.999 vs full
-precision, tested) — the production operating point.  The bf16 CLIP number
-is reported alongside (`bf16_fps`), as is the SAM ViT-H backbone
-(`vit_h_fps`, the reference's exact config).
+the Pallas rel-pos flash kernel (encoder 113 -> 23 ms on v5e) with W8A8
+encoder weights (models.sam.quantize_sam), and its decoder's upscale chain
+runs as MXU matmuls; CLIP runs the int8 W8A8 tower (models.clip.
+quantize_clip, cosine > 0.999 vs full precision, tested) — the production
+operating point.  The bf16 CLIP number is reported alongside (`bf16_fps`),
+as is the SAM ViT-H backbone (`vit_h_fps`, the reference's exact config).
 
 Timing method: this sandbox reaches its chip through an RPC tunnel with ~30 ms
 round-trip that `block_until_ready` does not observe.  Small stages are timed

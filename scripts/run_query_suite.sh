@@ -48,7 +48,11 @@ run_qb fast
 run_qb slow_clip --slow --vlm clip
 run_qb slow_generative --slow --vlm generative
 
+# latency-only long-query pass over the chip-built (random-weight) map.
+# results/long_query_tpu.json — the ACCURACY artifact — is owned by
+# apps.correctness_suite (fixture-trained towers, >=2-floor scene,
+# >=50 queries); do not overwrite it here.
 python -m holoagent_tpu.apps.long_query_bench --graph "$GRAPH_DIR" \
   --gt /tmp/scene_info_3room.json --config "$CFG" \
-  --out results/long_query_tpu.json
-echo "wrote results/long_query_tpu.json"
+  --out results/long_query_3room_latency_tpu.json
+echo "wrote results/long_query_3room_latency_tpu.json"

@@ -81,8 +81,13 @@ def test_checkpoint_backfills_coarse_keys(tmp_path, rng):
     ckptr.wait_until_finished()
     sc2, inst2 = load_mapper_state(tmp_path / "old_ckpt")
     assert int(inst2.ccount[0]) > 0 and int(inst2.ccount[1]) > 0
-    # the recomputed coarse keys match keys_of on the member positions
-    cgrid = GridSpec(voxel_size=sc2.grid.voxel_size * 2.0, origin=sc2.grid.origin)
+    # the recomputed coarse keys match keys_of on the member positions at
+    # the production adjacency-cell scale (instances.COARSE_FACTOR)
+    from holoagent_tpu.memory.instances import COARSE_FACTOR
+
+    cgrid = GridSpec(
+        voxel_size=sc2.grid.voxel_size * COARSE_FACTOR, origin=sc2.grid.origin
+    )
     expect = np.unique(np.asarray(
         vox.keys_of(jnp.asarray(pmean), jnp.ones(len(uniq), bool), cgrid)
     ))
