@@ -23,7 +23,17 @@ jax.config.update("jax_platforms", "cpu")
 # tests and runs cuts the wall time severalfold.  CPU only — through the TPU
 # tunnel the disk-cache load path is SLOWER than recompiling (92 s vs 22 s
 # measured, see CLAUDE.md).
-jax.config.update("jax_compilation_cache_dir", "/tmp/holoagent_tpu/jax_cache_cpu")
+#
+# The cache dir is KEYED BY HOST CPU FEATURES + jax version: XLA:CPU AOT
+# artifacts bake in the compile machine's feature set, and loading them on a
+# different host spews cpu_aot_loader mismatch errors ("could lead to
+# SIGILL") and can corrupt timing/results — observed when the sandbox
+# migrated between rounds.
+from holoagent_tpu.utils.cachekey import machine_cache_dir  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", machine_cache_dir("jax_cache_cpu")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

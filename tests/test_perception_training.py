@@ -17,12 +17,18 @@ def test_tiny_clip_contrastive_learns(train_ds):
     from holoagent_tpu.training.perception import train_tiny_clip
 
     labels = train_ds[0].scene.labels()
-    # 100 steps: the r4e recipe adds structure/background windows to the
+    # 150 steps: the r4e recipe adds structure/background windows to the
     # batches (harder negatives), which slows early convergence
-    params, losses = train_tiny_clip(train_ds, labels, steps=100)
+    params, losses = train_tiny_clip(train_ds, labels, steps=150)
     assert np.mean(losses[-5:]) < 0.5 * losses[0]
     # crop/label alignment: a bed crop must be closer to "bed" than to a
-    # random other label after training
+    # random other label after training.  Evaluate the DEPLOYED feature —
+    # the plain/masked blend at clip_masked_weight over margin-16 crops,
+    # exactly what the extractor encodes and the retrieval path scores
+    # (perception/extractor.py, training/contrastive.clip_blend_loss) —
+    # not margin-4 plain crops, which are out-of-distribution for this
+    # recipe and get WORSE as training converges (measured: plain-crop
+    # top-1 0.50@100 steps -> 0.38@200 while blend top-1 rises to 0.88).
     import jax.numpy as jnp
 
     from holoagent_tpu.models import clip as clip_mod
@@ -30,16 +36,22 @@ def test_tiny_clip_contrastive_learns(train_ds):
     from holoagent_tpu.training.perception import collect_crops
 
     cv = clip_mod.VARIANTS["test-tiny"]
-    crops, ids = collect_crops(train_ds, labels, cv.image_size)
+    crops, crops_m, ids = collect_crops(
+        train_ds, labels, cv.image_size, margin=16, masked=True
+    )
     tok = SimpleTokenizer()
     tf = np.asarray(clip_mod.text_features_multi_template(
         params, tok, labels, cv, dtype=jnp.float32))
     mean = np.asarray(clip_mod.IMAGE_MEAN, np.float32)
     std = np.asarray(clip_mod.IMAGE_STD, np.float32)
-    emb = np.asarray(clip_mod.encode_image(
-        params, jnp.asarray((crops[:16] - mean) / std), cv, dtype=jnp.float32))
-    sims = emb @ tf.T
-    top1 = (sims.argmax(-1) == ids[:16]).mean()
+    fp = np.asarray(clip_mod.encode_image(
+        params, jnp.asarray((crops - mean) / std), cv, dtype=jnp.float32))
+    fm = np.asarray(clip_mod.encode_image(
+        params, jnp.asarray((crops_m - mean) / std), cv, dtype=jnp.float32))
+    w = 0.4418  # pipeline.clip_masked_weight (reference operating point)
+    f = w * fm + (1.0 - w) * fp
+    f /= np.linalg.norm(f, axis=-1, keepdims=True)
+    top1 = (np.argmax(f @ tf.T, -1) == ids).mean()
     assert top1 > 0.5, top1
 
 

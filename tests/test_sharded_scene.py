@@ -141,6 +141,14 @@ def test_sharded_mapper_end_to_end(rng):
                 "voxel_size": 0.08, "grid_resolution": 0.08,
                 "point_capacity": 1 << 14, "mask_point_capacity": 512,
                 "instance_capacity": 64, "skip_frames": 1,
+                # the untrained test-tiny SAM emits frame-scale random masks;
+                # the production wall/floor birth gates
+                # (instance_max_area_frac/extent, instances.frame_instances)
+                # would drop every one of them and leave this parity test
+                # vacuous — relax them so the sharded-vs-single instance
+                # plumbing is actually exercised
+                "instance_max_area_frac": 1.0,
+                "instance_max_extent_m": 1e9,
             },
         }
     )
