@@ -46,21 +46,34 @@ def load_mapper_state(path: str | Path) -> Tuple[SceneState, InstanceSet]:
         **{k: jax.numpy.asarray(v) for k, v in scene_d.items() if k != "grid"},
     )
     inst_d = {k: jax.numpy.asarray(v) for k, v in restored["instances"].items()}
-    backfill = "ckeys" not in inst_d or "dsig" not in inst_d
+    from .instances import SIG_BUCKETS
+
+    i_cap, k_cap = inst_d["rows"].shape
+    backfill = (
+        "ckeys" not in inst_d
+        or "dsig" not in inst_d
+        # STALE-FORMAT ckeys: revisions before COARSE_FACTOR 2.0 -> 1.0 saved
+        # (i_cap, k_cap // 2) key sets on the 2x-coarse grid.  Restoring them
+        # verbatim would make the next seq_merge_step concat fail on the
+        # width mismatch — or, worse, merge against wrong-scale adjacency
+        # cells via dsig.  The width mismatch is the format tag: recompute
+        # from the scene (rows ARE scene voxel rows, so the sets a fresh run
+        # would hold are fully recoverable).
+        or inst_d["ckeys"].shape[1] != k_cap
+        or inst_d.get("dsig") is not None
+        and inst_d["dsig"].shape[1] != SIG_BUCKETS
+    )
     if backfill:
         # checkpoints written before the coarse-key / dilated-signature merge
-        # upgrades lack those fields; place empty ones so the NamedTuple
-        # constructs, then recompute the real sets from the scene below (the
-        # production merge fold is coarse_only=True, under which empty sets
-        # would never merge)
-        from .instances import SIG_BUCKETS
-
-        i_cap, k_cap = inst_d["rows"].shape
+        # upgrades lack those fields (or carry the stale widths above); place
+        # empty ones so the NamedTuple constructs, then recompute the real
+        # sets from the scene below (the production merge fold is
+        # coarse_only=True, under which empty sets would never merge)
         # adjacency-cell sets share the row capacity (COARSE_FACTOR 1)
-        inst_d.setdefault("ckeys", jax.numpy.full(
+        inst_d["ckeys"] = jax.numpy.full(
             (i_cap, k_cap), 2**31 - 1, jax.numpy.int32
-        ))
-        inst_d.setdefault("ccount", jax.numpy.zeros((i_cap,), jax.numpy.int32))
+        )
+        inst_d["ccount"] = jax.numpy.zeros((i_cap,), jax.numpy.int32)
         inst_d["dsig"] = jax.numpy.zeros((i_cap, SIG_BUCKETS), jax.numpy.float32)
     inst = InstanceSet(**inst_d)
     if backfill:

@@ -24,7 +24,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .controller import DWAController, prune_path
+from .controller import DWAController
 from .costmap import Costmap, INSCRIBED, LETHAL
 from .planner import astar_plan
 
@@ -94,11 +94,16 @@ class CollisionMonitor:
             xs = x + v * ts * np.cos(yaw)
             ys = y + v * ts * np.sin(yaw)
         costs = self.costmap.cost_at_world(np.stack([xs, ys], -1))
-        # stop only on predicted CONTACT (nav2's collision monitor works on
-        # raw obstacle points, not inflated cost): stopping on the inscribed
-        # band would pin a robot that drifted into the band — its escape arc
-        # necessarily crosses band cells
-        if costs.max(initial=0) >= LETHAL:
+        # poses OUTSIDE the inscribed band stop before entering it (nav2
+        # semantics: an inscribed cell means the footprint may already
+        # overlap an obstacle when inflation_radius == robot radius); a
+        # robot that drifted INSIDE the band keeps the escape-gradient
+        # behavior — its escape arc necessarily crosses band cells, so only
+        # predicted CONTACT stops it (mirrors BaseObstacleCritic's
+        # in-band soft penalty)
+        here = float(self.costmap.cost_at_world(np.array([[x, y]]))[0])
+        stop_level = LETHAL if here >= INSCRIBED else INSCRIBED
+        if costs.max(initial=0) >= stop_level:
             return 0.0, 0.0  # stop zone
         if costs.max(initial=0) >= self.slow_cost:
             return v * self.slowdown_ratio, w
@@ -269,8 +274,9 @@ class _NavigateLeaf(Node):
             if nav._plan is None or not len(nav._plan):
                 return Status.FAILURE
         nav._tick += 1
-        path = prune_path(nav._plan, pos)
-        v, w = nav.controller.compute_velocity(pose, nav._vel, path, nav.goal_xy)
+        # controllers prune at score time (full plan keeps the DWA
+        # path-wavefront cache key stable until the next replan)
+        v, w = nav.controller.compute_velocity(pose, nav._vel, nav._plan, nav.goal_xy)
         v, w = nav.monitor.filter(pose, v, w)
         v, w = nav.smoother.smooth(v, w)
         nav._vel = (v, w)

@@ -44,7 +44,7 @@ from .behaviors import (
     TimedCommand,
     VelocitySmoother,
 )
-from .controller import DWAController, prune_path
+from .controller import DWAController
 from .costmap import Costmap, INSCRIBED
 from .planner import astar_plan
 from .mppi import MPPIController
@@ -370,8 +370,9 @@ class FollowPath(Node):
             self.reset()
             return Status.SUCCESS
         ctrl = nav.controller_for(self.controller_id)
-        path = prune_path(plan, pos)
-        v, w = ctrl.compute_velocity(pose, nav._vel, path, nav.goal_xy)
+        # controllers prune at score time; passing the full plan keeps the
+        # DWA path-wavefront cache key stable across the goal
+        v, w = ctrl.compute_velocity(pose, nav._vel, plan, nav.goal_xy)
         v, w = nav.monitor.filter(pose, v, w)
         v, w = nav.smoother.smooth(v, w)
         nav._vel = (v, w)
@@ -587,6 +588,7 @@ class XMLNavigator:
 
     def clear_costmap(self, service_name: str) -> None:
         self.costmap.cost[...] = self._pristine_cost
+        self.costmap.bump_version()  # invalidate wavefront-field caches
         self.costmap_clears.append(service_name)
 
     # -- registry ------------------------------------------------------------

@@ -340,18 +340,25 @@ class DWAController:
 
     def __post_init__(self):
         self._critics = build_critics(self.critics, self.critic_params)
-        self._field_cache: Dict[str, Tuple[int, np.ndarray, np.ndarray]] = {}
+        self._field_cache: Dict[str, tuple] = {}
 
     def _cached_field(self, key: str, sources: np.ndarray) -> np.ndarray:
         """Per-cycle wavefront fields, recomputed only when the sources or
         the costmap change (the goal field is stable across a whole goal;
-        the path field until the next replan)."""
-        ver = (self.costmap.cost.tobytes(), sources.tobytes())
+        the path field until the next replan).
+
+        Keyed on (costmap identity, Costmap.version, sources bytes) — NOT a
+        hash of the full cost grid (hashing HxW bytes every 10 Hz cycle costs
+        more than it saves, and storing only the hash lets a collision reuse
+        a stale O(HW·(H+W)) wavefront silently).  The cache entry keeps a
+        reference to the costmap so ``id()`` cannot be recycled."""
+        cm = self.costmap
+        k = (id(cm), cm.version, sources.tobytes())
         hit = self._field_cache.get(key)
-        if hit is not None and hit[0] == hash(ver):
-            return hit[1]
-        field = self.costmap.wavefront_distance(sources)
-        self._field_cache[key] = (hash(ver), field)
+        if hit is not None and hit[0] == k:
+            return hit[2]
+        field = cm.wavefront_distance(sources)
+        self._field_cache[key] = (k, cm, field)
         return field
 
     @classmethod
@@ -395,9 +402,15 @@ class DWAController:
             min(self.w_max, w0 + self.accel_w),
             self.n_w,
         )
-        pts = np.array([p[:2] for p in path]) if len(path) else goal_xy[None, :2]
+        # the wavefront field is keyed on the FULL plan (stable until the
+        # next replan); the critics' alignment points are pruned at score
+        # time — pruning before the field would slide the cache key every
+        # cycle and recompute the O(HW·(H+W)) wavefront each tick
+        pts_all = np.array([p[:2] for p in path]) if len(path) else goal_xy[None, :2]
+        pruned = prune_path(path, np.asarray(pose[:2], np.float64))
+        pts = np.array([p[:2] for p in pruned]) if len(pruned) else pts_all
         goal_pts = np.asarray(goal_xy[:2], np.float64)[None]
-        path_field = self._cached_field("path", pts)
+        path_field = self._cached_field("path", pts_all)
         goal_field = self._cached_field("goal", goal_pts)
         ctx = {
             "costmap": self.costmap,

@@ -21,6 +21,13 @@ class Costmap:
     origin: np.ndarray  # (2,) world xy of cell (0, 0)
     resolution: float
     cost: np.ndarray  # (H, W) uint8
+    # monotone mutation counter: every in-place change to ``cost`` must call
+    # bump_version() — consumers (DWAController's wavefront-field cache) key
+    # on it instead of hashing the whole grid every control cycle
+    version: int = 0
+
+    def bump_version(self) -> None:
+        self.version += 1
 
     @staticmethod
     def from_occupancy(

@@ -153,6 +153,12 @@ class MPPIController:
         T = self.steps
         goal_xy = np.asarray(goal_xy[:2], np.float64)
         self._pose_xy = (float(pose[0]), float(pose[1]))
+        # controllers receive the FULL plan and prune at score time (shared
+        # protocol with DWAController): passed waypoints otherwise attract
+        # the path-distance cost backwards
+        from .controller import prune_path
+
+        path = prune_path(path, np.asarray(pose[:2], np.float64))
         path_pts = (
             np.array([p[:2] for p in path]) if len(path) else goal_xy[None]
         )

@@ -82,6 +82,10 @@ class RPPController:
     ) -> Tuple[float, float]:
         pose_xy = np.asarray(pose[:2], np.float64)
         yaw = float(pose[2])
+        # shared controller protocol: full plan in, prune at score time
+        from .controller import prune_path
+
+        path = prune_path(path, pose_xy)
         pts = (
             np.array([p[:2] for p in path], np.float64)
             if len(path)

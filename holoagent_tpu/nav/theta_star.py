@@ -50,10 +50,20 @@ def _los(cost: np.ndarray, a: Tuple[int, int], b: Tuple[int, int],
         if r == r1 and c == c1:
             break
         e2 = 2 * err
-        if e2 > -dc:
+        step_r = e2 > -dc
+        step_c = e2 < dr
+        if step_r and step_c:
+            # true supercover: a diagonal advance passes between the two
+            # orthogonally-adjacent cells — check both, or the ray can thread
+            # the gap between two diagonally-touching lethal cells (the
+            # reference's losCheck visits them, theta_star.cpp:173-222)
+            for rr, cc in ((r + sr, c), (r, c + sc)):
+                if float(cost[rr, cc]) >= lethal_threshold:
+                    return False, np.inf
+        if step_r:
             err -= dc
             r += sr
-        if e2 < dr:
+        if step_c:
             err += dr
             c += sc
     return True, acc

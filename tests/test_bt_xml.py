@@ -247,6 +247,7 @@ def test_xml_navigator_clears_costmap_to_recover():
     nav = XMLNavigator(cm, sim.send_velocity, sim.pose, goal_radius=0.3)
     # dynamic obstacle painted AFTER init: a full wall across the room
     cm.cost[:, 28:32] = LETHAL
+    cm.bump_version()  # the costmap mutation contract (Costmap.version)
     nav.set_goal(np.array([5.0, 5.0]))
     status = Status.RUNNING
     for _ in range(800):
@@ -306,6 +307,7 @@ def test_replan_if_invalid_tree_replans_on_blocked_path():
         if t == 30:
             # block the straight corridor mid-run (north half stays open)
             cm.cost[:35, 28:32] = LETHAL
+            cm.bump_version()  # the costmap mutation contract
         st = nav.tick()
         p = nav.blackboard.get("path")
         if p is not None and (not plans or plans[-1] is not p):
