@@ -12,17 +12,26 @@ the Pallas rel-pos flash kernel (encoder 113 -> 23 ms on v5e) with W8A8
 encoder weights (models.sam.quantize_sam), and its decoder's upscale chain
 runs as MXU matmuls; CLIP runs the int8 W8A8 tower (models.clip.
 quantize_clip, cosine > 0.999 vs full precision, tested) — the production
-operating point.  The bf16 CLIP number is reported alongside (`bf16_fps`),
-as is the SAM ViT-H backbone (`vit_h_fps`, the reference's exact config).
+operating point.
+
+Timeout-proofing (round-5 contract fix): the driver runs this under a hard
+timeout, and round 4's run died compiling secondary rows AFTER the headline
+was already computable (BENCH_r04 rc=124, parsed=null).  The structure is now
+  1. the HEADLINE path (tiered extract + small stages) measures first;
+  2. every secondary row (full-64 worst case, bf16 tower, the SAM ViT-H
+     reference backbone) runs in a CHILD PROCESS bounded by the remaining
+     wall budget (BENCH_BUDGET_S, default 420 s) — a wedged remote compile is
+     killed with the child and reports null instead of taking the run down;
+  3. the one JSON line always prints.
 
 Timing method: this sandbox reaches its chip through an RPC tunnel with ~30 ms
 round-trip that `block_until_ready` does not observe.  Small stages are timed
 with utils.benchtime.time_device_fn: K iterations chained inside ONE jitted
 program with a forced serial dependency, synced by a host scalar fetch — pure
-on-device time, no tunnel artifacts.  The big SAM x CLIP extract program is
-timed per-dispatch minus the measured tunnel round-trip instead (the remote
-compiler cannot hold a scan-wrapped copy of that mega-program; at ~350 ms per
-dispatch the RTT correction is small).  mapping FPS = 1 / sum(per-stage
+on-device time, no tunnel artifacts.  The big SAM x CLIP programs are timed
+per-dispatch minus the measured tunnel round-trip instead (the remote
+compiler cannot hold a scan-wrapped copy of those mega-programs; at ~100+ ms
+per dispatch the RTT correction is small).  mapping FPS = 1 / sum(per-stage
 device time).
 
 `vs_baseline`: the reference is single-GPU torch/CUDA and publishes no numbers
@@ -33,11 +42,25 @@ that even on GPU), so vs_baseline == measured FPS.
 """
 
 import json
+import os
 import statistics
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+TIER = 32
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - T0)
+
+
+def _mark(msg):
+    print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
 
 def _sync(x):
@@ -89,32 +112,108 @@ def extract_flops(cv, sv, max_masks: int, frames: int = 1,
     return frames * (sam + clip)
 
 
-def main():
+def _setup_vit_b():
+    """Shared setup for both processes: towers, frame, rtt probe."""
     import jax
     import jax.numpy as jnp
 
     from holoagent_tpu.dataloader import SyntheticDataset
-    from holoagent_tpu.memory import instances as inst_mod
-    from holoagent_tpu.memory import scene as scene_mod
     from holoagent_tpu.models import clip as clip_mod
     from holoagent_tpu.models import sam as sam_mod
-    from holoagent_tpu.ops.backproject import backproject
-    from holoagent_tpu.ops.voxel import GridSpec
-    from holoagent_tpu.perception.extractor import extract_frame_features
-    from holoagent_tpu.utils.camera import Pinhole
 
-    dev = jax.devices()[0]
     cv = clip_mod.VARIANTS["ViT-L-14"]
     sv = sam_mod.VARIANTS["vit_b"]
     clip_params = clip_mod.init_clip(jax.random.key(0), cv, dtype=jnp.bfloat16)
     clip_q8 = clip_mod.quantize_clip(clip_params)
     sam_params = sam_mod.init_sam(jax.random.key(1), sv, dtype=jnp.bfloat16)
     sam_q8 = sam_mod.quantize_sam(sam_params)
-
     ds = SyntheticDataset(num_frames=2, hw=(480, 640))
     f = ds[0]
-    cam = Pinhole.from_matrix(f.k)
     rgb = jnp.asarray(f.rgb)
+    trivial = jax.jit(lambda x: x + 1.0)
+    xs = jnp.zeros((8, 128))
+    _sync(trivial(xs))
+    rtt = _time_dispatch(lambda: trivial(xs), iters=8)
+    return cv, sv, clip_params, clip_q8, sam_params, sam_q8, f, rgb, rtt
+
+
+def extras_main():
+    """Secondary rows, run in a budget-bounded child process: the full-64
+    int8 worst case, the bf16 tower, and the SAM ViT-H reference backbone.
+    Prints one JSON dict of raw seconds to stdout (parent derives FPS)."""
+    import jax.numpy as jnp
+
+    from holoagent_tpu.models import sam as sam_mod
+    from holoagent_tpu.perception.extractor import (
+        _mask_stage,
+        extract_frame_features,
+    )
+
+    cv, sv, clip_params, clip_q8, sam_params, sam_q8, f, rgb, rtt = _setup_vit_b()
+    _mark(f"extras child: rtt {rtt*1e3:.1f} ms")
+    out = {}
+
+    _mark("extras: extract full64 (int8 flash)")
+    full64_fn = lambda: extract_frame_features(  # noqa: E731
+        clip_q8, sam_q8, rgb, cv, sv,
+        points_per_side=12, max_masks=64, dtype=jnp.bfloat16,
+        impl="flash", clip_impl="flash",
+    ).f_masks
+    _sync(full64_fn())
+    out["extract_full64_s"] = max(_time_dispatch(full64_fn) - rtt, 1e-4)
+
+    _mark("extras: extract full64 bf16")
+    bf16_fn = lambda: extract_frame_features(  # noqa: E731
+        clip_params, sam_params, rgb, cv, sv,
+        points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash",
+    ).f_masks
+    _sync(bf16_fn())
+    out["extract_bf16_s"] = max(_time_dispatch(bf16_fn) - rtt, 1e-4)
+
+    # reference operating point: SAM ViT-H (semantic_scene_reconstruction_ic4f
+    # .yaml:11).  Measure the extract stage at vit_h; the parent derives the
+    # vit_h FPS by swapping that one stage (the rest of the pipeline is
+    # backbone-independent).
+    import jax
+
+    svh = sam_mod.VARIANTS["vit_h"]
+    sam_h = sam_mod.init_sam(jax.random.key(2), svh, dtype=jnp.bfloat16)
+    sam_h_q8 = sam_mod.quantize_sam(sam_h)
+    _mark("extras: extract full64 vit_h (int8 flash)")
+    h_fn = lambda: extract_frame_features(  # noqa: E731
+        clip_q8, sam_h_q8, rgb, cv, svh,
+        points_per_side=12, max_masks=64, dtype=jnp.bfloat16,
+        impl="flash", clip_impl="flash",
+    ).f_masks
+    _sync(h_fn())
+    out["extract_h_s"] = max(_time_dispatch(h_fn) - rtt, 1e-4)
+
+    # tiered vit_h mask stage (W8A8, same int8 operating point as the tower)
+    _mark("extras: mask stage vit_h (W8A8)")
+    mask_h_fn = lambda: _mask_stage(  # noqa: E731
+        sam_h_q8, rgb, svh, 12, -10.0, 0.0, 100.0, 64, jnp.bfloat16, "flash"
+    )[3]
+    _sync(mask_h_fn())
+    out["t_mask_h_s"] = max(_time_dispatch(mask_h_fn) - rtt, 1e-4)
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from holoagent_tpu.memory import instances as inst_mod
+    from holoagent_tpu.memory import scene as scene_mod
+    from holoagent_tpu.ops.backproject import backproject
+    from holoagent_tpu.ops.voxel import GridSpec
+    from holoagent_tpu.perception.extractor import _clip_stage, _mask_stage
+    from holoagent_tpu.utils.benchtime import time_device_fn
+    from holoagent_tpu.utils.camera import Pinhole
+
+    _mark(f"budget {BUDGET_S:.0f}s; init towers")
+    cv, sv, clip_params, clip_q8, sam_params, sam_q8, f, rgb, rtt = _setup_vit_b()
+    dev = jax.devices()[0]
+    cam = Pinhole.from_matrix(f.k)
     depth = jnp.asarray(f.depth)
     pose = jnp.asarray(f.pose)
 
@@ -123,101 +222,18 @@ def main():
     instances = inst_mod.empty_instances(256, 2048, cv.embed_dim)
     stride = max(1, (480 * 640) // 32768)
 
-    import sys as _sys
-
-    def _mark(msg):
-        print(f"# bench: {msg}", file=_sys.stderr, flush=True)
-
-    _mark("init done; warming rtt probe")
-    # tunnel round-trip floor (cached trivial program)
-    trivial = jax.jit(lambda x: x + 1.0)
-    xs = jnp.zeros((8, 128))
-    _sync(trivial(xs))
-    rtt = _time_dispatch(lambda: trivial(xs), iters=8)
-
-    _mark("rtt %.1f ms; warming pipeline programs" % (rtt * 1e3))
-    # warm up + materialize intermediates the later stages need
-    pts, cols, valid = backproject(depth, rgb, cam, pose, 1e-3, 10.0)
-    # fcap 16k: the synthetic indoor frame touches ~5k 5 cm voxels (the
-    # production default is pipeline.frame_voxel_capacity = 32k for deep views)
-    scene1, rows = scene_mod.insert_points(scene, pts, cols, valid, fcap=1 << 14)
-    ff = extract_frame_features(
-        clip_params, sam_params, rgb, cv, sv,
-        points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash",
-    )
-    masks_flat = ff.masks.reshape(64, -1)
-    _sync(scene_mod.fuse_pixel_features(scene1, rows, masks_flat, ff.valid, ff.f_masks).feat_count)
-    finst = inst_mod.frame_instances(
-        masks_flat, ff.valid, ff.f_masks, rows, pts, k_cap=2048, stride=stride,
-        grid=grid,
-    )
-    _sync(
-        inst_mod.seq_merge_step(instances, finst, 0.75, 0.05, bbox_pad=0.025, coarse_only=True).count
-    )
-
-    _mark("warm-up done; timing device stages")
-    from holoagent_tpu.utils.benchtime import time_device_fn
-
-    device_stages = {
-        "backproject": (
-            lambda d: backproject(d, rgb, cam, pose, 1e-3, 10.0)[0], [depth]),
-        "insert": (
-            lambda p: scene_mod.insert_points(scene, p, cols, valid, fcap=1 << 14)[0].count,
-            [pts]),
-        "fuse": (
-            lambda r: scene_mod.fuse_pixel_features(
-                scene1, r, masks_flat, ff.valid, ff.f_masks
-            ).feat_count,
-            [rows]),
-        "instances": (
-            lambda mf: inst_mod.frame_instances(
-                mf, ff.valid, ff.f_masks, rows, pts, k_cap=2048, stride=stride,
-                grid=grid,
-            ).count,
-            [masks_flat]),
-        "merge": (
-            lambda i: inst_mod.seq_merge_step(
-                i, finst, 0.75, 0.05, bbox_pad=0.025, coarse_only=True
-            ).count,
-            [instances]),
-    }
-    stage_s = {}
-    for name, (fn, args) in device_stages.items():
-        _mark(f"stage {name}")
-        stage_s[name] = max(time_device_fn(fn, args, iters=10), 1e-4)
-    _sync(
-        extract_frame_features(
-            clip_q8, sam_q8, rgb, cv, sv,
-            points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash", clip_impl="flash",
-        ).f_masks
-    )
-    _mark("stage extract (int8 flash)")
-    stage_s["extract"] = max(
-        _time_dispatch(
-            lambda: extract_frame_features(
-                clip_q8, sam_q8, rgb, cv, sv,
-                points_per_side=12, max_masks=64, dtype=jnp.bfloat16,
-                impl="flash", clip_impl="flash",
-            ).f_masks
-        )
-        - rtt,
-        1e-4,
-    )
+    _mark("rtt %.1f ms; warming HEADLINE programs (tiered extract)" % (rtt * 1e3))
     # ---- tiered extract (the production default, pipeline.extract_tiering):
     # mask stage + CLIP stage at tier 32.  A frame at the reference's filter
     # settings (SamAutomaticMaskGenerator pps=12, pred_iou 0.88, stability
     # 0.95 — sam_clip_feats_extractor.py:117 and graph.py:191-199) carries a
     # few dozen masks; the reference encodes exactly that many crops, while
-    # the single-program path above always pays the worst-case 64-mask
-    # budget (129 ViT-L crops).  Tier 32 is the representative census; the
-    # worst case stays reported as full64.
-    from holoagent_tpu.perception.extractor import _clip_stage, _mask_stage
-
-    TIER = 32
+    # the full-64 single program always pays the worst-case budget (129 ViT-L
+    # crops).  Tier 32 is the representative census; the worst case is a
+    # secondary row measured by the extras child.
+    #
     # sync on the valid-count scalar, not the (64, H, W) mask tensor — a
-    # 20 MB host fetch per iteration would time the tunnel, not the device
-    # W8A8 encoder (models.sam.quantize_sam) — the production int8 operating
-    # point for the mask stage too, matching the CLIP tower
+    # 20 MB host fetch per iteration would time the tunnel, not the device.
     mask_fn = lambda: _mask_stage(  # noqa: E731
         sam_q8, rgb, sv, 12, -10.0, 0.0, 100.0, 64, jnp.bfloat16, "flash"
     )[3]
@@ -236,85 +252,116 @@ def main():
     t_clip32 = max(_time_dispatch(clip_fn) - rtt, 1e-4)
     extract_tiered = t_mask + t_clip32
 
-    _mark("stage extract bf16")
-    extract_bf16 = max(
-        _time_dispatch(
-            lambda: extract_frame_features(
-                clip_params, sam_params, rgb, cv, sv,
-                points_per_side=12, max_masks=64, dtype=jnp.bfloat16,
-                impl="flash",
-            ).f_masks
-        )
-        - rtt,
-        1e-4,
+    _mark("warming small stages")
+    pts, cols, valid = backproject(depth, rgb, cam, pose, 1e-3, 10.0)
+    # fcap 16k: the synthetic indoor frame touches ~5k 5 cm voxels (the
+    # production default is pipeline.frame_voxel_capacity = 32k for deep views)
+    scene1, rows = scene_mod.insert_points(scene, pts, cols, valid, fcap=1 << 14)
+    # mask/feature arrays for the fusion/instance stages come from the mask
+    # stage above plus unit-norm feature rows — stage timing is shape-bound,
+    # and this keeps every headline program independent of the extras child
+    m_budget = masks_s.shape[0]
+    masks_flat = masks_s.reshape(m_budget, -1)
+    f_masks = jnp.asarray(
+        np.random.default_rng(0).normal(size=(m_budget, cv.embed_dim)).astype(np.float32)
+    )
+    f_masks = f_masks / jnp.linalg.norm(f_masks, axis=-1, keepdims=True)
+    _sync(scene_mod.fuse_pixel_features(scene1, rows, masks_flat, valid_s, f_masks).feat_count)
+    finst = inst_mod.frame_instances(
+        masks_flat, valid_s, f_masks, rows, pts, k_cap=2048, stride=stride,
+        grid=grid,
+    )
+    _sync(
+        inst_mod.seq_merge_step(instances, finst, 0.75, 0.05, bbox_pad=0.025, coarse_only=True).count
     )
 
-    total = sum(stage_s.values())
-    fps_full64 = 1.0 / total
-    fps_bf16 = 1.0 / (total - stage_s["extract"] + extract_bf16)
-    fps = 1.0 / (total - stage_s["extract"] + extract_tiered)
+    _mark("timing small device stages")
+    device_stages = {
+        "backproject": (
+            lambda d: backproject(d, rgb, cam, pose, 1e-3, 10.0)[0], [depth]),
+        "insert": (
+            lambda p: scene_mod.insert_points(scene, p, cols, valid, fcap=1 << 14)[0].count,
+            [pts]),
+        "fuse": (
+            lambda r: scene_mod.fuse_pixel_features(
+                scene1, r, masks_flat, valid_s, f_masks
+            ).feat_count,
+            [rows]),
+        "instances": (
+            lambda mf: inst_mod.frame_instances(
+                mf, valid_s, f_masks, rows, pts, k_cap=2048, stride=stride,
+                grid=grid,
+            ).count,
+            [masks_flat]),
+        "merge": (
+            lambda i: inst_mod.seq_merge_step(
+                i, finst, 0.75, 0.05, bbox_pad=0.025, coarse_only=True
+            ).count,
+            [instances]),
+    }
+    stage_s = {}
+    for name, (fn, args) in device_stages.items():
+        _mark(f"stage {name}")
+        stage_s[name] = max(time_device_fn(fn, args, iters=10), 1e-4)
+
+    small_total = sum(stage_s.values())
+    fps = 1.0 / (small_total + extract_tiered)
     print(
         f"# rtt {rtt*1e3:.1f} ms; stage ms/frame: "
         + ", ".join(f"{k}={v*1e3:.1f}" for k, v in stage_s.items())
-        + f"; total {total*1e3:.1f} ms on {dev}",
+        + f"; small total {small_total*1e3:.1f} ms on {dev}",
         flush=True,
         file=sys.stderr,
     )
     print(
-        f"# tiered extract: mask {t_mask*1e3:.1f} ms + clip(tier {TIER}) "
-        f"{t_clip32*1e3:.1f} ms = {extract_tiered*1e3:.1f} ms -> "
-        f"{fps:.2f} FPS (full-64 budget: {fps_full64:.2f})",
+        f"# HEADLINE tiered extract: mask {t_mask*1e3:.1f} ms + clip(tier {TIER}) "
+        f"{t_clip32*1e3:.1f} ms = {extract_tiered*1e3:.1f} ms -> {fps:.2f} FPS",
         flush=True,
         file=sys.stderr,
     )
 
-    # reference operating point: SAM ViT-H (semantic_scene_reconstruction_ic4f
-    # .yaml:11).  Measure the extract stage at vit_h and derive the vit_h FPS
-    # by swapping that one stage (the rest of the pipeline is backbone-
-    # independent).
+    # ---- secondary rows in a hard-bounded child process -------------------
+    extras = {}
+    rem = _remaining()
+    if rem > 90.0:
+        _mark(f"extras child ({rem - 30:.0f}s cap)")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--extras"],
+                stdout=subprocess.PIPE, stderr=None, timeout=rem - 30.0,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in proc.stdout.decode().splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    extras = json.loads(line)
+        except subprocess.TimeoutExpired:
+            _mark("extras child timed out; secondary rows -> null")
+        except Exception as e:  # noqa: BLE001 - never let extras kill the headline
+            _mark(f"extras child failed ({type(e).__name__}: {e}); rows -> null")
+    else:
+        _mark(f"skip extras: {rem:.0f}s left")
+
+    def _fps_with_extract(t_extract):
+        return 1.0 / (small_total + t_extract) if t_extract else None
+
+    t_full64 = extras.get("extract_full64_s")
+    t_bf16 = extras.get("extract_bf16_s")
+    t_h = extras.get("extract_h_s")
+    t_mask_h = extras.get("t_mask_h_s")
+    extract_tiered_h = (t_mask_h + t_clip32) if t_mask_h else None
+    fps_full64 = _fps_with_extract(t_full64)
+    fps_bf16 = _fps_with_extract(t_bf16)
+    fps_h_full64 = _fps_with_extract(t_h)
+    fps_h = _fps_with_extract(extract_tiered_h)
+
+    from holoagent_tpu.models import sam as sam_mod
+
     svh = sam_mod.VARIANTS["vit_h"]
-    sam_h = sam_mod.init_sam(jax.random.key(2), svh, dtype=jnp.bfloat16)
-    sam_h_q8 = sam_mod.quantize_sam(sam_h)
-    _sync(
-        extract_frame_features(
-            clip_q8, sam_h_q8, rgb, cv, svh,
-            points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash", clip_impl="flash",
-        ).f_masks
-    )
-    _mark("stage extract vit_h")
-    extract_h = max(
-        _time_dispatch(
-            lambda: extract_frame_features(
-                clip_q8, sam_h_q8, rgb, cv, svh,
-                points_per_side=12, max_masks=64, dtype=jnp.bfloat16, impl="flash", clip_impl="flash",
-            ).f_masks
-        )
-        - rtt,
-        1e-4,
-    )
-    fps_h_full64 = 1.0 / (total - stage_s["extract"] + extract_h)
-    # tiered vit_h: the W8A8 vit_h mask stage (models.sam.quantize_sam — the
-    # int8 operating point the CLIP tower already uses) + the same tier-32
-    # CLIP stage
-    mask_h_fn = lambda: _mask_stage(  # noqa: E731
-        sam_h_q8, rgb, svh, 12, -10.0, 0.0, 100.0, 64, jnp.bfloat16, "flash"
-    )[3]
-    _sync(mask_h_fn())
-    _mark("stage extract tiered vit_h: mask stage")
-    t_mask_h = max(_time_dispatch(mask_h_fn) - rtt, 1e-4)
-    extract_tiered_h = t_mask_h + t_clip32
-    fps_h = 1.0 / (total - stage_s["extract"] + extract_tiered_h)
-    print(
-        f"# vit_h extract full64 {extract_h*1e3:.1f} ms / tiered "
-        f"{extract_tiered_h*1e3:.1f} ms -> {fps_h:.2f} FPS tiered "
-        f"({fps_h_full64:.2f} full-64) at the reference backbone",
-        flush=True,
-        file=sys.stderr,
-    )
     fl_b = extract_flops(cv, sv, 64)
-    fl_h = extract_flops(cv, svh, 64)
-    fl_b_t = extract_flops(cv, sv, 64, crops=2 * TIER + 1)
     fl_h_t = extract_flops(cv, svh, 64, crops=2 * TIER + 1)
+    fl_b_t = extract_flops(cv, sv, 64, crops=2 * TIER + 1)
+    rnd = lambda x, n=2: (round(x, n) if x is not None else None)  # noqa: E731
     print(
         json.dumps(
             {
@@ -327,31 +374,34 @@ def main():
                     "carries at the reference's mask-filter settings)"
                 ),
                 "vs_baseline": round(fps / 1.0, 2),
-                "vit_h_fps": round(fps_h, 2),
+                "vit_h_fps": rnd(fps_h),
                 # worst-case figures: every frame at the full 64-mask budget
                 # (129 ViT-L crops; no real frame at the reference operating
                 # point fills it, but capacity overflow degrades to this)
-                "full64_fps": round(fps_full64, 2),
-                "vit_h_full64_fps": round(fps_h_full64, 2),
-                "bf16_fps": round(fps_bf16, 2),
+                "full64_fps": rnd(fps_full64),
+                "vit_h_full64_fps": rnd(fps_h_full64),
+                "bf16_fps": rnd(fps_bf16),
                 "stage_ms": {
-                    **{k: round(v * 1e3, 1) for k, v in stage_s.items() if k != "extract"},
+                    **{k: round(v * 1e3, 1) for k, v in stage_s.items()},
                     "extract_mask_stage": round(t_mask * 1e3, 1),
                     "extract_clip_tier32": round(t_clip32 * 1e3, 1),
-                    "extract_full64": round(stage_s["extract"] * 1e3, 1),
+                    "extract_full64": rnd(t_full64 * 1e3, 1) if t_full64 else None,
                 },
                 # achieved extract-stage compute rate (analytic FLOPs /
-                # measured device time) — the MFU visibility the VERDICT
-                # asked for; v5e peak ~197 bf16 / ~394 int8 TFLOP/s
+                # measured device time); v5e peak ~197 bf16 / ~394 int8 TFLOP/s
                 "extract_tflops": round(fl_b_t / 1e12, 1),
                 "extract_tflops_per_s": round(fl_b_t / 1e12 / extract_tiered, 1),
-                "extract_tflops_per_s_full64": round(fl_b / 1e12 / stage_s["extract"], 1),
-                "extract_tflops_per_s_vit_h": round(fl_h_t / 1e12 / extract_tiered_h, 1),
-                "extract_tflops_per_s_bf16": round(fl_b / 1e12 / extract_bf16, 1),
+                "extract_tflops_per_s_full64": rnd(fl_b / 1e12 / t_full64, 1) if t_full64 else None,
+                "extract_tflops_per_s_vit_h": rnd(fl_h_t / 1e12 / extract_tiered_h, 1) if extract_tiered_h else None,
+                "extract_tflops_per_s_bf16": rnd(fl_b / 1e12 / t_bf16, 1) if t_bf16 else None,
+                "bench_wall_s": round(time.monotonic() - T0, 1),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--extras" in sys.argv:
+        extras_main()
+    else:
+        main()
