@@ -19,6 +19,7 @@ from .smac import SmacHybridPlanner, smac_plan
 from .theta_star import ThetaStarPlanner, theta_star_plan
 from .controller import DWAController
 from .localizer import ParticleLocalizer, simulate_scan
+from .obstacle_layer import ObstacleLayer, simulate_scan_2d
 from .rpp import RPPController
 from .mppi import MPPIController
 

@@ -1,7 +1,10 @@
 """Full online-mission chain (SURVEY.md §3.3): voice transcript over a real
 WebSocket -> GoalService HMSG query -> waypoint navigation -> velocities
 through the real FIFO bridge -> simulated unicycle robot -> waypoint_reached
-feedback back to the voice server."""
+feedback back to the voice server.  Plus the live-sensor mission: a dynamic
+obstacle appears mid-run, scans mark it into the rolling costmap
+(nav.ObstacleLayer), and the controller must avoid it (reference
+g1.yaml:137-260 obstacle_layer marking/clearing)."""
 
 import threading
 
@@ -94,3 +97,110 @@ def test_voice_to_wheels_mission(engine, tmp_path, rng):
     finally:
         client.close()
         vb.close()
+
+def test_mission_avoids_dynamic_obstacle():
+    """Live-sensor costmap mission (VERDICT r4 #7): a person-sized obstacle
+    steps onto the planned corridor mid-run.  It exists ONLY in the true
+    world — the static costmap never contains it — so the run succeeds only
+    if the scan->ObstacleLayer->costmap chain marks it in time for the
+    DWA controller + replanning tree to steer around it, and the robot must
+    never enter a true-lethal cell."""
+    from holoagent_tpu.nav import ObstacleLayer, simulate_scan_2d
+    from holoagent_tpu.nav.bt_xml import XMLNavigator
+    from holoagent_tpu.nav.behaviors import Status
+    from holoagent_tpu.nav.costmap import Costmap
+
+    res = 0.1
+    hw = (60, 60)
+    static_occ = np.zeros(hw, bool)
+    static_occ[0, :] = static_occ[-1, :] = True
+    static_occ[:, 0] = static_occ[:, -1] = True
+    origin = np.array([0.0, 0.0])
+    cm = Costmap.from_occupancy(
+        static_occ, origin=origin, resolution=res,
+        robot_radius=0.15, inflation_radius=0.4,
+    )
+    layer = ObstacleLayer(
+        cm, static_occ, robot_radius=0.15, inflation_radius=0.4,
+        obstacle_max_range=4.0, raytrace_max_range=5.0,
+    )
+    true_occ = static_occ.copy()  # the world the scans see
+
+    class _Sim:
+        def __init__(self):
+            self.state = np.array([1.0, 3.0, 0.0], np.float64)
+            self.cmd = (0.0, 0.0)
+
+        def send_velocity(self, v, _y, w):
+            self.cmd = (v, w)
+
+        def step(self, dt=0.1):
+            v, w = self.cmd
+            x, y, yaw = self.state
+            self.state = np.array(
+                [x + v * np.cos(yaw) * dt, y + v * np.sin(yaw) * dt, yaw + w * dt]
+            )
+
+    sim = _Sim()
+    nav = XMLNavigator(cm, sim.send_velocity, lambda: tuple(sim.state),
+                       goal_radius=0.3)
+    goal = np.array([5.0, 3.0])
+    nav.set_goal(goal)
+    marked_when = None
+    status = Status.RUNNING
+    for t in range(900):
+        if t == 20:
+            # obstacle steps onto the straight corridor (true world only)
+            true_occ[27:33, 28:32] = True
+        # sense + integrate BEFORE the control tick, like the 10 Hz loop
+        scan = simulate_scan_2d(true_occ, origin, res, sim.state[:2],
+                                n_beams=72, max_range=4.0)
+        layer.update(sim.state[:2], scan)
+        if marked_when is None and layer.live.any():
+            marked_when = t
+        status = nav.tick()
+        sim.step()
+        # never inside a TRUE lethal cell
+        r = int(sim.state[1] / res)
+        c = int(sim.state[0] / res)
+        assert not true_occ[r, c], f"drove into the obstacle at t={t}"
+        if status != Status.RUNNING:
+            break
+    assert status == Status.SUCCESS
+    assert np.linalg.norm(sim.state[:2] - goal) < 0.35
+    assert marked_when is not None and marked_when >= 20
+    # the live marking covers the true obstacle's cells
+    assert (layer.live & true_occ).sum() >= 4
+
+
+def test_obstacle_layer_clears_departed_obstacle():
+    """Raycast clearing: an obstacle that walks away stops costing — beams
+    that now pass through its old cells clear the live markings (reference
+    obstacle_layer clearing: True semantics)."""
+    from holoagent_tpu.nav import ObstacleLayer, simulate_scan_2d
+    from holoagent_tpu.nav.costmap import Costmap, LETHAL
+
+    res = 0.1
+    static_occ = np.zeros((40, 40), bool)
+    static_occ[0, :] = static_occ[-1, :] = True
+    static_occ[:, 0] = static_occ[:, -1] = True
+    origin = np.array([0.0, 0.0])
+    cm = Costmap.from_occupancy(static_occ, origin=origin, resolution=res,
+                                robot_radius=0.15, inflation_radius=0.4)
+    layer = ObstacleLayer(cm, static_occ, robot_radius=0.15,
+                          inflation_radius=0.4)
+    pose = np.array([1.0, 2.0])
+    v0 = cm.version
+    # obstacle present
+    occ1 = static_occ.copy()
+    occ1[18:22, 20:23] = True
+    layer.update(pose, simulate_scan_2d(occ1, origin, res, pose, max_range=4.0))
+    assert layer.live.any()
+    r, c = 19, 21
+    assert cm.cost[r, c] == LETHAL
+    assert cm.version > v0
+    # obstacle gone: the same beams now pass through and clear
+    layer.update(pose, simulate_scan_2d(static_occ, origin, res, pose,
+                                        max_range=4.0))
+    assert not layer.live[15:25, 18:25].any()
+    assert cm.cost[r, c] < LETHAL
