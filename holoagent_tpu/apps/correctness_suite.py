@@ -154,10 +154,15 @@ def run_suite(
     graph_dir, gt_path, cfg, models = build_graph(layout, out_dir)
     instructions = three_room_instructions()
     modes = (
+        # oracle first: GT one-hot embeddings isolate the pipeline (parse,
+        # room gating, negative-prompt argmax, scoring) from tower quality —
+        # recall@5 ~= 1.0 here certifies the plumbing (VERDICT r4 #3)
+        ("fast_oracle", dict(use_slow=False, oracle=True)),
         ("fast", dict(use_slow=False)),
         ("slow_clip", dict(use_slow=True, vlm_kind="clip")),
         ("slow_generative", dict(use_slow=True, vlm_kind="generative")),
     )
+    oracle_block = None
     for name, kw in modes:
         summary = query_bench.run(
             str(graph_dir), instructions, cfg,
@@ -170,8 +175,14 @@ def run_suite(
             "n_scored": summary.get("correctness", {}).get("n_scored"),
             "gallery_size": summary.get("gallery_size"),
         }
+        if name == "fast_oracle":
+            # the oracle row rides the fast artifact as a sub-block (there is
+            # no chip latency artifact for an embedding-free mode)
+            oracle_block = dict(report[name])
+            continue
         if merge_into:
-            _merge(Path(merge_into) / f"all_results_{name}_tpu.json", summary)
+            _merge(Path(merge_into) / f"all_results_{name}_tpu.json", summary,
+                   oracle=oracle_block if name == "fast" else None)
 
     # --- long-query benchmark over the two-floor scene ---------------------
     lq_graph, lq_gt, lq_cfg, lq_models = build_graph(long_query_layout, out_dir)
@@ -189,7 +200,7 @@ def run_suite(
     return report
 
 
-def _merge(artifact: Path, summary: dict) -> None:
+def _merge(artifact: Path, summary: dict, oracle: dict | None = None) -> None:
     """Attach the correctness block to an existing latency artifact (the chip
     run's file keeps its latency fields; recall fields come from this run)."""
     if not artifact.exists():
@@ -202,6 +213,13 @@ def _merge(artifact: Path, summary: dict) -> None:
         "towers": PROVENANCE,
         "gallery_size": summary.get("gallery_size"),
     }
+    if oracle is not None:
+        data["oracle"] = {
+            **oracle,
+            "what": "GT one-hot gallery+text embeddings: pipeline-only recall "
+                    "(tower quality removed); ~1.0 certifies the retrieval "
+                    "plumbing end to end",
+        }
     artifact.write_text(json.dumps(data, indent=2))
     print(f"merged correctness into {artifact}")
 

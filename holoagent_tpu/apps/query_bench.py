@@ -127,6 +127,46 @@ def _pad_gallery_with_crops(graph, n: int, dataset, clip_params, cv, seed: int =
         ))
 
 
+def _apply_oracle_embeddings(graph, gt, dim: int, pad: float = 0.25):
+    """Oracle-retrieval mode (VERDICT r4 #3): swap every gallery embedding for
+    the one-hot label feature of the GT category whose (pad-inflated) aabb
+    contains the object's center, and return a text-feature override mapping
+    each query/room/negative text into the same one-hot space.  With oracle
+    embeddings, recall measures the PIPELINE alone — parse, room gating,
+    negative-prompt argmax, top-k, GT scoring — with the tower's embedding
+    quality removed, the retrieval analog of the eval protocol's oracle
+    perception row (apps/eval_protocol.py, perception/oracle.py).  Objects
+    whose center lies in no GT box (distractors at 100-140 m, unmapped
+    structure) take the 'background' vector and are gated out by the
+    negative-prompt argmax, exactly how production filters clutter."""
+    from ..perception.oracle import onehot_label_feats
+
+    labels = sorted({o.category for o in gt.objects})
+    labels += sorted({r.category for r in gt.rooms} - set(labels))
+    labels += sorted({r.name for r in graph.rooms if r.name} - set(labels))
+    for extra in ("background", "wall", "floor", "distractor"):
+        if extra not in labels:
+            labels.append(extra)
+    feats = onehot_label_feats(labels, dim)
+    by_label = {lab: feats[i] for i, lab in enumerate(labels)}
+    lo = np.stack([np.asarray(o.center, np.float64) - np.asarray(o.dims) / 2 - pad
+                   for o in gt.objects])
+    hi = np.stack([np.asarray(o.center, np.float64) + np.asarray(o.dims) / 2 + pad
+                   for o in gt.objects])
+    cats = [o.category for o in gt.objects]
+    for o in graph.objects:
+        c = np.asarray(o.center(), np.float64)
+        inside = np.nonzero(((c >= lo) & (c <= hi)).all(-1))[0]
+        if len(inside):
+            # tightest containing box wins (a nightstand inside the bed's
+            # inflated box must not inherit 'bed')
+            vol = np.prod(hi[inside] - lo[inside], axis=-1)
+            o.embedding = by_label[cats[int(inside[np.argmin(vol)])]].copy()
+        else:
+            o.embedding = by_label["background"].copy()
+    return by_label
+
+
 def _score_against_gt(results, gt, pad: float = 0.25):
     """Retrieval correctness vs the GT graph (the role of the reference's
     hm3dsem evaluator in the benchmark loop, reference
@@ -237,6 +277,7 @@ def run(
     pad_gallery: int = 0,
     gt_path: str | None = None,
     models=None,  # optional preloaded (clip_params, sam_params, cv, sv)
+    oracle: bool = False,  # GT one-hot embeddings: pipeline-only retrieval row
 ):
     graph = HMSGraph.load(graph_dir)
     clip_params, _, cv, _ = models if models is not None else load_models(cfg)
@@ -244,6 +285,14 @@ def run(
     if pad_gallery:
         dataset = dataset if dataset is not None else load_dataset(cfg)
         _pad_gallery_with_crops(graph, pad_gallery, dataset, clip_params, cv)
+    text_override = None
+    if oracle:
+        if not gt_path:
+            raise ValueError("--oracle needs --gt (the one-hot label space)")
+        from ..eval import GTGraph
+
+        text_override = _apply_oracle_embeddings(
+            graph, GTGraph.from_json(gt_path), cv.embed_dim)
     provider = None
     if use_slow:
         import jax
@@ -269,6 +318,8 @@ def run(
         image_provider=provider,
         vlm=_make_vlm(vlm_kind, clip_params, tok, cv, cfg) if use_slow else None,
     )
+    if text_override is not None:
+        engine._text_cache.update(text_override)
     neg = list(getattr(cfg.pipeline, "negative_labels", ()) or ()) or None
     if warmup and instructions:
         # compile/caches warm-up (text towers, gallery encodes); the reference
@@ -313,6 +364,7 @@ def run(
         "p95_total_time": float(np.percentile(totals, 95)) if totals else 0.0,
         **(device_derived or {}),
         "gallery_size": len(graph.objects),
+        **({"oracle_embeddings": True} if oracle else {}),
         **({"top1_acc": correctness["top1_acc"],
             "recall_at_5": correctness["recall_at_5"],
             "correctness": correctness} if correctness is not None else {}),
@@ -337,12 +389,16 @@ def main(argv=None):
     ap.add_argument("--pad-gallery", type=int, default=0)
     ap.add_argument("--gt", default=None,
                     help="scene_info.json GT graph: adds top1/recall@5 fields")
+    ap.add_argument("--oracle", action="store_true",
+                    help="GT one-hot gallery+text embeddings (pipeline-only "
+                         "retrieval row; requires --gt)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
     cfg = cfgmod.load(args.config, args.overrides) if args.config else cfgmod.Config()
     instructions = json.loads(Path(args.instructions).read_text())
     run(args.graph, instructions, cfg, use_slow=args.slow, out_path=args.out,
-        vlm_kind=args.vlm, pad_gallery=args.pad_gallery, gt_path=args.gt)
+        vlm_kind=args.vlm, pad_gallery=args.pad_gallery, gt_path=args.gt,
+        oracle=args.oracle)
 
 
 if __name__ == "__main__":

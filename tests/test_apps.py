@@ -135,6 +135,79 @@ def test_query_bench_wide_bilingual_padded_gallery(built_graph, tmp_path):
     assert len(res["results"]) == len(subset)
 
 
+def test_query_bench_oracle_row(tmp_path):
+    """Oracle-embedding retrieval (VERDICT r4 #3): with GT one-hot embeddings
+    swapped into the gallery and the text cache, the pipeline alone — parse,
+    room gating, negative-prompt argmax, top-k, in-box scoring — must score
+    1.0, certifying that any sub-oracle neural number is tower-limited, not
+    plumbing-limited."""
+    import numpy as np
+
+    from holoagent_tpu.apps import query_bench
+    from holoagent_tpu.eval.gt import GTFloor, GTGraph, GTObject, GTRoom
+    from holoagent_tpu.memory.hmsg import HMSGraph
+    from holoagent_tpu.memory.nodes import Floor, Object, Room
+
+    rng = np.random.default_rng(3)
+    g = HMSGraph()
+    fl = Floor("0", name="floor_0")
+    fl.floor_zero_level, fl.floor_height = 0.0, 2.5
+    fl.pcd_points = rng.uniform(0, 6, (64, 3))
+    fl.pcd_colors = np.zeros((64, 3))
+    fl.vertices = np.zeros((8, 3))
+    g.floors.append(fl)
+    gt = GTGraph()
+    gt.floors.append(GTFloor(0, -0.2, 2.7))
+    centers = {"bed": (1.0, 1.0, 0.4), "chair": (2.5, 1.0, 0.3),
+               "sofa": (5.0, 4.5, 0.4)}
+    room_of = {"bed": 0, "chair": 0, "sofa": 1}
+    rooms = []
+    for ri, (rname, rect) in enumerate(
+        (("bedroom", (0, 0, 3.5, 2.5)), ("living room", (3.6, 3.5, 6.5, 5.5)))
+    ):
+        r = Room(f"0_{ri}", "0", name=rname)
+        x0, y0, x1, y1 = rect
+        r.vertices = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float64)
+        r.pcd_points = rng.uniform((x0, y0, 0), (x1, y1, 2.5), (32, 3))
+        r.pcd_colors = np.zeros((32, 3))
+        r.room_zero_level, r.room_height = 0.0, 2.5
+        fl.add_room(r)
+        g.rooms.append(r)
+        rooms.append(r)
+        gt.rooms.append(GTRoom(ri, 0, rname,
+                               np.asarray(r.vertices, np.float64), 0.0, 2.5))
+    for oi, (cat, c) in enumerate(centers.items()):
+        c = np.asarray(c, np.float64)
+        # mapped surface cloud: offset from the box center, as real maps are
+        o = Object(f"0_{room_of[cat]}_{oi}", rooms[room_of[cat]].room_id,
+                   name="unlabeled")
+        o.pcd_points = c[None] + rng.uniform(-0.15, 0.15, (24, 3))
+        o.pcd_colors = np.zeros((24, 3))
+        o.vertices = o.pcd_points[:, :2]
+        o.embedding = rng.standard_normal(64).astype(np.float32)  # garbage
+        rooms[room_of[cat]].add_object(o)
+        g.objects.append(o)
+        gt.objects.append(GTObject(oi, room_of[cat], 0, cat,
+                                   np.zeros((0, 3)), c,
+                                   np.asarray([0.8, 0.8, 0.8])))
+    g._build_nx()
+    graph_dir = tmp_path / "graph"
+    g.save(graph_dir)
+    gt_path = tmp_path / "scene_info.json"
+    gt.to_json(gt_path)
+    cfg = cfgmod.load("config/synthetic.yaml", [f"main.save_path={tmp_path}"])
+    instructions = ["find the bed", "find the chair in the bedroom",
+                    "go to the sofa in the living room"]
+    summary = query_bench.run(
+        str(graph_dir), instructions, cfg, out_path=str(tmp_path / "o.json"),
+        gt_path=str(gt_path), oracle=True,
+    )
+    assert summary.get("oracle_embeddings") is True
+    assert summary["top1_acc"] == 1.0, summary["correctness"]
+    assert summary["recall_at_5"] == 1.0
+
+
 def _write_json(tmp_path, obj):
     p = tmp_path / "instr.json"
     p.write_text(json.dumps(obj))
