@@ -125,6 +125,32 @@ def test_full_vocabularies_load():
     assert "kitchen" in load_vocabulary("HM3DSEM_ROOMS")
 
 
+def test_label_feats_cache(tmp_path):
+    """Text-feature .npy caching (reference label_feats.py:17-34 layout,
+    VERDICT r4 #8): cache write on miss, identical load on hit, and a
+    wrong-shape (stale vocabulary/model) cache file is rebuilt, not trusted."""
+    import jax
+    import numpy as np
+
+    from holoagent_tpu.apps.common import tokenizer
+    from holoagent_tpu.models import clip as clip_mod
+    from holoagent_tpu.utils.labels import get_label_feats
+
+    v = clip_mod.VARIANTS["test-tiny"]
+    params = clip_mod.init_clip(jax.random.key(0), v)
+    tok = tokenizer()
+    f1, classes = get_label_feats(params, tok, v, "MATTERPORT21",
+                                  cache_dir=tmp_path)
+    cache = tmp_path / "MATTERPORT21_test-tiny.npy"
+    assert cache.exists() and f1.shape == (len(classes), v.embed_dim)
+    f2, _ = get_label_feats(params, tok, v, "MATTERPORT21", cache_dir=tmp_path)
+    np.testing.assert_array_equal(f1, f2)
+    np.save(cache, np.zeros((3, 3), np.float32))  # stale format
+    f3, _ = get_label_feats(params, tok, v, "MATTERPORT21", cache_dir=tmp_path)
+    assert f3.shape == f1.shape
+    np.testing.assert_allclose(f3, f1, rtol=2e-5, atol=2e-5)
+
+
 def test_model_params_checkpoint_roundtrip(tmp_path):
     """save_params/load_params round-trips a VLM parameter pytree (the
     persistence path for distilled / converted checkpoints)."""

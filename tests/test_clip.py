@@ -131,6 +131,127 @@ def test_convert_open_clip_roundtrip(params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_convert_open_clip_torch_parity(tok):
+    """EXTERNAL parity for the converter (VERDICT r4 #10, mirroring the
+    transformers-backed VLM test tests/test_vlm.py): a live torch module with
+    open_clip/OpenAI-CLIP architecture AND state-dict naming — Conv2d patch
+    stem, nn.MultiheadAttention packed in_proj, pre-LN resblocks, causal text
+    tower pooled at argmax(tokens) — is built, its state_dict() fed through
+    convert_open_clip, and both towers' embeddings must agree.  This pins the
+    mapping to real torch layer semantics (the reference loads open_clip
+    directly, reference fsr_vln/memory/hmsg/graph/graph.py:98-200), not to our
+    own export convention (test_convert_open_clip_roundtrip).
+
+    Activation note: the JAX towers run jax.nn.gelu (tanh approximation); the
+    torch reference here uses GELU(approximate='tanh') for the tight check,
+    and the exact-erf GELU that open_clip's trained models use is bounded by
+    the loose check — the flavor gap is <2e-3 on normalized embeddings,
+    immaterial at the bf16 production precision."""
+    import collections
+
+    import torch
+    from torch import nn
+
+    torch.manual_seed(0)
+    v = TINY
+
+    class ResBlock(nn.Module):
+        def __init__(self, width, heads, act):
+            super().__init__()
+            self.ln_1 = nn.LayerNorm(width)
+            self.attn = nn.MultiheadAttention(width, heads)
+            self.ln_2 = nn.LayerNorm(width)
+            self.mlp = nn.Sequential(collections.OrderedDict([
+                ("c_fc", nn.Linear(width, width * 4)),
+                ("gelu", act()),
+                ("c_proj", nn.Linear(width * 4, width)),
+            ]))
+
+        def forward(self, x, attn_mask=None):  # x: (T, B, W)
+            y = self.ln_1(x)
+            x = x + self.attn(y, y, y, need_weights=False, attn_mask=attn_mask)[0]
+            return x + self.mlp(self.ln_2(x))
+
+    class Transformer(nn.Module):
+        def __init__(self, width, layers, heads, act):
+            super().__init__()
+            self.resblocks = nn.ModuleList(
+                [ResBlock(width, heads, act) for _ in range(layers)])
+
+        def forward(self, x, attn_mask=None):
+            for blk in self.resblocks:
+                x = blk(x, attn_mask)
+            return x
+
+    class Visual(nn.Module):
+        def __init__(self, act):
+            super().__init__()
+            w = v.v_width
+            self.conv1 = nn.Conv2d(3, w, v.patch, v.patch, bias=False)
+            n = (v.image_size // v.patch) ** 2
+            self.class_embedding = nn.Parameter(torch.randn(w) * w**-0.5)
+            self.positional_embedding = nn.Parameter(torch.randn(n + 1, w) * w**-0.5)
+            self.ln_pre = nn.LayerNorm(w)
+            self.transformer = Transformer(w, v.v_layers, v.v_heads, act)
+            self.ln_post = nn.LayerNorm(w)
+            self.proj = nn.Parameter(torch.randn(w, v.embed_dim) * w**-0.5)
+
+        def forward(self, x):  # (B, 3, S, S)
+            x = self.conv1(x)
+            x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+            cls = self.class_embedding.expand(x.shape[0], 1, -1)
+            x = torch.cat([cls, x], dim=1) + self.positional_embedding
+            x = self.ln_pre(x).permute(1, 0, 2)
+            x = self.transformer(x).permute(1, 0, 2)
+            return self.ln_post(x[:, 0]) @ self.proj
+
+    class RefCLIP(nn.Module):
+        def __init__(self, act=lambda: nn.GELU(approximate="tanh")):
+            super().__init__()
+            tw = v.t_width
+            self.visual = Visual(act)
+            self.token_embedding = nn.Embedding(v.vocab, tw)
+            self.positional_embedding = nn.Parameter(torch.randn(v.ctx, tw) * 0.01)
+            self.transformer = Transformer(tw, v.t_layers, v.t_heads, act)
+            self.ln_final = nn.LayerNorm(tw)
+            self.text_projection = nn.Parameter(torch.randn(tw, v.embed_dim) * tw**-0.5)
+            self.logit_scale = nn.Parameter(torch.tensor(float(np.log(1 / 0.07))))
+
+        def encode_text(self, tokens):  # (B, ctx) int64
+            x = self.token_embedding(tokens) + self.positional_embedding
+            mask = torch.full((v.ctx, v.ctx), float("-inf")).triu(1)
+            x = self.transformer(x.permute(1, 0, 2), mask).permute(1, 0, 2)
+            x = self.ln_final(x)
+            return x[torch.arange(x.shape[0]), tokens.argmax(dim=-1)] @ self.text_projection
+
+    ref = RefCLIP().eval()
+    converted = clip_mod.convert_open_clip(ref.state_dict(), v)
+
+    imgs = np.random.default_rng(1).uniform(-1, 1, (2, v.image_size, v.image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        ti = ref.visual(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+    ji = np.asarray(clip_mod.encode_image(
+        converted, jnp.asarray(imgs), v, dtype=jnp.float32, normalize=False))
+    np.testing.assert_allclose(ji, ti, rtol=1e-4, atol=1e-4)
+
+    tokens = np.asarray(tok(["a chair in the corner", "the red sofa"]))
+    with torch.no_grad():
+        tt = ref.encode_text(torch.from_numpy(tokens.astype(np.int64))).numpy()
+    jt = np.asarray(clip_mod.encode_text(
+        converted, jnp.asarray(tokens), v, dtype=jnp.float32, normalize=False))
+    np.testing.assert_allclose(jt, tt, rtol=1e-4, atol=1e-4)
+
+    # exact-erf GELU (open_clip's trained nets): bounded flavor gap on the
+    # NORMALIZED embeddings
+    ref_erf = RefCLIP(act=nn.GELU).eval()
+    ref_erf.load_state_dict(ref.state_dict())
+    with torch.no_grad():
+        ti_erf = ref_erf.visual(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+    a = ti_erf / np.linalg.norm(ti_erf, axis=-1, keepdims=True)
+    b = ji / np.linalg.norm(ji, axis=-1, keepdims=True)
+    assert np.abs(a - b).max() < 2e-3
+
+
 def test_quantize_clip_int8_matches_full_precision(rng):
     """W8A8 tower: cosine similarity with the full-precision encode > 0.99
     (the int8 MXU path used by the mapping pipeline when models.clip.quant)."""
