@@ -22,18 +22,31 @@ from .localizer import ParticleLocalizer, simulate_scan
 from .obstacle_layer import ObstacleLayer, simulate_scan_2d
 from .rpp import RPPController
 from .mppi import MPPIController
+from .graceful import GracefulController, RotationShimController, SmoothControlLaw
+from .smoother import SavitzkyGolaySmoother, SimpleSmoother, SmootherServer
 
 
 def make_controller(name: str, costmap, **kwargs):
     """Controller-family selector (the reference picks its controller plugin
-    by name in g1.yaml:50-55: DWB there; RPP/MPPI are sibling packages)."""
+    by name in g1.yaml:50-55: DWB there; RPP/MPPI/graceful/rotation-shim are
+    sibling packages)."""
     if name in ("dwb", "dwa"):
         return DWAController(costmap, **kwargs)
     if name == "rpp":
         return RPPController(costmap, **kwargs)
     if name == "mppi":
         return MPPIController(costmap, **kwargs)
-    raise KeyError(f"unknown controller family {name!r} (dwb | rpp | mppi)")
+    if name == "graceful":
+        return GracefulController(costmap, **kwargs)
+    if name == "rotation_shim":
+        # shim wraps a primary family (reference: the shim's `primary_controller`
+        # parameter); default to the g1 DWB role
+        primary = kwargs.pop("primary", None) or DWAController(costmap)
+        return RotationShimController(primary, **kwargs)
+    raise KeyError(
+        f"unknown controller family {name!r} "
+        "(dwb | rpp | mppi | graceful | rotation_shim)"
+    )
 
 
 from .bt_xml import XMLNavigator, parse_bt_xml, DEFAULT_TREE_XML

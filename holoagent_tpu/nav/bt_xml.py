@@ -535,6 +535,7 @@ class XMLNavigator:
         dt: float = 0.1,
         controllers: Optional[Dict[str, object]] = None,
         extra_nodes: Optional[Dict[str, Callable]] = None,
+        path_smoother=None,  # nav.smoother plugin (SimpleSmoother, ...) or None
     ):
         self.costmap = costmap
         self._pristine_cost = costmap.cost.copy()
@@ -548,6 +549,7 @@ class XMLNavigator:
             "RPP": RPPController(costmap),
             "MPPI": MPPIController(costmap),
         }
+        self.path_smoother = path_smoother
         first = next(iter(self.controllers.values()))
         self.smoother = VelocitySmoother(
             v_max=getattr(first, "v_max", 0.5), w_max=getattr(first, "w_max", 1.0)
@@ -568,17 +570,25 @@ class XMLNavigator:
 
     def plan(self, start_xy, goal_xy, planner_id: str):
         if planner_id == "GridBased":
-            return astar_plan(self.costmap, start_xy, goal_xy)
-        if planner_id == "SmacHybrid":
+            plan = astar_plan(self.costmap, start_xy, goal_xy)
+        elif planner_id == "SmacHybrid":
             from .smac import smac_plan
 
             yaw = self.get_pose()[2]
-            return smac_plan(self.costmap, start_xy, goal_xy, start_yaw=yaw)
-        if planner_id == "ThetaStar":
+            plan = smac_plan(self.costmap, start_xy, goal_xy, start_yaw=yaw)
+        elif planner_id == "ThetaStar":
             from .theta_star import theta_star_plan
 
-            return theta_star_plan(self.costmap, start_xy, goal_xy)
-        raise ValueError(f"unknown planner_id {planner_id!r}")
+            plan = theta_star_plan(self.costmap, start_xy, goal_xy)
+        else:
+            raise ValueError(f"unknown planner_id {planner_id!r}")
+        if plan is not None and len(plan) and self.path_smoother is not None:
+            # the nav2 smoother server sits between planner and controller
+            # (reference nav2_smoother/src/nav2_smoother.cpp; bringup wires
+            # SmoothPath after ComputePathToPose); collision-guarded against
+            # this costmap
+            plan = list(self.path_smoother.smooth(plan, self.costmap))
+        return plan
 
     def controller_for(self, controller_id: str):
         try:

@@ -105,7 +105,17 @@ class ObstacleLayer:
             for r, c in ray[:-1]:
                 if 0 <= r < h and 0 <= c < w:
                     self.live[r, c] = False
-            if d <= self.obstacle_max_range:
+            # Mark only genuine HITS: a return at (or truncated to) the
+            # sensor's max range is a miss, and marking it would paint a
+            # phantom-obstacle arc at range around the robot every scan
+            # (nav2 keeps obstacle_max_range strictly inside the sensor
+            # range for the same reason, g1.yaml obstacle_max_range 2.5 vs
+            # raytrace 3.0).  Skip endpoints already occupied in the static
+            # map: they are lethal from the static layer, and gating them
+            # keeps ``live`` meaning NEW information for consumers/telemetry.
+            if d < self.obstacle_max_range * (1.0 - 1e-9) and not (
+                self.static_occupied[r1, c1]
+            ):
                 self.live[r1, c1] = True
         self._rebuild()
 

@@ -197,6 +197,27 @@ def test_parse_subtree_expansion():
 # ----------------------------------------------------------------- end to end
 
 
+def test_xml_navigator_with_path_smoother_reaches_goal():
+    """SmoothPath role wired between planner and controller (reference
+    nav2_smoother server in the bringup pipeline): the navigator still
+    reaches the goal with the smoothed plan."""
+    from holoagent_tpu.nav import SimpleSmoother
+
+    cm = _open_room()
+    sim = _Sim(1.0, 1.0, 0.0)
+    nav = XMLNavigator(cm, sim.send_velocity, sim.pose, goal_radius=0.3,
+                       path_smoother=SimpleSmoother())
+    nav.set_goal(np.array([5.0, 5.0]))
+    status = Status.RUNNING
+    for _ in range(800):
+        status = nav.tick()
+        sim.step()
+        if status != Status.RUNNING:
+            break
+    assert status == Status.SUCCESS
+    assert np.linalg.norm(sim.state[:2] - [5.0, 5.0]) < 0.35
+
+
 def test_xml_navigator_reaches_goal_default_tree():
     cm = _open_room()
     sim = _Sim(1.0, 1.0, 0.0)

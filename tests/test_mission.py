@@ -196,11 +196,14 @@ def test_obstacle_layer_clears_departed_obstacle():
     occ1[18:22, 20:23] = True
     layer.update(pose, simulate_scan_2d(occ1, origin, res, pose, max_range=4.0))
     assert layer.live.any()
-    r, c = 19, 21
-    assert cm.cost[r, c] == LETHAL
+    # beams from (1.0, 2.0) see the obstacle's near face (col 20): those
+    # cells must be marked lethal (interior cells are occluded — the beam
+    # cannot see them, exactly like a real scan)
+    assert (cm.cost[18:22, 20] == LETHAL).any()
+    assert (layer.live[18:22, 20]).any()
     assert cm.version > v0
     # obstacle gone: the same beams now pass through and clear
     layer.update(pose, simulate_scan_2d(static_occ, origin, res, pose,
                                         max_range=4.0))
     assert not layer.live[15:25, 18:25].any()
-    assert cm.cost[r, c] < LETHAL
+    assert (cm.cost[18:22, 20] < LETHAL).all()
