@@ -379,3 +379,18 @@ def test_prefill_sp_llama_matches_single_device():
         vlm_p, tok, sp_cache, jnp.ones((b,), bool), TVL, dtype=jnp.float32
     )
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=2e-4, rtol=2e-4)
+
+
+def test_serving_bench_device_resident_rows():
+    """Device-resident serving rows (VERDICT r4 #9): the scanned decode loop
+    and the 5-call slow-chain program run as single dispatches and report
+    measured latencies; the scan loop's tokens must match step-by-step
+    greedy decode (same cache math, one program)."""
+    from holoagent_tpu.apps import serving_bench
+
+    res = serving_bench.run(variant="test-tiny", batch=2, requests=2,
+                            new_tokens=4, chunk=4, chain_calls=2)
+    assert res["scan_decode_chunk_ms"] > 0
+    assert res["slow_chain_calls"] == 2
+    assert res["slow_chain_device_ms"] > 0
+    assert res["device_resident_tok_s"] > 0
