@@ -110,7 +110,14 @@ def _pad_gallery_with_crops(graph, n: int, dataset, clip_params, cv, seed: int =
             jnp.asarray(f[y0 : y0 + s, x0 : x0 + s]),
             (cv.image_size, cv.image_size, 3), "linear",
         )))
-    n = len(crops)
+    n_req, n = n, len(crops)
+    if n < n_req:
+        # the object-fraction gate can exhaust the retry budget on dense
+        # scenes; a silently shrunk gallery would overstate recall (ADVICE r4)
+        print(f"# pad_gallery: {n}/{n_req} distractor windows passed the "
+              f"object-fraction gate (<= {max_object_frac}); gallery is smaller")
+    if n == 0:
+        return
     embs = []
     for i in range(0, n, 64):
         x = clip_mod.preprocess(jnp.asarray(np.stack(crops[i : i + 64])), cv.image_size)

@@ -37,7 +37,6 @@ from ..config import Config
 from ..dataloader.generic import RGBDFrame
 from ..ops import image2d
 from ..ops.compact import I32_MAX
-from ..ops.features import dominant_feature
 from ..ops.kmeans import kmeans
 from .mapping import MappedScene
 from .nodes import Floor, Object, Room, View
@@ -609,13 +608,19 @@ class HMSGraph:
         else:
             rooms_subset = self.rooms
         if method in ("objects", "llm"):
+            # structure classes never vote (reference room.py:273-285 filters
+            # wall/floor/ceiling/railing/roof/void/unlabeled/misc from the
+            # object list before inferring the type)
+            structure = {"wall", "floor", "ceiling", "railing", "roof",
+                         "void", "unlabeled", "misc", "background"}
             for room in rooms_subset:
-                names = [o.name for o in room.objects if o.name]
-                if not names:
+                voters = [o for o in room.objects
+                          if o.name and o.name.lower() not in structure]
+                if not voters:
                     room.name = "room"
                     continue
                 embs = np.stack(
-                    [np.asarray(o.embedding, np.float32) for o in room.objects if o.name]
+                    [np.asarray(o.embedding, np.float32) for o in voters]
                 )
                 votes = np.argmax(embs @ room_type_feats.T, axis=1)
                 room.name = room_types[int(np.bincount(votes).argmax())]
@@ -625,16 +630,16 @@ class HMSGraph:
             if not embs:
                 room.name = "room"
                 continue
+            # per-view argmax MAJORITY vote (reference room.py:159-169:
+            # argmax each stored view embedding against the type features,
+            # then the most-voted type wins).  A dominant-feature reduction
+            # before the argmax is NOT equivalent: one off-cluster rep can
+            # flip the room (measured: the fixture bathroom named 'library'
+            # from a 12/16-bathroom vote, round 5).
             e = np.stack(embs)
-            rep = np.asarray(
-                dominant_feature(
-                    jnp.asarray(e), jnp.ones(len(e), bool), eps=0.02, min_points=2.0
-                )
-            )
-            if np.linalg.norm(rep) < 1e-6:
-                rep = e.mean(0)
-                rep /= max(np.linalg.norm(rep), 1e-9)
-            room.name = room_types[int(np.argmax(room_type_feats @ rep))]
+            e = e / np.clip(np.linalg.norm(e, axis=1, keepdims=True), 1e-9, None)
+            votes = np.argmax(e @ room_type_feats.T, axis=1)
+            room.name = room_types[int(np.bincount(votes).argmax())]
 
     # ------------------------------------------------------------ persistence
 

@@ -130,6 +130,38 @@ def test_room_names_from_objects(built):
     assert all(r.name for r in g.rooms)
 
 
+def test_room_naming_is_majority_vote_over_views():
+    """View-embedding naming = per-view argmax MAJORITY (reference
+    room.py:159-169), not a dominant-feature reduction: three weak 'bathroom'
+    views must beat one strong 'library' view (the reduction picked the tight
+    off-majority cluster and misnamed the fixture bathroom, round 5)."""
+    from holoagent_tpu.memory.hmsg import HMSGraph
+    from holoagent_tpu.memory.nodes import Room
+
+    types = ("bathroom", "library")
+    tf = np.eye(2, 8, dtype=np.float32)  # type features: e0, e1
+    r = Room("0_0", "0")
+    weak = np.zeros(8, np.float32); weak[0] = 0.2; weak[2] = 0.98
+    strong = np.zeros(8, np.float32); strong[1] = 1.0
+    r.embeddings = [weak.copy(), weak.copy(), weak.copy(), strong]
+    g = HMSGraph(); g.rooms.append(r)
+    g.generate_room_names(tf, types)
+    assert r.name == "bathroom"
+
+    # structure objects never vote in the objects mode (reference
+    # room.py:273-285 filter)
+    from holoagent_tpu.memory.nodes import Object as _O
+    r2 = Room("0_1", "0")
+    for name, vec_i in (("floor", 1), ("wall", 1), ("toilet", 0)):
+        o = _O(f"0_1_{name}", "0_1", name=name)
+        e = np.zeros(8, np.float32); e[vec_i] = 1.0
+        o.embedding = e
+        r2.objects.append(o)
+    g2 = HMSGraph(); g2.rooms.append(r2)
+    g2.generate_room_names(tf, types, method="objects")
+    assert r2.name == "bathroom"  # only the toilet votes
+
+
 def test_visualizer_writes_pngs(built, tmp_path):
     from holoagent_tpu.apps.visualize_graph import render_hierarchy, render_top_down
 
