@@ -236,9 +236,22 @@ def main(argv=None):
         # correctness numbers are the contract: pin to CPU float32 — the
         # tunnel TPU's default matmul precision is low and tiny-tower
         # training there drifts (see apps/eval_protocol.py --platform)
+        import os
+
+        os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # see tests/conftest.py
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # share the machine-keyed persistent CPU compile cache with the test
+        # suite (tests/conftest.py): the suite's mapping programs dominate
+        # this app's wall time and are identical across runs
+        from ..utils.cachekey import machine_cache_dir
+
+        jax.config.update(
+            "jax_compilation_cache_dir", machine_cache_dir("jax_cache_cpu")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     run_suite(args.layout, args.pad_gallery, args.merge_into, args.out_dir)
 
 

@@ -133,7 +133,15 @@ def detect_floor_boundaries(
     # cluster peaks within eps (1-D DBSCAN eps=1, min_samples=1 == gap split)
     order = np.sort(locs)
     clusters: List[List[float]] = [[order[0]]]
-    heights = {l: smooth[np.searchsorted(edges, l) - 1] for l in order}
+    # peak height = the peak's OWN bin (smooth[i]).  A searchsorted(edges)-1
+    # lookup is off by one and, for a peak in bin 0 (a ground slab at exactly
+    # z=0 after voxel snapping), wraps to smooth[-1] ~ 0 — the ground peak
+    # then loses the tallest-per-cluster vote, the surviving boundaries sit
+    # < virtual_gap apart, and a two-storey scene collapses into ONE floor
+    # (measured round 5: the two_floor fixture's long-query battery).
+    heights = {float(edges[i]): float(smooth[i]) for i in idx}
+    if not heights:
+        heights = {float(locs[0]): 1.0}
     for l in order[1:]:
         if l - clusters[-1][-1] <= cluster_eps_m:
             clusters[-1].append(l)

@@ -9,6 +9,17 @@ must be forced through jax.config."""
 
 import os
 
+# XLA 0.9's cpu_aot_loader logs feature-mismatch ERRORs on every
+# cross-process reload of a cached CPU executable EVEN ON THE SAME MACHINE:
+# the compile-time feature string carries XLA's +prefer-no-gather /
+# +prefer-no-scatter tuning pseudo-features, which never appear in the host
+# CPUID list the loader compares against.  Verified false positive (round 5):
+# the load succeeds and warm runs are ~3x faster.  Genuinely-wrong-machine
+# loads are prevented structurally by the machine-keyed cache dir below
+# (utils/cachekey.py), so suppress the spam; FATAL still prints.  Unset or
+# lower it when debugging native-side issues.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

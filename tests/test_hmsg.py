@@ -73,6 +73,24 @@ def test_floor_boundaries_two_story(rng):
     assert any(2.0 < b[0] < 3.2 for b in floors[1:])
 
 
+def test_floor_boundaries_two_story_voxel_snapped(rng):
+    """Regression (round 5): voxel-snapped scenes put the ground slab at
+    EXACTLY z=0 — the first histogram bin.  The old peak-height lookup
+    (searchsorted-1) wrapped that peak's height to the last bin, the ground
+    peak lost the tallest-per-cluster vote, and both storeys collapsed into
+    one floor (the long-query battery's floor_acc 0.5 signature)."""
+    z = np.concatenate([
+        np.zeros(26000),                      # ground slab, exact 0.0
+        rng.uniform(0.35, 1.15, 9000),        # storey-0 furniture/walls
+        np.full(26000, 2.98),                 # storey-1 slab, exact value
+        rng.uniform(3.3, 4.1, 9000),
+    ])
+    floors = detect_floor_boundaries(z)
+    assert len(floors) == 2, floors
+    assert floors[0][0] < 0.2, floors
+    assert 2.5 < floors[0][1] <= 2.99, floors
+
+
 def test_hmsg_structure(built):
     g, ds, mapped = built
     assert len(g.floors) >= 1
