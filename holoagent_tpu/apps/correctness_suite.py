@@ -27,8 +27,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from pathlib import Path
+
+# must precede the first jax import (pulled in transitively below): TSL reads
+# it when the native extension loads.  See tests/conftest.py for why the
+# cpu_aot_loader ERROR spam is a same-machine false positive.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import numpy as np
 
@@ -236,9 +242,6 @@ def main(argv=None):
         # correctness numbers are the contract: pin to CPU float32 — the
         # tunnel TPU's default matmul precision is low and tiny-tower
         # training there drifts (see apps/eval_protocol.py --platform)
-        import os
-
-        os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # see tests/conftest.py
         import jax
 
         jax.config.update("jax_platforms", "cpu")
