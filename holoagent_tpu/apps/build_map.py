@@ -94,7 +94,10 @@ def run(cfg: cfgmod.Config, dataset=None, models=None) -> Path:
         room_feats = text_features_multi_template(
             clip_params, tok, list(room_types), cv
         )
-    graph.generate_room_names(np.asarray(room_feats), room_types)
+    graph.generate_room_names(
+        np.asarray(room_feats), room_types,
+        method=getattr(cfg.pipeline, "room_name_method", "view_embedding"),
+    )
 
     out = Path(cfg.main.save_path) / cfg.main.scene_id
     ts = datetime.now().strftime("%Y%m%d_%H%M%S")

@@ -80,7 +80,10 @@ def correctness_config(layout: str, save_path: str) -> cfgmod.Config:
     # saturated row table silently drops geometry
     cfg.pipeline.point_capacity = 1 << 16
     cfg.pipeline.mask_point_capacity = 4096
-    cfg.pipeline.instance_capacity = 64
+    # two_floor carries 54 GT objects + structure shells: 64 rows SATURATE
+    # (measured round 5: 52 live instances, whole GT categories missing from
+    # their rooms — "sofa in living room" had no sofa node to find)
+    cfg.pipeline.instance_capacity = 128
     cfg.pipeline.skip_frames = 1
     cfg.pipeline.clip_bbox_margin = 16  # 8 px at 120x160, scaled
     # fixture objects are <= 2 m on a side (synthetic._TWO_FLOOR_SIZES);
@@ -105,6 +108,12 @@ def correctness_config(layout: str, save_path: str) -> cfgmod.Config:
     # gate: white-wall gallery windows otherwise argmax to "refrigerator"
     # (both render near-white) instead of "background"
     cfg.pipeline.negative_labels = ("background", "wall", "floor")
+    # hybrid room naming: the fixture tower's per-view room classifier
+    # confuses kitchen/living-room views with office/bedroom on the ground
+    # storey (measured round 5: 5/12 office votes over the kitchen); the
+    # object-name affinity override recovers those rooms from their
+    # contents, exactly the role the reference's GPT room-typing plays
+    cfg.pipeline.room_name_method = "hybrid"
     cfg.pipeline.extract_tiering = False
     cfg.pipeline.obj_labels = "FIXTURE"
     return cfg

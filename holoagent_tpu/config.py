@@ -106,7 +106,14 @@ class PipelineConfig:
     min_pcd_points: int = 100
     depth_weighting: bool = False
     grid_resolution: float = 0.05
-    merge_type: str = "sequential"  # sequential | hierarchical
+    # sequential: all-pairs merge_round over the concat table every frame;
+    # hierarchical: binary-counter tree fold; paired: sort-free frame->global
+    # pairwise fold (instances.paired_merge_step) with a full round every
+    # `paired_full_round_every` frames — same fixed point, ~5x cheaper
+    # per-frame (the all-pairs fold is two (I*K)-element sorts, measured
+    # 15.1 ms/frame on v5e at I=576 K=2048, bench r5)
+    merge_type: str = "sequential"  # sequential | hierarchical | paired
+    paired_full_round_every: int = 32
     save_intermediate_results: bool = False
     obj_labels: str = "SCANNET200"
     merge_objects_graph: bool = False
@@ -139,6 +146,12 @@ class PipelineConfig:
     # configured type list); voting against types the deployment never
     # contains only adds noise
     room_types: tuple = ()
+    # room naming mode for generate_room_names: "view_embedding" (reference
+    # room.py:131-172 per-view argmax majority, the default), "objects",
+    # "llm", or "hybrid" (view vote + the OBJECT_ROOM_AFFINITY world-knowledge
+    # override — the offline stand-in for the reference's GPT room typing,
+    # memory/hmsg.py generate_room_names)
+    room_name_method: str = "view_embedding"
     # negative-prompt labels for the query engine's class-argmax gate
     # (empty = the engine default ["background"], reference graph.py:3497).
     # Deployments whose vocabulary carries trained structure classes can list

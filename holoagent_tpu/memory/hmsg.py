@@ -587,7 +587,11 @@ class HMSGraph:
         `infer_room_type_from_objects` semantics); 'llm' — ask an LLM to pick
         the type from the contained object list (utils/llm_utils.py:52-126
         `infer_room_type_from_object_list_chat`), falling back to the object
-        vote when the reply isn't a known type."""
+        vote when the reply isn't a known type; 'hybrid' — the view vote,
+        overridden by the object-name room-affinity prior
+        (utils.labels.OBJECT_ROOM_AFFINITY, the offline stand-in for the
+        LLM mode's world knowledge) when the named objects give >= 2 votes
+        for a type and the view vote has no absolute majority."""
         if method == "llm" and llm is not None:
             fallback = []
             for room in self.rooms:
@@ -635,19 +639,52 @@ class HMSGraph:
             return
         for room in self.rooms:
             embs = [np.asarray(e, np.float32) for e in room.embeddings]
-            if not embs:
-                room.name = "room"
-                continue
-            # per-view argmax MAJORITY vote (reference room.py:159-169:
-            # argmax each stored view embedding against the type features,
-            # then the most-voted type wins).  A dominant-feature reduction
-            # before the argmax is NOT equivalent: one off-cluster rep can
-            # flip the room (measured: the fixture bathroom named 'library'
-            # from a 12/16-bathroom vote, round 5).
-            e = np.stack(embs)
-            e = e / np.clip(np.linalg.norm(e, axis=1, keepdims=True), 1e-9, None)
-            votes = np.argmax(e @ room_type_feats.T, axis=1)
-            room.name = room_types[int(np.bincount(votes).argmax())]
+            view_name, view_frac = None, 0.0
+            if embs:
+                # per-view argmax MAJORITY vote (reference room.py:159-169:
+                # argmax each stored view embedding against the type features,
+                # then the most-voted type wins).  A dominant-feature reduction
+                # before the argmax is NOT equivalent: one off-cluster rep can
+                # flip the room (measured: the fixture bathroom named 'library'
+                # from a 12/16-bathroom vote, round 5).
+                e = np.stack(embs)
+                e = e / np.clip(
+                    np.linalg.norm(e, axis=1, keepdims=True), 1e-9, None
+                )
+                votes = np.argmax(e @ room_type_feats.T, axis=1)
+                counts = np.bincount(votes, minlength=len(room_types))
+                view_name = room_types[int(counts.argmax())]
+                view_frac = float(counts.max()) / float(len(embs))
+            if method == "hybrid":
+                # object-name affinity score: each named object casts 1/k of
+                # a vote for its k affine types (utils.labels docstring — the
+                # LLM world-knowledge stand-in).  Override the view vote only
+                # when the object evidence is strong (>= 2 votes) and the
+                # view vote lacks an absolute majority: the per-view
+                # classifier stays authoritative when it is confident.
+                from ..utils.labels import OBJECT_ROOM_AFFINITY
+
+                scores = {t: 0.0 for t in room_types}
+                for o in room.objects:
+                    types = OBJECT_ROOM_AFFINITY.get((o.name or "").lower(), ())
+                    hits = [t for t in types if t in scores]
+                    for t in hits:
+                        scores[t] += 1.0 / len(types)
+                kn_name, kn_score = None, 0.0
+                if scores:
+                    kn_name = max(scores, key=scores.get)
+                    kn_score = scores[kn_name]
+                # "absolute majority" = strictly more than half the views;
+                # a tie at exactly half is contestable evidence
+                if kn_name is not None and kn_score >= 2.0 and (
+                    view_name is None or view_frac <= 0.5
+                ):
+                    room.name = kn_name
+                    continue
+                if view_name is None and kn_name is not None and kn_score >= 1.0:
+                    room.name = kn_name
+                    continue
+            room.name = view_name if view_name is not None else "room"
 
     # ------------------------------------------------------------ persistence
 

@@ -34,6 +34,50 @@ DEFAULT_ROOM_TYPES: Tuple[str, ...] = (
     "lobby", "corridor", "storage room", "stairwell", "library",
 )
 
+# Object-name -> room-type affinities: the offline stand-in for the world
+# knowledge the reference's LLM room-typing mode queries GPT for
+# (reference fsr_vln/memory/hmsg/utils/llm_utils.py
+# `infer_room_type_from_object_list_chat`, room.py:237-307 "label" mode asks
+# "what kind of room contains these objects?").  Standard indoor priors only
+# — an object listed under k types contributes 1/k of a vote to each (a sink
+# is kitchen-or-bathroom evidence, a toilet is bathroom evidence).  Objects
+# not listed carry no room-type information and abstain.
+OBJECT_ROOM_AFFINITY: Dict[str, Tuple[str, ...]] = {
+    "bed": ("bedroom",),
+    "wardrobe": ("bedroom",),
+    "nightstand": ("bedroom",),
+    "dresser": ("bedroom",),
+    "sofa": ("living room",),
+    "couch": ("living room",),
+    "coffee table": ("living room",),
+    "piano": ("living room", "library"),
+    "tv": ("living room", "bedroom"),
+    "fireplace": ("living room",),
+    "refrigerator": ("kitchen",),
+    "oven": ("kitchen",),
+    "stove": ("kitchen",),
+    "microwave": ("kitchen",),
+    "dishwasher": ("kitchen",),
+    "kitchen cabinet": ("kitchen",),
+    "counter": ("kitchen",),
+    "sink": ("kitchen", "bathroom"),
+    "bathtub": ("bathroom",),
+    "toilet": ("bathroom",),
+    "shower": ("bathroom",),
+    "towel": ("bathroom",),
+    "desk": ("office",),
+    "computer": ("office",),
+    "monitor": ("office",),
+    "keyboard": ("office",),
+    "office chair": ("office",),
+    "bookshelf": ("library", "office"),
+    "book": ("library",),
+    "dining table": ("dining room",),
+    "washing machine": ("laundry room",),
+    "gym equipment": ("gym",),
+    "stairs": ("stairwell",),
+}
+
 # ScanNet-200 benchmark vocabulary (public benchmark category names; the
 # reference's SCANNET_200 role, labels/label_constants.py / constants.py).
 SCANNET_LABELS_200: Tuple[str, ...] = (
