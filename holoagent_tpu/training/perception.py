@@ -149,7 +149,8 @@ def collect_crops(datasets, labels: Sequence[str], size: int, margin: int = 4,
 # ---------------------------------------------------------------------------
 
 
-def collect_room_frames(datasets, room_rects_by_ds, size: int):
+def collect_room_frames(datasets, room_rects_by_ds, size: int, jitter: int = 0,
+                        seed: int = 0):
     """Full-frame images labelled by the room TYPE the camera stands in —
     supervision for room naming: the HMSG names rooms by voting dominant
     keyframe (view) embeddings against room-type text features (reference
@@ -158,9 +159,16 @@ def collect_room_frames(datasets, room_rects_by_ds, size: int):
     random.  room_rects_by_ds[i]: (x0, y0, x1, y1, category[, floor_id])
     tuples for datasets[i] (None = skip that dataset).
 
+    ``jitter`` adds that many random-window variants per frame (70-100%
+    scale, random offset): the deployed view embeddings come from arbitrary
+    keyframe viewpoints, and whole-frame-only supervision measurably
+    under-generalises to them (round 5: 0.70 train vs 0.54 held-out
+    room-frame accuracy before augmentation).
+
     Returns (frames (N, size, size, 3) float01, categories list[str])."""
     import jax.numpy as jnp
 
+    rng = np.random.default_rng(seed)
     frames, cats = [], []
     for ds, rects in zip(datasets, room_rects_by_ds):
         if rects is None:
@@ -176,10 +184,22 @@ def collect_room_frames(datasets, room_rects_by_ds, size: int):
                 x0, y0, x1, y1, cat = rect[:5]
                 fid = int(rect[5]) if len(rect) > 5 else 0
                 if fid == floor and x0 <= eye[0] < x1 and y0 <= eye[1] < y1:
+                    rgb = np.asarray(ds[i].rgb)
                     frames.append(np.asarray(jax.image.resize(
-                        jnp.asarray(ds[i].rgb), (size, size, 3), "linear"
+                        jnp.asarray(rgb), (size, size, 3), "linear"
                     )))
                     cats.append(cat)
+                    h, w = rgb.shape[:2]
+                    for _ in range(jitter):
+                        s = rng.uniform(0.7, 1.0)
+                        ch, cw = int(h * s), int(w * s)
+                        r0 = rng.integers(0, h - ch + 1)
+                        c0 = rng.integers(0, w - cw + 1)
+                        frames.append(np.asarray(jax.image.resize(
+                            jnp.asarray(rgb[r0:r0 + ch, c0:c0 + cw]),
+                            (size, size, 3), "linear",
+                        )))
+                        cats.append(cat)
                     break
     if not frames:
         return np.zeros((0, size, size, 3), np.float32), []
@@ -194,6 +214,7 @@ def train_tiny_clip(
     variant_name: str = "test-tiny",
     lr: float = 3e-3,
     room_rects_by_ds=None,  # adds room-type classes (collect_room_frames)
+    room_frame_jitter: int = 0,  # random-window variants per room frame
 ):
     """Contrastive training of the tiny towers on fixture crops.  Batches hold
     one crop per DISTINCT label (duplicate labels would be false negatives in
@@ -213,7 +234,10 @@ def train_tiny_clip(
     )
     labels = list(labels)
     if room_rects_by_ds is not None:
-        rframes, rcats = collect_room_frames(datasets, room_rects_by_ds, cv.image_size)
+        rframes, rcats = collect_room_frames(
+            datasets, room_rects_by_ds, cv.image_size,
+            jitter=room_frame_jitter, seed=seed,
+        )
         if len(rframes):
             rids = []
             for c in rcats:

@@ -54,6 +54,7 @@ def save_params(path: Path, params) -> None:
     """Persist a nested-dict param pytree as one .npz (keys = '/'-joined)."""
     import jax
 
+    path = Path(path)
     flat = {}
     for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
