@@ -274,6 +274,12 @@ def main():
     _sync(
         inst_mod.seq_merge_step(instances, finst, 0.75, 0.05, bbox_pad=0.025, coarse_only=True).count
     )
+    _sync(
+        inst_mod.paired_merge_step(instances, finst, 0.75, 0.05, bbox_pad=0.025, coarse_only=True).count
+    )
+    _sync(
+        inst_mod.merge_round(instances, 0.75, 0.05, out_cap=256, bbox_pad=0.025, coarse_only=True).count
+    )
 
     _mark("timing small device stages")
     device_stages = {
@@ -293,7 +299,22 @@ def main():
                 grid=grid,
             ).count,
             [masks_flat]),
-        "merge": (
+        # production merge fold (pipeline.merge_type="paired"): windowed
+        # frame->global step every frame + a full all-pairs round every
+        # paired_full_round_every=32 frames (amortized below)
+        "merge_paired": (
+            lambda i: inst_mod.paired_merge_step(
+                i, finst, 0.75, 0.05, bbox_pad=0.025, coarse_only=True
+            ).count,
+            [instances]),
+        "merge_full_round": (
+            lambda i: inst_mod.merge_round(
+                i, 0.75, 0.05, out_cap=256, bbox_pad=0.025, coarse_only=True
+            ).count,
+            [instances]),
+        # the all-pairs-every-frame fold (merge_type="sequential"), kept as a
+        # comparability row vs rounds 3/4 where it WAS the merge stage
+        "merge_seq": (
             lambda i: inst_mod.seq_merge_step(
                 i, finst, 0.75, 0.05, bbox_pad=0.025, coarse_only=True
             ).count,
@@ -304,6 +325,11 @@ def main():
         _mark(f"stage {name}")
         stage_s[name] = max(time_device_fn(fn, args, iters=10), 1e-4)
 
+    # headline merge cost = the paired production point (amortized full round)
+    stage_s["merge"] = stage_s["merge_paired"] + stage_s["merge_full_round"] / 32.0
+    merge_report = {
+        k: stage_s.pop(k) for k in ("merge_paired", "merge_full_round", "merge_seq")
+    }
     small_total = sum(stage_s.values())
     fps = 1.0 / (small_total + extract_tiered)
     print(
@@ -383,6 +409,7 @@ def main():
                 "bf16_fps": rnd(fps_bf16),
                 "stage_ms": {
                     **{k: round(v * 1e3, 1) for k, v in stage_s.items()},
+                    **{k: round(v * 1e3, 2) for k, v in merge_report.items()},
                     "extract_mask_stage": round(t_mask * 1e3, 1),
                     "extract_clip_tier32": round(t_clip32 * 1e3, 1),
                     "extract_full64": rnd(t_full64 * 1e3, 1) if t_full64 else None,

@@ -85,6 +85,9 @@ def correctness_config(layout: str, save_path: str) -> cfgmod.Config:
     # their rooms — "sofa in living room" had no sofa node to find)
     cfg.pipeline.instance_capacity = 128
     cfg.pipeline.skip_frames = 1
+    # the production merge fold (config/*.yaml): correctness artifacts must
+    # cover the same code path the chip latency runs use
+    cfg.pipeline.merge_type = "paired"
     cfg.pipeline.clip_bbox_margin = 16  # 8 px at 120x160, scaled
     # fixture objects are <= 2 m on a side (synthetic._TWO_FLOOR_SIZES);
     # 3 m rejects the room-scale wall/floor shells that collapsed the

@@ -107,11 +107,12 @@ class PipelineConfig:
     depth_weighting: bool = False
     grid_resolution: float = 0.05
     # sequential: all-pairs merge_round over the concat table every frame;
-    # hierarchical: binary-counter tree fold; paired: sort-free frame->global
-    # pairwise fold (instances.paired_merge_step) with a full round every
-    # `paired_full_round_every` frames — same fixed point, ~5x cheaper
-    # per-frame (the all-pairs fold is two (I*K)-element sorts, measured
-    # 15.1 ms/frame on v5e at I=576 K=2048, bench r5)
+    # hierarchical: binary-counter tree fold; paired: windowed frame->global
+    # fold (instances.paired_merge_step — per-row sort unions over only the
+    # <= fcap lanes that change) with a full round every
+    # `paired_full_round_every` frames; same fixed point as sequential
+    # (tested), cheaper per frame because the all-pairs fold re-sorts the
+    # whole (I+F)*K concat table every frame
     merge_type: str = "sequential"  # sequential | hierarchical | paired
     paired_full_round_every: int = 32
     save_intermediate_results: bool = False

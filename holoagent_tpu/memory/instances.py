@@ -512,3 +512,239 @@ def seq_merge_step(
         concat(global_inst, frame_inst), overlap_thresh, iou_thresh, out_cap,
         bbox_pad=bbox_pad, coarse_only=coarse_only, max_extent=max_extent,
     )
+
+
+# ---------------------------------------------------------------------------
+# Paired per-frame fold (windowed per-lane sort unions)
+# ---------------------------------------------------------------------------
+
+
+def _union_lanes(
+    table: jnp.ndarray,
+    counts: jnp.ndarray,
+    sel_idx: jnp.ndarray,
+    sel_valid: jnp.ndarray,
+    other: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Set-union `other[j]` into lane `sel_idx[j]` of a padded sorted-set
+    table, touching ONLY the selected lanes.
+
+    table (G, K) and other (M, K): ascending unique values padded with
+    I32_MAX; sel_idx (M,) distinct target lanes (ignored where ~sel_valid).
+    Returns (table', counts') with lane sel_idx[j] := the K smallest unique
+    values of table[sel_idx[j]] ∪ other[j] — group_unique's capacity
+    semantics.
+
+    Why this shape: per-frame, at most M = frame-capacity lanes change, so
+    the union work is two batched PER-ROW sorts of an (M, 2K) window instead
+    of a flat (group, value) sort over the whole (G+M, K) concat table.  On
+    the v5e the row-sort primitive is the fast one: a (576, 4096) row sort
+    costs 4.5 ms where the equivalent flat 1.2M-element group sort inside
+    merge_round costs ~15 ms, and merge-path constructions built on
+    vmap(searchsorted) are two orders worse (292 ms measured, round 5) —
+    batched binary search lowers to serial dynamic gathers on TPU."""
+    g, k = table.shape
+    m = other.shape[0]
+    safe = jnp.where(sel_valid, sel_idx, g).astype(jnp.int32)
+    wide = jnp.concatenate(
+        [table, jnp.full((1, k), I32_MAX, table.dtype)], axis=0
+    )
+    a = wide[safe]  # (M, K) row gather
+    u = jnp.sort(jnp.concatenate([a, other], axis=1), axis=1)  # (M, 2K)
+    prev = jnp.concatenate([jnp.full((m, 1), -1, u.dtype), u[:, :-1]], axis=1)
+    keep = (u != I32_MAX) & (u != prev)
+    uniq = jnp.sort(jnp.where(keep, u, I32_MAX), axis=1)[:, :k]
+    out = wide.at[safe].set(uniq)[:g]
+    cnt = jnp.minimum(keep.sum(axis=1), k).astype(counts.dtype)
+    wcnt = jnp.concatenate([counts, jnp.zeros((1,), counts.dtype)])
+    counts_out = wcnt.at[safe].set(cnt)[:g]
+    return out, counts_out
+
+
+@partial(jax.jit, static_argnames=("coarse_only",))
+def paired_merge_step(
+    global_inst: InstanceSet,
+    frame_inst: InstanceSet,
+    overlap_thresh: float,
+    iou_thresh: float,
+    bbox_pad: float = 0.0,
+    coarse_only: bool = False,
+    max_extent: float = float("inf"),
+) -> InstanceSet:
+    """Windowed per-frame fold: each frame instance merges into at most ONE
+    existing global instance; the rest append into free lanes.
+
+    Same gates as merge_round (coarse-cell overlap ratio with the dilated
+    reference semantics, bbox IoU / comparable-volume containment, union
+    extent veto — graph_utils.py:620-664, 918-1038) restricted to the
+    (frame x global) rectangle, and the row/coarse-key set unions run only
+    over the <= fcap lanes that actually change (_union_lanes: batched
+    per-row sort over an (fcap, 2K) window) instead of the flat
+    (group, value) sort over the whole concat table that seq_merge_step
+    pays every frame.  What this fold deliberately DEFERS to the
+    periodic / final full merge_round (Mapper.finalize): (a) global-global
+    consolidation, (b) the extra fragments when several frame instances pick
+    the same target in one frame (losers append as new lanes), (c)
+    biggest-first recompaction when the table fills.  The fixed-point of
+    fold + full round is the same instance set as the all-pairs fold."""
+    gcap = global_inst.rows.shape[0]
+    fcap = frame_inst.rows.shape[0]
+
+    # ---- cross overlap ratio (coarse cells, both directions, corrected) ----
+    vck_g = global_inst.ckeys != I32_MAX
+    vck_f = frame_inst.ckeys != I32_MAX
+    csig_g = _signatures(global_inst.ckeys, vck_g)
+    csig_f = _signatures(frame_inst.ckeys, vck_f)
+    cnt_g = jnp.maximum(csig_g.sum(-1), 1.0)
+    cnt_f = jnp.maximum(csig_f.sum(-1), 1.0)
+    occ_g = csig_g.sum(-1) / jnp.float32(SIG_BUCKETS)
+    occ_f = csig_f.sum(-1) / jnp.float32(SIG_BUCKETS)
+    occ_dg = global_inst.dsig.sum(-1) / jnp.float32(SIG_BUCKETS)
+    occ_df = frame_inst.dsig.sum(-1) / jnp.float32(SIG_BUCKETS)
+
+    def _corrected(hits, probes, occupancy):
+        p = jnp.clip(occupancy, 0.0, 0.98)
+        return jnp.clip((hits / probes - p) / (1.0 - p), 0.0, 1.0)
+
+    inter = jnp.einsum(
+        "fb,gb->fg", csig_f, csig_g, preferred_element_type=jnp.float32
+    )
+    a_fg = _corrected(inter, cnt_f[:, None], occ_g[None, :])
+    a_gf = _corrected(inter, cnt_g[None, :], occ_f[:, None])
+    d_fg = _corrected(  # |cells_f ∩ dilate(cells_g)| / |cells_f|
+        jnp.einsum("fb,gb->fg", csig_f, global_inst.dsig,
+                   preferred_element_type=jnp.float32),
+        cnt_f[:, None], occ_dg[None, :],
+    )
+    d_gf = _corrected(  # |cells_g ∩ dilate(cells_f)| / |cells_g|
+        jnp.einsum("fb,gb->fg", frame_inst.dsig, csig_g,
+                   preferred_element_type=jnp.float32),
+        cnt_g[None, :], occ_df[:, None],
+    )
+    has_c = vck_f.any(-1)[:, None] & vck_g.any(-1)[None, :]
+    ratio = jnp.where(
+        has_c,
+        jnp.maximum(jnp.maximum(a_fg, a_gf), jnp.maximum(d_fg, d_gf)),
+        0.0,
+    )
+    if not coarse_only:
+        # exact-row ratio floor (merge_round's non-coarse arm): covers sets
+        # without coarse keys and shared-row overlap at full resolution
+        sig_f = _signatures(frame_inst.rows, frame_inst.rows != I32_MAX)
+        sig_g = _signatures(global_inst.rows, global_inst.rows != I32_MAX)
+        rint = jnp.einsum(
+            "fb,gb->fg", sig_f, sig_g, preferred_element_type=jnp.float32
+        )
+        rcnt_f = jnp.maximum(sig_f.sum(-1), 1.0)
+        rcnt_g = jnp.maximum(sig_g.sum(-1), 1.0)
+        ratio = jnp.maximum(
+            ratio, rint / jnp.minimum(rcnt_f[:, None], rcnt_g[None, :])
+        )
+
+    # ---- bbox gates (cross rectangle) --------------------------------------
+    bmin_f = frame_inst.bbox_min - bbox_pad
+    bmax_f = frame_inst.bbox_max + bbox_pad
+    bmin_g = global_inst.bbox_min - bbox_pad
+    bmax_g = global_inst.bbox_max + bbox_pad
+    lo = jnp.maximum(bmin_f[:, None], bmin_g[None, :])
+    hi = jnp.minimum(bmax_f[:, None], bmax_g[None, :])
+    inter_v = jnp.prod(jnp.maximum(hi - lo, 0.0), axis=-1)
+    vol_f = jnp.prod(jnp.maximum(bmax_f - bmin_f, 0.0), axis=-1)
+    vol_g = jnp.prod(jnp.maximum(bmax_g - bmin_g, 0.0), axis=-1)
+    union_v = vol_f[:, None] + vol_g[None, :] - inter_v
+    iou = inter_v / jnp.maximum(union_v, 1e-10)
+    vmin = jnp.minimum(vol_f[:, None], vol_g[None, :])
+    cont = inter_v / jnp.maximum(vmin, 1e-10)
+    vol_ratio = jnp.maximum(vol_f[:, None], vol_g[None, :]) / jnp.maximum(
+        vmin, 1e-10
+    )
+    vv = frame_inst.valid[:, None] & global_inst.valid[None, :]
+    adj = vv & ((iou > iou_thresh) | ((cont > 0.5) & (vol_ratio < 64.0))) & (
+        ratio > overlap_thresh
+    )
+    umin = jnp.minimum(frame_inst.bbox_min[:, None], global_inst.bbox_min[None, :])
+    umax = jnp.maximum(frame_inst.bbox_max[:, None], global_inst.bbox_max[None, :])
+    adj = adj & (jnp.max(umax - umin, axis=-1) <= max_extent)
+
+    # ---- one target per frame instance; one winner per lane ----------------
+    score = jnp.where(adj, ratio, -1.0)
+    best_g = jnp.argmax(score, axis=1)  # (F,)
+    best_r = jnp.max(score, axis=1)
+    merged_f = best_r > 0.0
+    m = jnp.where(
+        merged_f[:, None] & (best_g[:, None] == jnp.arange(gcap)[None, :]),
+        best_r[:, None],
+        -1.0,
+    )  # (F, G)
+    win_f = jnp.argmax(m, axis=0)  # (G,)
+    has_w = jnp.max(m, axis=0) > 0.0
+    winner_used = merged_f & (win_f[best_g] == jnp.arange(fcap)) & has_w[best_g]
+
+    # ---- union winner rows/keys into their lanes (selected lanes only) -----
+    rows_u, count_u = _union_lanes(
+        global_inst.rows, global_inst.count, best_g, winner_used,
+        frame_inst.rows,
+    )
+    ckeys_u, ccount_u = _union_lanes(
+        global_inst.ckeys, global_inst.ccount, best_g, winner_used,
+        frame_inst.ckeys,
+    )
+    wsel = has_w.astype(jnp.float32)
+    feat_sum = global_inst.feat_sum + wsel[:, None] * frame_inst.feat_sum[win_f]
+    weight = global_inst.weight + wsel * frame_inst.weight[win_f]
+    bbox_min = jnp.where(
+        has_w[:, None],
+        jnp.minimum(global_inst.bbox_min, frame_inst.bbox_min[win_f]),
+        global_inst.bbox_min,
+    )
+    bbox_max = jnp.where(
+        has_w[:, None],
+        jnp.maximum(global_inst.bbox_max, frame_inst.bbox_max[win_f]),
+        global_inst.bbox_max,
+    )
+    dsig = jnp.where(
+        has_w[:, None],
+        jnp.maximum(global_inst.dsig, frame_inst.dsig[win_f]),
+        global_inst.dsig,
+    )
+    valid = global_inst.valid
+
+    # ---- append unmerged frame instances into free lanes -------------------
+    unmerged = frame_inst.valid & ~winner_used  # (F,)
+    free = ~valid  # (G,)
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free lanes
+    n_free = free.sum()
+    lane_of_rank = jnp.full((gcap + 1,), gcap, jnp.int32)
+    lane_of_rank = lane_of_rank.at[
+        jnp.where(free, free_rank, gcap)
+    ].set(jnp.arange(gcap, dtype=jnp.int32))
+    unm_rank = jnp.cumsum(unmerged.astype(jnp.int32)) - 1
+    # j-th unmerged frame instance -> j-th free lane (overflow drops, matching
+    # merge_round's capacity drop; the periodic full round recompacts)
+    dest = jnp.where(
+        unmerged & (unm_rank < n_free),
+        lane_of_rank[jnp.clip(unm_rank, 0, gcap)],
+        gcap,
+    )  # (F,) in [0, gcap]
+    def put(tab, vals, fill_ok=None):
+        wide = jnp.concatenate([tab, tab[-1:]], axis=0)
+        wide = wide.at[dest].set(vals)
+        return wide[:gcap]
+
+    rows_u = put(rows_u, frame_inst.rows)
+    count_u = put(count_u, frame_inst.count)
+    ckeys_u = put(ckeys_u, frame_inst.ckeys)
+    ccount_u = put(ccount_u, frame_inst.ccount)
+    feat_sum = put(feat_sum, frame_inst.feat_sum)
+    weight = put(weight, frame_inst.weight)
+    bbox_min = put(bbox_min, frame_inst.bbox_min)
+    bbox_max = put(bbox_max, frame_inst.bbox_max)
+    dsig = put(dsig, frame_inst.dsig)
+    placed = jnp.zeros((gcap + 1,), bool).at[dest].set(unmerged)[:gcap]
+    valid = valid | placed
+
+    return InstanceSet(
+        rows=rows_u, count=count_u, feat_sum=feat_sum, weight=weight,
+        bbox_min=bbox_min, bbox_max=bbox_max, valid=valid,
+        ckeys=ckeys_u, ccount=ccount_u, dsig=dsig,
+    )

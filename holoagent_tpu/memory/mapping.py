@@ -163,6 +163,8 @@ class Mapper:
         self._kf_feats: List[np.ndarray] = []
         # hierarchical merge: binary counter of per-height partial merges
         self._hier_slots: Dict[int, inst_mod.InstanceSet] = {}
+        # paired merge: frames since the last full all-pairs round
+        self._frames_since_full = 0
         self._dtype = jnp.bfloat16 if cfg.models.clip.dtype == "bfloat16" else jnp.float32
 
     # -- per-frame ----------------------------------------------------------
@@ -184,7 +186,9 @@ class Mapper:
         p = self.cfg.pipeline
         # the fused single-program step folds instances sequentially inside
         # the program; hierarchical merging needs the staged path
-        if ff is None and p.fused_frame_step and p.merge_type != "hierarchical":
+        if ff is None and p.fused_frame_step and p.merge_type not in (
+            "hierarchical", "paired",
+        ):
             self.scene, self.instances, f_g = frame_step(
                 self.scene,
                 self.instances,
@@ -267,6 +271,26 @@ class Mapper:
             # same tree height meet, they merge and carry to the next height)
             self._hier_push(finst, height=0)
             return scene, self.instances, ff.f_global
+        if p.merge_type == "paired":
+            # sort-free fold: frame->global pairwise unions via merge-path
+            # searchsorted (instances.paired_merge_step); a full all-pairs
+            # round every N frames (plus finalize's) consolidates the
+            # global-global and collision-deferred merges
+            instances = inst_mod.paired_merge_step(
+                self.instances, finst, p.init_overlap_thresh, p.iou_thresh,
+                bbox_pad=0.5 * p.voxel_size, coarse_only=True,
+                max_extent=p.instance_max_extent_m,
+            )
+            self._frames_since_full += 1
+            if self._frames_since_full >= p.paired_full_round_every:
+                instances = inst_mod.merge_round(
+                    instances, p.init_overlap_thresh, p.iou_thresh,
+                    out_cap=instances.rows.shape[0],
+                    bbox_pad=0.5 * p.voxel_size, coarse_only=True,
+                    max_extent=p.instance_max_extent_m,
+                )
+                self._frames_since_full = 0
+            return scene, instances, ff.f_global
         instances = inst_mod.seq_merge_step(
             self.instances, finst, p.init_overlap_thresh, p.iou_thresh,
             bbox_pad=0.5 * p.voxel_size, coarse_only=True,

@@ -234,3 +234,82 @@ def test_merge_union_extent_veto():
     assert int(merged.num()) == 1  # sanity: they merge without the veto
     vetoed = inst_mod.merge_round(inst, 0.5, 0.01, out_cap=2, max_extent=10.0)
     assert int(vetoed.num()) == 2  # union spans 16 > 10 -> vetoed
+
+
+def test_union_lanes_matches_numpy():
+    rng = np.random.default_rng(3)
+    g, m, k = 9, 4, 24
+    table = np.full((g, k), int(I32_MAX), np.int32)
+    other = np.full((m, k), int(I32_MAX), np.int32)
+    counts = np.zeros((g,), np.int32)
+    sets_t, sets_o = [], []
+    for i in range(g):
+        s = np.unique(rng.integers(0, 60, rng.integers(0, k + 1)))
+        table[i, : len(s)] = s
+        counts[i] = len(s)
+        sets_t.append(s)
+    for j in range(m):
+        s = np.unique(rng.integers(0, 60, rng.integers(0, k + 1)))
+        other[j, : len(s)] = s
+        sets_o.append(s)
+    sel_idx = np.asarray([6, 0, 3, 5], np.int32)
+    sel_valid = np.asarray([True, True, False, True])
+    out, cnt = inst_mod._union_lanes(
+        jnp.asarray(table), jnp.asarray(counts), jnp.asarray(sel_idx),
+        jnp.asarray(sel_valid), jnp.asarray(other))
+    out, cnt = np.asarray(out), np.asarray(cnt)
+    want = {int(i): s.copy() for i, s in zip(range(g), sets_t)}
+    for j, (i, v) in enumerate(zip(sel_idx, sel_valid)):
+        if v:
+            want[int(i)] = np.union1d(sets_t[int(i)], sets_o[j])[:k]
+    for i in range(g):
+        got = out[i][out[i] != int(I32_MAX)]
+        assert np.array_equal(got, want[i]), (i, got, want[i])
+        assert cnt[i] == len(want[i]), (i, cnt[i], len(want[i]))
+
+
+def test_paired_merge_step_matches_seq_fold():
+    """The paired fold + one trailing full round reaches the same instance
+    sets as the all-pairs seq fold on a multi-frame stream."""
+    rng = np.random.default_rng(0)
+    # 3 ground-truth objects as disjoint row ranges; frames observe random
+    # overlapping subsets (>=70% of the object each time)
+    objects = [np.arange(0, 40), np.arange(100, 130), np.arange(200, 260)]
+    g_seq = _mk_inst([], i_cap=16, k_cap=64)
+    g_par = _mk_inst([], i_cap=16, k_cap=64)
+    for _ in range(6):
+        row_sets = []
+        for o in objects:
+            take = rng.random(len(o)) < 0.85
+            row_sets.append(o[take].tolist())
+        f = _mk_inst(row_sets, i_cap=8, k_cap=64)
+        g_seq = inst_mod.seq_merge_step(g_seq, f, 0.7, 0.01)
+        g_par = inst_mod.paired_merge_step(g_par, f, 0.7, 0.01)
+    g_par = inst_mod.merge_round(g_par, 0.7, 0.01, out_cap=16)
+    for g in (g_seq, g_par):
+        valid = np.asarray(g.valid)
+        assert valid.sum() == 3, valid.sum()
+        got = []
+        rows = np.asarray(g.rows)
+        for i in np.nonzero(valid)[0]:
+            r = rows[i][rows[i] != int(I32_MAX)]
+            got.append((r.min(), r.max()))
+        # every surviving set is a subset of exactly one object's range
+        for lo, hi in got:
+            assert any(lo >= o.min() and hi <= o.max() for o in objects)
+    # weights (observation counts) agree between the folds
+    ws = np.sort(np.asarray(g_seq.weight)[np.asarray(g_seq.valid)])
+    wp = np.sort(np.asarray(g_par.weight)[np.asarray(g_par.valid)])
+    assert np.allclose(ws, wp), (ws, wp)
+
+
+def test_paired_merge_appends_when_full_table_has_free_lanes():
+    g = _mk_inst([[1, 2, 3]], i_cap=4, k_cap=16)
+    f = _mk_inst([[50, 51, 52], [80, 81]], i_cap=4, k_cap=16)
+    out = inst_mod.paired_merge_step(g, f, 0.7, 0.01)
+    assert int(np.asarray(out.valid).sum()) == 3
+    rows = np.asarray(out.rows)
+    allv = set()
+    for i in np.nonzero(np.asarray(out.valid))[0]:
+        allv |= set(rows[i][rows[i] != int(I32_MAX)].tolist())
+    assert allv == {1, 2, 3, 50, 51, 52, 80, 81}

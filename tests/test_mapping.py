@@ -87,7 +87,10 @@ def test_fused_frame_step_matches_staged(mapped):
     """pipeline.fused_frame_step=True (ONE XLA program per frame) produces the
     same scene/instances as the staged default."""
     ms_staged, ds = mapped
-    cfg = _tiny_cfg(fused_frame_step=True)
+    # pin sequential explicitly: the fused program folds the seq merge
+    # in-program, and the comparison must hold against the staged seq fold
+    # even if production configs select the paired fold
+    cfg = _tiny_cfg(fused_frame_step=True, merge_type="sequential")
     clip_p = clip_mod.init_clip(jax.random.key(0), clip_mod.VARIANTS["test-tiny"])
     sam_p = sam_mod.init_sam(jax.random.key(1), sam_mod.VARIANTS["test-tiny"])
     ms = Mapper(cfg, clip_p, sam_p).run(ds)
