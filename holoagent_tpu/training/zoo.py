@@ -23,7 +23,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 # bump on any change to the training recipe, fixture scenes, or tower variants
-RECIPE_TAG = "r4i"  # r4c: SAM trained on background STRUCTURE regions too;
+RECIPE_TAG = "r5a"  # r4c: SAM trained on background STRUCTURE regions too;
 # r4d: CLIP trained on the deployed plain/masked BLEND feature;
 # r4e: CLIP trained on structure/background windows too ("background" class
 # anchors the reference-parity negative-prompt gate); r4f: 240x320 fixtures;
@@ -31,7 +31,11 @@ RECIPE_TAG = "r4i"  # r4c: SAM trained on background STRUCTURE regions too;
 # r4h: 3x training trajectories (48/48/72 frames) — more crop views per
 # category and ~16 room frames per room type for the naming head;
 # r4i: crop margin 16 px = the deployed clip_bbox_margin (train/deploy
-# context-window parity)
+# context-window parity);
+# r5a: CLIP steps 1200 -> 3000 with room-frame jitter 2 (winner of the
+# round-5 A/B/C/D sweep: held-out room-frame acc 0.54 -> 0.63, crop top-1
+# 0.41 -> 0.54; longer training alone REGRESSED crops to 0.34 — the
+# augmentation is what buys the gain)
 
 # GT room footprints per fixture layout (x0, y0, x1, y1, category[, floor])
 ROOM_RECTS = {
@@ -128,7 +132,7 @@ def fixture_labels() -> list:
 
 
 def fixture_towers(
-    steps_clip: int = 1200,
+    steps_clip: int = 3000,
     steps_sam: int = 6000,
     seed: int = 0,
     cache_dir: Optional[Path] = None,
@@ -160,7 +164,8 @@ def fixture_towers(
         SyntheticScene.two_floor_room_rects(),
     ]
     clip_params, clip_losses = train_tiny_clip(
-        ds, labels, steps=steps_clip, seed=seed, room_rects_by_ds=rects_by_ds
+        ds, labels, steps=steps_clip, seed=seed, room_rects_by_ds=rects_by_ds,
+        room_frame_jitter=2,
     )
     if verbose:
         print(f"tiny CLIP trained: loss {clip_losses[0]:.3f} -> "
